@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship read on sf0.001 (smoke).
+``queries()``      — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()``   — DuckDB-equivalent SQL per query (the correctness gate).
+
+Every Spark query and its oracle share the events->metric derivation
+declared in ``biggraphite_spark.sources.events`` (ORACLE_* fragments) so the
+two sides compute the same thing by construction.  All float outputs are
+rounded in-query on BOTH sides: an unrounded sum(double) hash-mismatches
+across engines from FP summation order.
 """
 
 from __future__ import annotations
@@ -12,27 +16,490 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from biggraphite_spark.functions.aggregators import final_value_expr, xff_filter_expr
+from biggraphite_spark.model import Stage
+from biggraphite_spark.operators.downsample import (
+    bucket_col,
+    downsample_stage0,
+    rollup_partials,
+    with_aggregator,
+)
+from biggraphite_spark.operators.fetch import fetch_points
+from biggraphite_spark.operators.find import find_metrics
+from biggraphite_spark.operators.gapfill import dense_series
+from biggraphite_spark.globs import compile_glob
+from biggraphite_spark.sources.events import (
+    NOW,
+    ORACLE_AGG,
+    ORACLE_NAME,
+    ORACLE_TS,
+    RETENTION,
+    load_catalog,
+    load_stage0,
+)
+
+STAGE1 = Stage.from_string("1000*3600s")
+STAGE2 = Stage.from_string("100*86400s")
+DATA_START = 1704067200  # 2024-01-01 00:00:00 UTC
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _utc(spark: SparkSession) -> None:
+    # the driver may hand us a non-UTC session; timestamp-literal filters and
+    # unix_timestamp() must agree with DuckDB's UTC-naive view of parquet
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _stage1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog = load_catalog(spark, sf_dir)
+    points0 = load_stage0(spark, sf_dir)
+    return downsample_stage0(with_aggregator(points0, catalog), STAGE1)
+
+
+# ---------------------------------------------------------------------------
+# SQL building blocks shared by the oracles
+# ---------------------------------------------------------------------------
+
+_PTS = (
+    f"SELECT {ORACLE_NAME} AS name, {ORACLE_AGG} AS aggregator, "
+    f"{ORACLE_TS} AS sec, value, ts AS rts FROM events"
+)
+
+
+def _oracle_partials(precision: int) -> str:
+    """Per-(name, bucket) partial (value, pcount) from raw events — what the
+    write-time downsampler stores (average carries the sum)."""
+    return f"""
+        SELECT name, aggregator, (sec // {precision}) * {precision} AS ts,
+               CASE aggregator
+                 WHEN 'minimum' THEN min(value)
+                 WHEN 'maximum' THEN max(value)
+                 WHEN 'last'    THEN arg_max(value, rts)
+                 ELSE sum(value) END AS value,
+               CAST(count(value) AS BIGINT) AS pcount
+        FROM pts GROUP BY name, aggregator, (sec // {precision}) * {precision}
+    """
+
+
+def _oracle_final(precision: int, where: str = "TRUE") -> str:
+    """Per-(name, bucket) read-time final scalar from raw events."""
+    return f"""
+        SELECT name, (sec // {precision}) * {precision} AS ts,
+               CASE aggregator
+                 WHEN 'average' THEN sum(value) / count(value)
+                 WHEN 'total'   THEN sum(value)
+                 WHEN 'minimum' THEN min(value)
+                 WHEN 'maximum' THEN max(value)
+                 ELSE arg_max(value, rts) END AS value
+        FROM pts WHERE {where}
+        GROUP BY name, aggregator, (sec // {precision}) * {precision}
+    """
+
+
+# ---------------------------------------------------------------------------
+# BigGraphite surface: catalog / find / downsample / fetch / gap-fill / xff
+# ---------------------------------------------------------------------------
+
+_CATALOG_ORACLE = f"""
+WITH m AS (
+  SELECT {ORACLE_NAME} AS name, {ORACLE_AGG} AS aggregator,
+         event_type, user_id,
+         min({ORACLE_TS}) AS created_on, max({ORACLE_TS}) AS updated_on,
+         CAST(count(*) AS BIGINT) AS point_count
+  FROM events GROUP BY 1, 2, 3, 4
+)
+SELECT name, sha256(name) AS id, aggregator,
+       '{RETENTION.as_string()}' AS retention,
+       CAST(0.5 AS DOUBLE) AS xfilesfactor,
+       created_on, updated_on, point_count,
+       'bg' AS p0, event_type AS p1,
+       concat('u', CAST(user_id AS VARCHAR)) AS p2,
+       CAST(NULL AS VARCHAR) AS p3,
+       CAST(2 AS BIGINT) AS depth,
+       concat('bg.', event_type) AS parent
+FROM m
+"""
+
+
+@_register("bg_catalog", _CATALOG_ORACLE)
+def bg_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric catalog derivation (SURVEY §1.5, FIXTURES §1): name structure
+    columns p0..p3/depth/parent + lifecycle timestamps from the stream."""
+    _utc(spark)
+    return load_catalog(spark, sf_dir).select(
+        "name",
+        "id",
+        "aggregator",
+        "retention",
+        "xfilesfactor",
+        "created_on",
+        "updated_on",
+        "point_count",
+        "p0",
+        "p1",
+        "p2",
+        "p3",
+        F.col("depth").cast("long").alias("depth"),
+        "parent",
+    )
+
+
+FIND_PATTERNS = (
+    "bg.click.*",
+    "bg.{view,error}.u1?",
+    "bg.*.u[0-3]",
+    "bg.**.u7",
+    "?g.purchase.u*",
+    "bg.purchase.u42",
+)
+
+
+def _find_oracle() -> str:
+    selects = []
+    for pat in FIND_PATTERNS:
+        rx = "^(?:" + compile_glob(pat).regex + ")$"
+        rx_sql = rx.replace("'", "''")
+        selects.append(
+            f"SELECT '{pat}' AS pattern, name FROM m WHERE regexp_matches(name, '{rx_sql}')"
+        )
+    union = " UNION ALL ".join(selects)
+    return f"WITH m AS (SELECT DISTINCT {ORACLE_NAME} AS name FROM events) {union}"
+
+
+@_register("bg_find", _find_oracle())
+def bg_find(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Glob find over the catalog (SURVEY §2.2 P2-P8): pushdown predicates on
+    p0..pN/depth + authoritative rlike residual, for a pattern battery that
+    exercises wildcards, braces, char classes, globstar and exact lookups."""
+    _utc(spark)
+    catalog = load_catalog(spark, sf_dir)
+    parts = [
+        find_metrics(catalog, pat).select(F.lit(pat).alias("pattern"), "name")
+        for pat in FIND_PATTERNS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+_DOWNSAMPLE_1H_ORACLE = f"""
+WITH pts AS ({_PTS}), d AS ({_oracle_partials(3600)})
+SELECT name, ts, ROUND(value, 6) AS value, pcount, aggregator FROM d
+"""
+
+
+@_register("bg_downsample_1h", _DOWNSAMPLE_1H_ORACLE)
+def bg_downsample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time rollup stage0 -> 1h (SURVEY §2.3 A3): one windowed
+    aggregation keyed (name, bucket); average stored as (sum, count)."""
+    _utc(spark)
+    df = _stage1(spark, sf_dir)
+    return df.select(
+        "name", "ts", F.round("value", 6).alias("value"),
+        F.col("count").alias("pcount"), "aggregator",
+    )
+
+
+_DOWNSAMPLE_1D_ORACLE = f"""
+WITH pts AS ({_PTS}), d AS ({_oracle_partials(86400)})
+SELECT name, ts, ROUND(value, 6) AS value, pcount, aggregator FROM d
+"""
+
+
+@_register("bg_downsample_1d", _DOWNSAMPLE_1D_ORACLE)
+def bg_downsample_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascaded rollup 1h -> 1d using merge-of-partials semantics
+    (Aggregator.merge, metric.py:218-261) — the oracle recomputes from raw,
+    so this checks merge(partials) == recompute identity."""
+    _utc(spark)
+    df = rollup_partials(_stage1(spark, sf_dir), STAGE2)
+    return df.select(
+        "name", "ts", F.round("value", 6).alias("value"),
+        F.col("count").alias("pcount"), "aggregator",
+    )
+
+
+_FETCH_1D_ORACLE = f"""
+WITH pts AS ({_PTS}),
+d AS ({_oracle_final(86400, where=f"sec >= {DATA_START} AND sec < {NOW}")})
+SELECT name, ts, ROUND(value, 6) AS value FROM d
+"""
+
+
+@_register("bg_fetch_1d", _FETCH_1D_ORACLE)
+def bg_fetch_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read path (SURVEY §2.1 S1 + §2.3 A4): [start, end) slice of the 1h
+    stage regrouped to 1d buckets with final aggregation (avg = sum/count)."""
+    _utc(spark)
+    catalog = load_catalog(spark, sf_dir)
+    fetched = fetch_points(
+        _stage1(spark, sf_dir), catalog, DATA_START, NOW, target=STAGE2
+    )
+    return fetched.select("name", "ts", F.round("value", 6).alias("value"))
+
+
+_READ_ALIGNED_START, _READ_ALIGNED_END, _READ_STAGE = RETENTION.align_time_window(
+    NOW - 40 * 86400, NOW, NOW
+)
+assert _READ_STAGE.as_string() == "1000*3600s"
+
+_READ_RX = ("^(?:" + compile_glob("bg.purchase.u1*").regex + ")$").replace("'", "''")
+_READ_ALIGNED_ORACLE = f"""
+WITH pts AS ({_PTS}),
+d AS ({_oracle_final(3600, where=(
+    f"sec >= {_READ_ALIGNED_START} AND sec < {_READ_ALIGNED_END} "
+    f"AND regexp_matches(name, '{_READ_RX}')"))})
+SELECT name, ts, ROUND(value, 6) AS value FROM d
+"""
+
+
+@_register("bg_read_aligned", _READ_ALIGNED_ORACLE)
+def bg_read_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full read lifecycle (SURVEY §3.1): glob find -> align_time_window
+    (plan-time stage selection: a 40-day window falls off stage0's horizon
+    onto the 1h stage) -> fetch + regroup."""
+    _utc(spark)
+    catalog = load_catalog(spark, sf_dir)
+    metrics = find_metrics(catalog, "bg.purchase.u1*")
+    start, end, stage = RETENTION.align_time_window(NOW - 40 * 86400, NOW, NOW)
+    fetched = fetch_points(_stage1(spark, sf_dir), metrics, start, end, target=stage)
+    return fetched.select("name", "ts", F.round("value", 6).alias("value"))
+
+
+_GAP_START = NOW - 10 * 86400
+_GAP_RX = ("^(?:" + compile_glob("bg.error.u*").regex + ")$").replace("'", "''")
+_GAPFILL_ORACLE = f"""
+WITH pts AS ({_PTS}),
+m AS (SELECT DISTINCT name FROM pts WHERE regexp_matches(name, '{_GAP_RX}')),
+d AS ({_oracle_final(86400, where=f"sec >= {_GAP_START} AND sec < {NOW}")}),
+grid AS (SELECT m.name, g.ts FROM m
+         CROSS JOIN (SELECT CAST(ts AS BIGINT) AS ts
+                     FROM generate_series({_GAP_START}, {NOW - 86400}, 86400) t(ts)) g)
+SELECT grid.name, grid.ts, ROUND(d.value, 6) AS value
+FROM grid LEFT JOIN d ON d.name = grid.name AND d.ts = grid.ts
+"""
+
+
+@_register("bg_gapfill_1d", _GAPFILL_ORACLE)
+def bg_gapfill_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense render grid (SURVEY §2.5 W5): sequence+explode grid per matched
+    metric, left-joined with fetched buckets; holes stay null."""
+    _utc(spark)
+    catalog = load_catalog(spark, sf_dir)
+    metrics = find_metrics(catalog, "bg.error.u*")
+    fetched = fetch_points(_stage1(spark, sf_dir), metrics, _GAP_START, NOW, target=STAGE2)
+    dense = dense_series(fetched, metrics, _GAP_START, NOW, 86400)
+    return dense.select("name", "ts", F.round("value", 6).alias("value"))
+
+
+_XFF_ORACLE = f"""
+WITH pts AS ({_PTS}),
+h AS ({_oracle_partials(3600)}),
+d AS (
+  SELECT name, aggregator, (ts // 86400) * 86400 AS ts,
+         CASE aggregator
+           WHEN 'average' THEN sum(value) / sum(pcount)
+           WHEN 'total'   THEN sum(value)
+           WHEN 'minimum' THEN min(value)
+           WHEN 'maximum' THEN max(value)
+           ELSE arg_max(value, ts) END AS value,
+         CAST(count(value) AS BIGINT) AS known
+  FROM h GROUP BY name, aggregator, (ts // 86400) * 86400
+)
+SELECT name, ts,
+       CASE WHEN known / 24.0 >= 0.5 THEN ROUND(value, 6) END AS value,
+       known
+FROM d
+"""
+
+
+@_register("bg_xff_1d", _XFF_ORACLE)
+def bg_xff_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xFilesFactor (SURVEY §2.3 A5): a 1d bucket built from 1h partials is
+    nulled unless >= xff of its 24 sub-buckets are known."""
+    _utc(spark)
+    hourly = _stage1(spark, sf_dir)
+    agg = F.first("aggregator", ignorenulls=True)
+    day = hourly.groupBy("name", bucket_col(F.col("ts"), 86400).alias("ts")).agg(
+        final_value_expr(agg, F.col("value"), F.col("count"), F.col("ts")).alias("v"),
+        F.count("value").alias("known"),
+    )
+    return day.select(
+        "name",
+        "ts",
+        F.when(
+            xff_filter_expr(F.col("known"), F.lit(24), F.lit(0.5)), F.round("v", 6)
+        ).alias("value"),
+        "known",
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style analytics (bench headliners; exercises joins/aggs at scale)
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(sum(l_quantity), 2) AS sum_qty,
+       ROUND(sum(l_extendedprice), 2) AS sum_base_price,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(avg(l_quantity), 6) AS avg_qty,
+       ROUND(avg(l_extendedprice), 6) AS avg_price,
+       ROUND(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@_register("tpch_q1", _Q1_ORACLE)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary scan+agg (beyond-reference analytics surface): single
+    scan, map-side partial agg, 4-group output."""
+    _utc(spark)
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-01-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q3_ORACLE = """
+SELECT l_orderkey,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate,
+       o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@_register("tpch_q3", _Q3_ORACLE)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority top-k: broadcast the filtered customer dim, shuffle
+    only the order-level aggregation; deterministic (revenue, key) ordering."""
+    _utc(spark)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+_Q5_ORACLE = """
+SELECT n_name, ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+@_register("tpch_q5", _Q5_ORACLE)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier-volume join pipeline: every dimension broadcast, the
+    fact table streams through one shuffle for the final group-by."""
+    _utc(spark)
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    c, o, l, s, n, r = (rd(t) for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"))
+    return (
+        l.join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01"))
+            ),
+            l.l_orderkey == o.o_orderkey,
+        )
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contract functions
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return bg_fetch_1d(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

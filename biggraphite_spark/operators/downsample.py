@@ -1,0 +1,104 @@
+"""Write-time rollup (downsampling): stage0 -> aggregated stages.
+
+Spark-first replacement for the reference's incremental Downsampler
+(drivers/_downsampling.py:29-349).  The reference keeps a per-metric ring
+buffer and re-emits updated (ts, value, count) partials per batch; in batch
+Spark the idempotent equivalent is a deterministic recompute: one windowed
+aggregation per stage (SURVEY §2.3 A3, §7.3 risk 4 — recompute-from-raw is
+preferred over upsert state).
+
+Scale notes (100 TB):
+- one shuffle per stage, keyed on (name, bucket) — partial aggregation
+  (map-side combine) happens before the exchange because every expression is
+  a built-in hash aggregate;
+- the aggregator lookup join is a broadcast of the catalog (name ->
+  aggregator), i.e. no extra shuffle of the points; for catalogs too big to
+  broadcast, pass ``broadcast_catalog=False`` to fall back to a shuffled
+  join that AQE can still convert at runtime;
+- cascading stages (1h -> 1d) roll up from the *previous* stage's partials,
+  not from raw — the same (sum,count)-carrying merge the reference does
+  (metric.py:218-261) — so each coarser stage shuffles orders of magnitude
+  fewer rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.aggregators import partial_count_expr, partial_value_expr
+from ..model import Stage
+
+
+def bucket_col(ts: F.Column, precision: int) -> F.Column:
+    """Align unix-second timestamps down to a stage bucket (metric.py:469-475)."""
+    return (ts - (ts % F.lit(precision))).alias("ts")
+
+
+def with_aggregator(points: DataFrame, catalog: DataFrame, broadcast_catalog: bool = True) -> DataFrame:
+    """Attach each point's aggregator from the catalog (metadata->data join,
+    SURVEY §2.4 J2 — broadcast hash join, no shuffle of the big side)."""
+    dims = catalog.select("name", "aggregator")
+    if broadcast_catalog:
+        dims = F.broadcast(dims)
+    return points.join(dims, "name")
+
+
+def downsample_stage0(
+    points0_with_agg: DataFrame, stage: Stage
+) -> DataFrame:
+    """Roll raw points up into one aggregated stage's (value, count) partials.
+
+    Input:  name, ts (unix s), value, aggregator
+    Output: name, ts (bucket start), value (partial), count
+
+    For ``average`` the stored value is the bucket *sum* and count the point
+    count — division is deferred to read time (CASSANDRA_DESIGN.md:43).
+    """
+    agg = F.first("aggregator", ignorenulls=True)
+    return (
+        points0_with_agg.groupBy("name", bucket_col(F.col("ts"), stage.precision).alias("ts"))
+        .agg(
+            partial_value_expr(agg, F.col("value"), F.col("ts")).alias("value"),
+            partial_count_expr(F.col("value")).alias("count"),
+            agg.alias("aggregator"),
+        )
+    )
+
+
+def rollup_partials(stage_df: DataFrame, target: Stage) -> DataFrame:
+    """Merge a finer aggregated stage's partials into a coarser stage.
+
+    Same-stage merge semantics (Aggregator.merge, metric.py:218-261):
+    (sum,count) partials add; min/max keep extrema; last keeps the newest.
+    Input/output shape: name, ts, value, count, aggregator.
+    """
+    agg = F.first("aggregator", ignorenulls=True)
+    return (
+        stage_df.groupBy("name", bucket_col(F.col("ts"), target.precision).alias("ts"))
+        .agg(
+            partial_value_expr(agg, F.col("value"), F.col("ts")).alias("value"),
+            partial_count_expr(F.col("value"), F.col("count")).alias("count"),
+            agg.alias("aggregator"),
+        )
+    )
+
+
+def downsample_all(points0: DataFrame, catalog: DataFrame, stages: list[Stage]) -> dict[str, DataFrame]:
+    """Produce every aggregated stage, cascading coarser from finer.
+
+    Returns {stage_string: DataFrame(name, ts, value, count, aggregator)}.
+    """
+    out: dict[str, DataFrame] = {}
+    enriched = with_aggregator(points0, catalog)
+    prev: DataFrame | None = None
+    for st in stages:
+        if st.stage0:
+            continue
+        if prev is None:
+            cur = downsample_stage0(enriched, st)
+        else:
+            cur = rollup_partials(prev, st)
+        out[st.as_string()] = cur
+        prev = cur
+    return out

@@ -1,0 +1,107 @@
+"""Glob find over the metric catalog: the reference's metadata read path.
+
+Two-phase plan, exactly like the reference (SURVEY §2.2 P2-P8):
+
+1. *may-match prefilter*: per-component predicates on the catalog's
+   ``p0..pN`` / ``depth`` columns (the Spark-native stand-in for
+   SASI/Lucene/ES index queries, drivers/cassandra_sasi.py:67-272) — these
+   are plain equality/isin/startswith Columns, so Catalyst pushes them into
+   the Parquet scan;
+2. *authoritative residual*: anchored-regex ``rlike`` on the full name
+   (glob_utils.py:165-211,367-370 — always applied after server queries,
+   drivers/cassandra.py:2076,2087).
+
+The fully-defined shortcut (no wildcards -> point lookup,
+drivers/cassandra.py:2100-2113) and the 5000-result cap
+(max_metrics_per_pattern, drivers/cassandra.py:295,2149-2176) are preserved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..globs import GlobPlan, compile_glob
+from ..model import MAX_METRICS_PER_PATTERN, TooManyMetrics
+
+
+def _available_p_cols(catalog: DataFrame) -> set[str]:
+    return {c for c in catalog.columns if c.startswith("p") and c[1:].isdigit()}
+
+
+def glob_predicate(plan: GlobPlan, catalog: DataFrame) -> Column:
+    """Build the full (prefilter AND residual) predicate for a compiled glob."""
+    cols = set(catalog.columns)
+    pcols = _available_p_cols(catalog)
+    pred = F.lit(True)
+
+    if plan.fully_literal is not None:
+        # point lookup; the regex residual below is then a no-op but harmless
+        return F.col("name") == F.lit(plan.fully_literal)
+
+    if "depth" in cols:
+        if plan.depth_exact is not None:
+            pred = pred & (F.col("depth") == plan.depth_exact)
+        elif plan.depth_min is not None and plan.depth_min > 0:
+            pred = pred & (F.col("depth") >= plan.depth_min)
+
+    for cp in plan.components:
+        pcol = f"p{cp.index}"
+        if pcol not in pcols:
+            continue
+        if cp.kind == "literal":
+            pred = pred & (F.col(pcol) == cp.values[0])
+        elif cp.kind == "enum":
+            pred = pred & F.col(pcol).isin(*cp.values)
+        elif cp.kind == "prefix":
+            pred = pred & F.col(pcol).startswith(cp.values[0])
+
+    # authoritative residual (Java regex accepts the same dialect we emit)
+    pred = pred & F.col("name").rlike("^(?:" + plan.regex + ")$")
+    return pred
+
+
+def find_metrics(catalog: DataFrame, pattern: str) -> DataFrame:
+    """Sorted metric rows matching a glob (accessor contract: sorted list,
+    accessor.py:249-261).  Empty pattern matches nothing."""
+    if pattern == "":
+        return catalog.limit(0)
+    plan = compile_glob(pattern)
+    return catalog.filter(glob_predicate(plan, catalog)).orderBy("name")
+
+
+def glob_metric_names(
+    catalog: DataFrame, pattern: str, max_metrics: int = MAX_METRICS_PER_PATTERN
+) -> list[str]:
+    """Driver-side name list with the reference's N+1 cap check
+    (drivers/cassandra.py:2149-2176)."""
+    rows = find_metrics(catalog, pattern).select("name").limit(max_metrics + 1).collect()
+    if len(rows) > max_metrics:
+        raise TooManyMetrics(f"glob {pattern!r} matched more than {max_metrics} metrics")
+    return [r["name"] for r in rows]
+
+
+def find_directories(catalog: DataFrame, pattern: str) -> DataFrame:
+    """Directory (branch-node) listing under a glob.
+
+    The reference materializes a directories table (CASSANDRA_DESIGN.md:
+    108-112); ES derives them from name prefixes (elasticsearch.py:587-629).
+    We derive: each matched *prefix* of depth len(pattern components) that
+    has strictly deeper metrics below it is a directory.
+    """
+    if pattern == "":
+        return catalog.limit(0).select(F.col("name").alias("directory"))
+    plan = compile_glob(pattern)
+    n = (plan.depth_exact + 1) if plan.depth_exact is not None else None
+    if n is None:
+        # globstar listings fall back to regex over derived prefixes
+        raise NotImplementedError("directory globs with ** are not part of the reference surface")
+    # prefix of the first n components, only for metrics deeper than n-1
+    prefix = F.array_join(F.slice(F.split(F.col("name"), r"\."), 1, n), ".")
+    cand = (
+        catalog.filter(F.col("depth") >= n)  # strictly deeper than the prefix
+        .select(prefix.alias("directory"))
+        .distinct()
+    )
+    rx = "^(?:" + plan.regex + ")$"
+    return cand.filter(F.col("directory").rlike(rx)).orderBy("directory")

@@ -1,0 +1,44 @@
+"""SparkSession builder tuned for this engine.
+
+Local test/bench defaults come from env (SPARK_GRAFT_CPUS, SPARK_GRAFT_SHUFFLE);
+on a real cluster the caller owns the session and just passes it in — every
+operator in this package takes an explicit SparkSession/DataFrame and never
+creates one behind the caller's back.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "biggraphite-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a local session with the engine's recommended conf.
+
+    UTC session timezone is load-bearing: the DuckDB oracle compares
+    timestamps as UTC-naive.  AQE is on so skewed metric keys and small
+    partitions get re-planned at runtime (matters at real scale; harmless
+    locally).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(cpus, 4)))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the driver-generated events.parquet carries TIMESTAMP(NANOS), which
+        # the vectorized reader only accepts as int64 via this flag
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

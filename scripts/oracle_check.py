@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark AND its
+``oracle_sql()`` twin on DuckDB at sf0.01 (or $SPARK_GRAFT_ORACLE_SF_DIR),
+then compares row count, sorted column names, and an order-insensitive
+value hash.  Usage:
+
+    python scripts/oracle_check.py [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon_cell(v) -> str:
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<null>"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6f}"
+    if isinstance(v, (pd.Timestamp,)):
+        return v.isoformat()
+    return str(v)
+
+
+def frame_fingerprint(df: pd.DataFrame) -> tuple[int, list[str], str, list[str]]:
+    cols = sorted(df.columns)
+    rows = [
+        "|".join(canon_cell(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
+    rows.sort()
+    h = hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
+    return len(df), cols, h, rows
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from biggraphite_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    spark = get_spark("oracle-check")
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {ex}")
+            failures += 1
+            continue
+        spark_s = time.time() - t0
+        if name not in oracles:
+            print(f"rows-only  {name}: {len(sdf)} rows ({spark_s:.1f}s) [no oracle]")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {ex}")
+            failures += 1
+            continue
+        sn, scols, shash, srows = frame_fingerprint(sdf)
+        on, ocols, ohash, orows = frame_fingerprint(odf)
+        status = "OK   " if (sn, scols, shash) == (on, ocols, ohash) else "MISMATCH"
+        print(f"{status} {name}: rows {sn}/{on} cols {'=' if scols == ocols else f'{scols} vs {ocols}'} "
+              f"hash {'=' if shash == ohash else f'{shash} vs {ohash}'} ({spark_s:.1f}s)")
+        if status != "OK   ":
+            failures += 1
+            sset, oset = set(srows), set(orows)
+            for r in list(sset - oset)[:3]:
+                print(f"    spark-only: {r[:200]}")
+            for r in list(oset - sset)[:3]:
+                print(f"    oracle-only: {r[:200]}")
+    print("RESULT:", "PASS" if failures == 0 else f"{failures} FAILURES")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -350,6 +350,233 @@ def bg_xff_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Maintenance & ops parity: clean / repair / du / stats / diff / carbonlink
+# ---------------------------------------------------------------------------
+
+_CLEAN_CUTOFF = NOW - 7 * 86400
+
+_DIR_PREFIXES = """
+    SELECT DISTINCT array_to_string(parts[1:i], '.') AS directory
+    FROM (SELECT string_split(name, '.') AS parts FROM {src}),
+         unnest(generate_series(1, len(parts) - 1)) AS t(i)
+"""
+
+_CLEAN_ORACLE = f"""
+WITH m AS (
+  SELECT {ORACLE_NAME} AS name, max({ORACLE_TS}) AS updated_on
+  FROM events GROUP BY 1
+),
+live AS (SELECT name FROM m WHERE updated_on >= {_CLEAN_CUTOFF}),
+alldirs AS ({_DIR_PREFIXES.format(src='m')}),
+livedirs AS ({_DIR_PREFIXES.format(src='live')})
+SELECT 'expired_metric' AS kind, name FROM m WHERE updated_on < {_CLEAN_CUTOFF}
+UNION ALL
+SELECT 'empty_directory' AS kind, directory AS name FROM alldirs
+WHERE directory NOT IN (SELECT directory FROM livedirs)
+"""
+
+
+@_register("bg_clean", _CLEAN_ORACLE)
+def bg_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean pass (SURVEY §2.4 J3): expired metrics by updated_on cutoff +
+    empty directories via a prefixes anti-join."""
+    _utc(spark)
+    from biggraphite_spark.operators.maintenance import empty_directories, expired_metrics
+
+    catalog = load_catalog(spark, sf_dir)
+    expired = expired_metrics(catalog, _CLEAN_CUTOFF)
+    live = catalog.filter(F.col("updated_on") >= F.lit(_CLEAN_CUTOFF))
+    dirs = empty_directories(catalog, live)
+    return expired.select(F.lit("expired_metric").alias("kind"), "name").unionAll(
+        dirs.select(F.lit("empty_directory").alias("kind"), F.col("directory").alias("name"))
+    )
+
+
+_REPAIR_ORACLE = f"""
+WITH m AS (SELECT DISTINCT {ORACLE_NAME} AS name FROM events),
+mm AS (SELECT name, CAST(regexp_extract(name, '\\.u(\\d+)$', 1) AS BIGINT) AS uid,
+              string_split(name, '.') AS parts FROM m),
+dirs AS (
+  SELECT DISTINCT array_to_string(parts[1:i], '.') AS directory
+  FROM mm, unnest(generate_series(1, len(parts) - 1)) AS t(i)
+  WHERE array_to_string(parts[1:i], '.') NOT LIKE 'bg.error%'
+),
+metadata AS (SELECT name FROM mm WHERE uid % 7 != 0)
+SELECT 'missing_parent' AS kind, name FROM mm
+WHERE array_to_string(parts[1:len(parts)-1], '.') NOT IN (SELECT directory FROM dirs)
+UNION ALL
+SELECT 'orphan_metadata' AS kind, name FROM mm
+WHERE name NOT IN (SELECT name FROM metadata)
+"""
+
+
+@_register("bg_repair", _REPAIR_ORACLE)
+def bg_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """repair pass (SURVEY §2.4 J3): metrics whose parent directory row is
+    missing (simulated: bg.error dirs dropped) + metrics without metadata
+    (simulated: every 7th user) — each one anti-join."""
+    _utc(spark)
+    from biggraphite_spark.operators.maintenance import (
+        directories_from_names,
+        missing_parent_metrics,
+        orphan_metrics,
+    )
+
+    catalog = load_catalog(spark, sf_dir)
+    uid = F.regexp_extract("name", r"\.u(\d+)$", 1).cast("long")
+    dirs = directories_from_names(catalog).filter(~F.col("directory").startswith("bg.error"))
+    missing = missing_parent_metrics(catalog, dirs)
+    metadata = catalog.filter(uid % 7 != 0)
+    orphans = orphan_metrics(catalog, metadata)
+    return missing.select(F.lit("missing_parent").alias("kind"), "name").unionAll(
+        orphans.select(F.lit("orphan_metadata").alias("kind"), "name")
+    )
+
+
+_RETENTION_POINTS = sum(st.points for st in RETENTION.stages)
+
+_DU_ORACLE = f"""
+WITH m AS (SELECT DISTINCT {ORACLE_NAME} AS name, event_type FROM events)
+SELECT concat('bg.', event_type) AS namespace,
+       count(*) AS n_metrics,
+       CAST(count(*) * {_RETENTION_POINTS} AS BIGINT) AS points,
+       CAST(count(*) * {_RETENTION_POINTS} * 24 AS BIGINT) AS bytes
+FROM m GROUP BY 1
+"""
+
+
+@_register("bg_du", _DU_ORACLE)
+def bg_du(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """du rollup (SURVEY §2.3 A6): retention points x 24 bytes per metric,
+    grouped by parent namespace; the points factor is parsed from the
+    retention string column in-plan."""
+    _utc(spark)
+    from biggraphite_spark.operators.maintenance import du
+
+    return du(load_catalog(spark, sf_dir)).select(
+        "namespace", "n_metrics", "points", "bytes"
+    )
+
+
+_STATS_CLASSIFIER = (
+    (r"^bg\.(click|view)\.", "ui"),
+    (r"^bg\.(purchase|signup)\.", "commerce"),
+    (r"^bg\.error\.", "errors"),
+)
+
+_STATS_ORACLE = f"""
+WITH m AS (
+  SELECT {ORACLE_NAME} AS name, CAST(count(*) AS BIGINT) AS point_count
+  FROM events GROUP BY 1
+)
+SELECT CASE
+         WHEN regexp_matches(name, '^bg\\.(click|view)\\.') THEN 'ui'
+         WHEN regexp_matches(name, '^bg\\.(purchase|signup)\\.') THEN 'commerce'
+         WHEN regexp_matches(name, '^bg\\.error\\.') THEN 'errors'
+         ELSE 'other' END AS namespace,
+       count(*) AS n_metrics,
+       CAST(sum(point_count) AS BIGINT) AS points
+FROM m GROUP BY 1
+"""
+
+
+@_register("bg_stats", _STATS_ORACLE)
+def bg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats rollup (SURVEY §2.3 A6): chained-regex namespace classifier +
+    metric/point counts (cli/command_stats.py:54-94)."""
+    _utc(spark)
+    from biggraphite_spark.operators.maintenance import stats
+
+    return stats(load_catalog(spark, sf_dir), list(_STATS_CLASSIFIER)).select(
+        "namespace", "n_metrics", F.col("points").cast("long").alias("points")
+    )
+
+
+_DIFF_ORACLE = f"""
+WITH pts AS (
+  SELECT {ORACLE_NAME} AS name, {ORACLE_TS} AS sec, value, event_id FROM events
+),
+a AS (SELECT name, (sec // 3600) * 3600 AS ts, avg(value) AS va
+      FROM pts WHERE event_id % 2 = 0 GROUP BY 1, 2),
+b AS (SELECT name, (sec // 3600) * 3600 AS ts, avg(value) AS vb
+      FROM pts WHERE event_id % 2 = 1 GROUP BY 1, 2),
+j AS (
+  SELECT COALESCE(a.name, b.name) AS name,
+         CASE WHEN a.va IS NULL OR b.vb IS NULL THEN 1.0
+              ELSE COALESCE(abs(a.va - b.vb) / nullif(abs(a.va) + abs(b.vb), 0.0), 0.0)
+         END AS gap
+  FROM a FULL JOIN b ON a.name = b.name AND a.ts = b.ts
+)
+SELECT name, ROUND(quantile_cont(gap, 0.5), 6) AS p50,
+       ROUND(quantile_cont(gap, 0.9), 6) AS p90,
+       count(*) AS n_points
+FROM j GROUP BY name
+"""
+
+
+@_register("bg_cluster_diff", _DIFF_ORACLE)
+def bg_cluster_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clusters_diff (SURVEY §2.4 J4): two simulated clusters (even/odd
+    event ids) aligned per (name, hour), relative gap per point, per-series
+    dissymmetry percentiles."""
+    _utc(spark)
+    from biggraphite_spark.operators.diff import series_dissymmetry
+    from biggraphite_spark.sources.events import event_ts_seconds, load_events, metric_name_col
+
+    ev = load_events(spark, sf_dir)
+    base = ev.select(
+        metric_name_col().alias("name"),
+        ((event_ts_seconds(ev) / 3600).cast("long") * 3600).alias("ts"),
+        "value",
+        "event_id",
+    )
+    a = base.filter(F.col("event_id") % 2 == 0).groupBy("name", "ts").agg(F.avg("value").alias("value"))
+    b = base.filter(F.col("event_id") % 2 == 1).groupBy("name", "ts").agg(F.avg("value").alias("value"))
+    d = series_dissymmetry(a, b)
+    return d.select(
+        "name", F.round("p50", 6).alias("p50"), F.round("p90", 6).alias("p90"), "n_points"
+    )
+
+
+_CL_SPLIT = NOW - 2 * 86400
+
+_CARBONLINK_ORACLE = f"""
+WITH pts AS ({_PTS}),
+db AS ({_oracle_final(3600, where=f"sec < {_CL_SPLIT}")}),
+cache AS (SELECT name, (sec // 3600) * 3600 AS ts, arg_max(value, rts) AS value
+          FROM pts WHERE sec >= {_CL_SPLIT} GROUP BY 1, 2)
+SELECT COALESCE(db.name, cache.name) AS name,
+       COALESCE(db.ts, cache.ts) AS ts,
+       ROUND(COALESCE(cache.value, db.value), 6) AS value,
+       CASE WHEN cache.value IS NOT NULL THEN 'cache' ELSE 'db' END AS source
+FROM db FULL JOIN cache ON db.name = cache.name AND db.ts = cache.ts
+"""
+
+
+@_register("bg_carbonlink", _CARBONLINK_ORACLE)
+def bg_carbonlink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Carbonlink merge (SURVEY §2.4 J1): DB series (downsampled history
+    before the split) full-outer-merged with hot cache points (newest raw
+    value per bucket after the split); cache wins."""
+    _utc(spark)
+    from biggraphite_spark.operators.diff import merge_with_cache
+
+    catalog = load_catalog(spark, sf_dir)
+    points0 = load_stage0(spark, sf_dir)
+    hist = downsample_stage0(
+        with_aggregator(points0.filter(F.col("ts") < _CL_SPLIT), catalog), STAGE1
+    )
+    db = fetch_points(hist, catalog, 0, _CL_SPLIT, target=STAGE1)
+    cache = (
+        points0.filter(F.col("ts") >= _CL_SPLIT)
+        .groupBy("name", bucket_col(F.col("ts"), 3600).alias("ts"))
+        .agg(F.max_by("value", F.col("ts")).alias("value"))
+    )
+    merged = merge_with_cache(db, cache)
+    return merged.select("name", "ts", F.round("value", 6).alias("value"), "source")
+
+
+# ---------------------------------------------------------------------------
 # TPC-H-style analytics (bench headliners; exercises joins/aggs at scale)
 # ---------------------------------------------------------------------------
 

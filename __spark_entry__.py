@@ -716,6 +716,287 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline: text analysis / dedup / similarity search
+# ---------------------------------------------------------------------------
+
+_TEXT_STATS_ORACLE = """
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_types,
+             length(text) AS n_chars,
+             len(list_filter(toks, t -> t IN ('the', 'a'))) AS n_stop
+      FROM t)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(n_types AS BIGINT) AS n_types,
+       ROUND(n_types * 1.0 / n_tokens, 6) AS ttr,
+       ROUND((n_chars - (n_tokens - 1)) * 1.0 / n_tokens, 6) AS avg_word_len,
+       ROUND(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+       ROUND((n_types * 1.0 / n_tokens) * 0.5 + (1.0 - n_stop * 1.0 / n_tokens) * 0.3
+             + least(n_tokens / 100.0, 1.0) * 0.2, 6) AS quality_score
+FROM s
+"""
+
+
+@_register("doc_text_stats", _TEXT_STATS_ORACLE)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring over documents — all built-in column
+    expressions, zero UDFs."""
+    _utc(spark)
+    from biggraphite_spark.operators.text import text_stats
+
+    return text_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+_LANG_ID_ORACLE = """
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, lang,
+             CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS BIGINT) AS score_en,
+             CAST(len(list_filter(toks, t -> t IN ('der', 'die', 'und'))) AS BIGINT) AS score_de,
+             CAST(len(list_filter(toks, t -> t IN ('el', 'la', 'los'))) AS BIGINT) AS score_es
+      FROM t)
+SELECT doc_id, score_en, score_de, score_es,
+       CASE WHEN score_en >= greatest(score_de, score_es) AND score_en > 0 THEN 'en'
+            WHEN score_de >= score_es AND score_de > 0 THEN 'de'
+            WHEN score_es > 0 THEN 'es'
+            ELSE 'und' END AS predicted_lang,
+       lang AS labeled_lang
+FROM s
+"""
+
+
+@_register("doc_lang_id", _LANG_ID_ORACLE)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-id heuristic with fixed-priority tie-break."""
+    _utc(spark)
+    from biggraphite_spark.operators.text import lang_id
+
+    return lang_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+_FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+@_register("doc_fingerprint", _FINGERPRINT_ORACLE)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint (md5 of the sorted token set)."""
+    _utc(spark)
+    from biggraphite_spark.operators.text import fingerprint
+
+    return fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+_DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+@_register("doc_dedup_exact", _DEDUP_EXACT_ORACLE)
+def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one content-hash groupBy (the cheap first pass of every
+    dedup pipeline)."""
+    _utc(spark)
+    from biggraphite_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+_SHINGLES_SQL = """
+    SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, len(string_split(text, ' ')) - 2),
+             i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+    FROM documents
+"""
+
+_NGRAM_ORACLE = f"""
+WITH d AS ({_SHINGLES_SQL}),
+s AS (SELECT doc_id, unnest(sh) AS sh FROM d),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(shared * 1.0 / (da.n + db.n - shared), 6) AS jaccard
+FROM inter
+JOIN (SELECT doc_id, len(sh) AS n FROM d) da ON da.doc_id = doc_a
+JOIN (SELECT doc_id, len(sh) AS n FROM d) db ON db.doc_id = doc_b
+WHERE shared * 1.0 / (da.n + db.n - shared) >= 0.5
+"""
+
+
+@_register("doc_dedup_ngram", _NGRAM_ORACLE)
+def doc_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs, shingle-join pruned (the exact
+    baseline the LSH path approximates)."""
+    _utc(spark)
+    from biggraphite_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold=0.5)
+
+
+def _minhash_oracle(k: int = 16, bands: int = 4) -> str:
+    r = k // bands
+    mins = ", ".join(f"min(md5('{j}:' || sh)) AS h{j}" for j in range(k))
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b, key=" || ".join(f"h{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH d AS ({_SHINGLES_SQL}),
+s AS (SELECT doc_id, unnest(sh) AS sh FROM d),
+sig AS (SELECT doc_id, {mins} FROM s GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+v AS (SELECT doc_a, doc_b, len(list_intersect(da.sh, db.sh)) AS shared,
+             len(da.sh) AS na, len(db.sh) AS nb
+      FROM cand JOIN d da ON da.doc_id = doc_a JOIN d db ON db.doc_id = doc_b)
+SELECT doc_a, doc_b, ROUND(shared * 1.0 / (na + nb - shared), 6) AS jaccard
+FROM v WHERE shared * 1.0 / (na + nb - shared) >= 0.5
+"""
+
+
+@_register("doc_dedup_minhash_lsh", _minhash_oracle())
+def doc_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands of 4) near-dup detection, verified with true
+    Jaccard on the candidate pairs only — the 100 TB dedup path."""
+    _utc(spark)
+    from biggraphite_spark.operators.dedup import lsh_near_dups
+
+    return lsh_near_dups(spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold=0.5)
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    sums = ", ".join(
+        f"sum(w * CASE WHEN instr('89abcdef', substr(h, {i + 1}, 1)) > 0 "
+        f"THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(bits)
+    )
+    hash_terms = " + ".join(
+        f"(CASE WHEN s{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+cnt AS (SELECT doc_id, token, count(*) AS w, md5(token) AS h
+        FROM tok GROUP BY doc_id, token),
+sums AS (SELECT doc_id, {sums} FROM cnt GROUP BY doc_id)
+SELECT doc_id, CAST({hash_terms} AS BIGINT) AS simhash FROM sums
+"""
+
+
+@_register("doc_simhash", _simhash_oracle())
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over the token multiset (md5 bit-sums, sign -> bit)."""
+    _utc(spark)
+    from biggraphite_spark.operators.dedup import simhash
+
+    return simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+_DOT64 = "list_sum(list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i]))"
+
+_COSINE_TOPK_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+q AS (SELECT vec_id, v, nrm FROM n WHERE vec_id < 5),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({_DOT64.format(a='q.v', b='c.v')} / (q.nrm * c.nrm), 5) AS sim
+  FROM n c, q WHERE c.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id, sim,
+       CAST(row_number() OVER w AS BIGINT) AS rank
+FROM sims
+WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+QUALIFY row_number() OVER w <= 10
+"""
+
+
+@_register("emb_cosine_topk", _COSINE_TOPK_ORACLE)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for a 5-vector query batch: broadcast
+    queries x corpus scan, rounded-sim ranking for determinism."""
+    _utc(spark)
+    from biggraphite_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+from biggraphite_spark.operators.similarity import random_hyperplanes as _rh
+
+_HYPERPLANES = _rh(6, 64, seed=7)
+
+
+def _ann_lsh_oracle() -> str:
+    hp_lits = ", ".join(
+        "CAST([" + ", ".join(str(v) for v in plane) + "] AS DOUBLE[]) AS hp" + str(h)
+        for h, plane in enumerate(_HYPERPLANES)
+    )
+    bucket_terms = " + ".join(
+        f"(CASE WHEN {_DOT64.format(a='v', b=f'hp{h}')} >= 0 THEN {1 << h} ELSE 0 END)"
+        for h in range(len(_HYPERPLANES))
+    )
+    return f"""
+WITH hp AS (SELECT {hp_lits}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+             CAST({bucket_terms} AS BIGINT) AS bucket
+      FROM e, hp),
+q AS (SELECT vec_id, v, nrm, bucket FROM n WHERE vec_id < 5),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({_DOT64.format(a='q.v', b='c.v')} / (q.nrm * c.nrm), 5) AS sim
+  FROM n c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id, sim,
+       CAST(row_number() OVER w AS BIGINT) AS rank
+FROM sims
+WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+QUALIFY row_number() OVER w <= 5
+"""
+
+
+@_register("emb_ann_lsh", _ann_lsh_oracle())
+def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbours: 6 seeded hyperplanes ->
+    64 sign buckets; candidates share the query's bucket (the scale path —
+    pre-bucket the corpus and each query touches ~1/64 of it)."""
+    _utc(spark)
+    from biggraphite_spark.operators.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 5), _HYPERPLANES, k=5)
+
+
+_CENTROIDS_ORACLE = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+x AS (SELECT label, i, avg(v[i]) AS mean_val, count(DISTINCT vec_id) AS n_vectors
+      FROM e, unnest(generate_series(1, 64)) t(i)
+      GROUP BY label, i)
+SELECT label, CAST(max(n_vectors) AS BIGINT) AS n_vectors,
+       ROUND(sqrt(sum(mean_val * mean_val)), 5) AS centroid_norm
+FROM x GROUP BY label
+"""
+
+
+@_register("emb_centroids", _CENTROIDS_ORACLE)
+def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid statistics (the IVF cell summary): posexplode ->
+    per-dimension mean -> norm."""
+    _utc(spark)
+    from biggraphite_spark.operators.similarity import label_centroids
+
+    return label_centroids(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+# ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,168 @@
+"""Deduplication family: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Beyond-reference operators for the training-data pipeline.  Design rules:
+
+- **Portable hashing.** Every hash is md5 over an explicit string (never an
+  engine-native hash), so the DuckDB oracle reproduces signatures bit-for-bit
+  and the results are stable across engines and Spark versions.
+- **MinHash over hex strings.** A minhash value is the lexicographic min of
+  fixed-width lowercase-hex md5 digests — identical ordering to the numeric
+  min of the 128-bit value, with zero conversion cost.
+- **Scale shape.** Exact dedup is one hash-groupBy.  MinHash/LSH is the
+  100 TB path: per-doc signature (one pass, k min-aggregates), band keys,
+  self-join on (band, key) — candidate volume is controlled by (b, r), and
+  the final verify touches only candidate pairs.  The all-pairs n-gram
+  Jaccard exists as the exact baseline and for modest corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_K = 16  # minhash signature length
+DEFAULT_BANDS = 4  # b bands of r = k/b rows; threshold ~ (1/b)^(1/r) ~ 0.70
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct n-gram word shingles of a single-space-separated text."""
+    parts = F.split(text, " ")
+    return F.when(
+        F.size(parts) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(parts) - (n - 1)),
+                lambda i: F.array_join(F.slice(parts, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array(F.array_join(parts, " ")))
+
+
+def with_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    return docs.select("doc_id", shingles_col(F.col(text_col), n).alias("shingles"))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content hash: one hash-groupBy."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, n: int = 3
+) -> DataFrame:
+    """Exact pairwise Jaccard over n-gram shingles, shingle-join pruned.
+
+    Only pairs sharing >= 1 shingle are generated (the classic inverted-index
+    prune); at real scale prefer :func:`lsh_near_dups`.
+    """
+    sh = with_shingles(docs, n=n)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn("jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = DEFAULT_K, n: int = 3) -> DataFrame:
+    """Per-doc MinHash signature: k min-aggregates in a single pass over the
+    exploded shingles (map-side combine keeps the shuffle tiny)."""
+    exploded = with_shingles(docs, n=n).select(
+        "doc_id", "shingles", F.explode("shingles").alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"h{j}")
+        for j in range(k)
+    ]
+    return exploded.groupBy("doc_id").agg(F.first("shingles").alias("shingles"), *aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, k: int = DEFAULT_K, bands: int = DEFAULT_BANDS
+) -> DataFrame:
+    """Band the signatures and self-join on (band, key): docs agreeing on all
+    r rows of any band become candidates."""
+    r = k // bands
+    band_rows = []
+    for bidx in range(bands):
+        key = F.concat(*[F.col(f"h{bidx * r + j}") for j in range(r)])
+        band_rows.append(
+            signatures.select("doc_id", F.lit(bidx).alias("band"), key.alias("key"))
+        )
+    banded = band_rows[0]
+    for df in band_rows[1:]:
+        banded = banded.unionAll(df)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def lsh_near_dups(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with true Jaccard (array_intersect on
+    the candidate pairs only) — the scale path for near-dup detection."""
+    sigs = minhash_signatures(docs, k=k, n=n)
+    cands = lsh_candidate_pairs(sigs, k=k, bands=bands)
+    sh = sigs.select("doc_id", "shingles")
+    pairs = (
+        cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sa"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sb"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter / (F.size("sa") + F.size("sb") - inter)
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """SimHash over the token multiset: one md5 per token, ``bits`` weighted
+    bit-sums, sign -> bit.  Bits come from the top bit of each hex digit of
+    the token's md5 (bit i from hex char i), so the oracle can mirror it with
+    plain substr/instr arithmetic."""
+    toks = F.explode(F.split(F.col(text_col), " ")).alias("token")
+    exploded = docs.select("doc_id", toks)
+    counted = exploded.groupBy("doc_id", "token").agg(F.count("*").alias("w"))
+    counted = counted.withColumn("h", F.md5("token"))
+    bit_sums = [
+        F.sum(
+            F.col("w")
+            * F.when(
+                F.instr(F.lit("89abcdef"), F.substring("h", i + 1, 1)) > 0, 1
+            ).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    sums = counted.groupBy("doc_id").agg(*bit_sums)
+    hash_val = None
+    for i in range(bits):
+        term = F.when(F.col(f"s{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        hash_val = term if hash_val is None else hash_val + term
+    return sums.select("doc_id", hash_val.cast("long").alias("simhash"))

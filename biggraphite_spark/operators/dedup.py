@@ -78,12 +78,20 @@ def ngram_jaccard_pairs(
 
 def minhash_signatures(docs: DataFrame, k: int = DEFAULT_K, n: int = 3) -> DataFrame:
     """Per-doc MinHash signature: k min-aggregates in a single pass over the
-    exploded shingles (map-side combine keeps the shuffle tiny)."""
+    exploded shingles (map-side combine keeps the shuffle tiny).
+
+    Hash economy: one md5 yields four independent 32-bit (8-hex-char)
+    hash values, so k signatures cost only ceil(k/4) md5 evaluations per
+    shingle — the dominant cost of the signature pass.
+    """
     exploded = with_shingles(docs, n=n).select(
         "doc_id", "shingles", F.explode("shingles").alias("sh")
     )
+    seeds = {
+        s: F.md5(F.concat(F.lit(f"{s}:"), F.col("sh"))) for s in range((k + 3) // 4)
+    }
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"h{j}")
+        F.min(F.substring(seeds[j // 4], (j % 4) * 8 + 1, 8)).alias(f"h{j}")
         for j in range(k)
     ]
     return exploded.groupBy("doc_id").agg(F.first("shingles").alias("shingles"), *aggs)
@@ -93,17 +101,24 @@ def lsh_candidate_pairs(
     signatures: DataFrame, k: int = DEFAULT_K, bands: int = DEFAULT_BANDS
 ) -> DataFrame:
     """Band the signatures and self-join on (band, key): docs agreeing on all
-    r rows of any band become candidates."""
+    r rows of any band become candidates.
+
+    Banding is a single explode (not a union of per-band selects) so the
+    signature subtree appears once per join side in the plan.
+    """
     r = k // bands
-    band_rows = []
-    for bidx in range(bands):
-        key = F.concat(*[F.col(f"h{bidx * r + j}") for j in range(r)])
-        band_rows.append(
-            signatures.select("doc_id", F.lit(bidx).alias("band"), key.alias("key"))
-        )
-    banded = band_rows[0]
-    for df in band_rows[1:]:
-        banded = banded.unionAll(df)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bidx).alias("band"),
+                F.concat(*[F.col(f"h{bidx * r + j}") for j in range(r)]).alias("key"),
+            )
+            for bidx in range(bands)
+        ]
+    )
+    banded = signatures.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -125,8 +140,14 @@ def lsh_near_dups(
     n: int = 3,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with true Jaccard (array_intersect on
-    the candidate pairs only) — the scale path for near-dup detection."""
-    sigs = minhash_signatures(docs, k=k, n=n)
+    the candidate pairs only) — the scale path for near-dup detection.
+
+    The signature relation is cached: it feeds both sides of the candidate
+    self-join plus both sides of the verify join, and Spark does not dedupe
+    common subtrees within one action — uncached, the (scan + explode +
+    16-min aggregate) subtree would execute four times.
+    """
+    sigs = minhash_signatures(docs, k=k, n=n).cache()
     cands = lsh_candidate_pairs(sigs, k=k, bands=bands)
     sh = sigs.select("doc_id", "shingles")
     pairs = (

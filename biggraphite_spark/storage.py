@@ -1,0 +1,117 @@
+"""Partitioned points store: the engine's durable layout.
+
+Replaces the reference's per-stage Cassandra tables with per-stage Parquet
+trees partitioned by a day bucket (SURVEY §1.3/§1.5):
+
+    {base}/datapoints_{points}p_{precision}s_{0|aggr}/pday={day}/*.parquet
+
+Design mapping:
+- per-stage table -> per-stage directory (TTL/compaction tuning per stage in
+  the reference, CASSANDRA_DESIGN.md:49-54, becomes per-stage retention
+  expiry here);
+- `(metric, time_start_ms)` partition keys + offset clustering
+  (drivers/cassandra.py:740-782) -> `pday` directory pruning + Parquet
+  row-group min/max on (name, ts); `time_filter` reproduces the reference's
+  `_fetch_points_make_selects` arithmetic as a partition-pruning predicate;
+- TTL (duration + out-of-order margin, drivers/cassandra.py:943-1019) ->
+  `expire()` dropping whole day partitions — the cheap partition-drop
+  equivalent (SURVEY §4.2).
+
+At cluster scale the same layout holds: partition by day (plus optionally
+bucket by name for co-located per-metric reads), with
+`spark.sql.files.maxPartitionBytes` sizing scan tasks.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .model import OUT_OF_ORDER_S, Retention, Stage
+
+SECONDS_PER_DAY = 86400
+
+
+def pday_col(ts: Column) -> Column:
+    """Day bucket of a unix-seconds timestamp — the partition key."""
+    return (ts - (ts % F.lit(SECONDS_PER_DAY))) / F.lit(SECONDS_PER_DAY)
+
+
+class PointStore:
+    """One Parquet tree per retention stage, day-partitioned."""
+
+    def __init__(self, base_path: str):
+        self.base_path = base_path
+
+    def stage_path(self, stage: Stage) -> str:
+        return os.path.join(self.base_path, stage.table_name)
+
+    # -- write -------------------------------------------------------------
+    def write(self, df: DataFrame, stage: Stage, mode: str = "overwrite") -> None:
+        """Persist a stage DataFrame (name, ts, value[, count, aggregator]).
+
+        One write task per (pday) partition; append mode is what the
+        streaming foreachBatch sink uses.
+        """
+        (
+            df.withColumn("pday", pday_col(F.col("ts")).cast("int"))
+            .write.partitionBy("pday")
+            .mode(mode)
+            .parquet(self.stage_path(stage))
+        )
+
+    # -- read --------------------------------------------------------------
+    def read(self, spark: SparkSession, stage: Stage) -> DataFrame:
+        return spark.read.parquet(self.stage_path(stage))
+
+    @staticmethod
+    def time_filter(start: int, end: int) -> Column:
+        """``[start, end)`` as a partition-pruning predicate.
+
+        The explicit ``pday`` bounds are what lets the file source skip
+        whole day directories (the reference computes per-partition SELECT
+        bounds the same way, drivers/cassandra.py:1887-1919); the ``ts``
+        bounds stay for row-group pruning inside the kept days.
+        """
+        return (
+            (F.col("pday") >= start // SECONDS_PER_DAY)
+            & (F.col("pday") <= (end - 1) // SECONDS_PER_DAY)
+            & (F.col("ts") >= start)
+            & (F.col("ts") < end)
+        )
+
+    def fetch(self, spark: SparkSession, stage: Stage, start: int, end: int) -> DataFrame:
+        return self.read(spark, stage).filter(self.time_filter(start, end))
+
+    # -- retention expiry --------------------------------------------------
+    def expire(self, stage: Stage, now: int, margin: int = OUT_OF_ORDER_S) -> list[int]:
+        """Drop day partitions entirely older than the stage horizon.
+
+        Mirrors the reference's per-table TTL = duration + out-of-order
+        margin (drivers/cassandra.py:943-948) as a partition drop; returns
+        the dropped day numbers.
+        """
+        cutoff_day = (now - stage.duration - margin) // SECONDS_PER_DAY
+        path = self.stage_path(stage)
+        dropped: list[int] = []
+        if not os.path.isdir(path):
+            return dropped
+        for entry in os.listdir(path):
+            if not entry.startswith("pday="):
+                continue
+            day = int(entry.split("=", 1)[1])
+            # a partition holds [day*86400, (day+1)*86400): drop only if its
+            # newest possible point is older than the cutoff
+            if day < cutoff_day:
+                shutil.rmtree(os.path.join(path, entry))
+                dropped.append(day)
+        return dropped
+
+    def sync(self, retention: Retention) -> None:
+        """syncdb analogue (drivers/cassandra.py:2289-2355): materialize the
+        per-stage directory skeleton."""
+        for stage in retention.stages:
+            os.makedirs(self.stage_path(stage), exist_ok=True)

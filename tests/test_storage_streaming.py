@@ -1,0 +1,161 @@
+"""Storage layout, streaming ingest, multimodal plumbing, carbon parsing."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from biggraphite_spark.model import Stage
+from biggraphite_spark.storage import PointStore
+from biggraphite_spark.sources.events import RETENTION
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="bgspark-test-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+STAGE1 = Stage.from_string("1000*3600s")
+
+
+def test_pointstore_roundtrip_and_pruning(spark, tmpdir):
+    rows = [("m1", day * 86400 + 30, float(day)) for day in range(10)]
+    df = spark.createDataFrame(rows, "name string, ts long, value double")
+    store = PointStore(tmpdir)
+    store.write(df, STAGE1)
+
+    # partition layout exists
+    days = sorted(os.listdir(store.stage_path(STAGE1)))
+    assert "pday=0" in days and "pday=9" in days
+
+    # fetch prunes partitions: only 2 of 10 day-dirs are read
+    fetched = store.fetch(spark, STAGE1, 3 * 86400, 5 * 86400)
+    got = sorted((r["name"], r["ts"], r["value"]) for r in fetched.collect())
+    assert [v for _, _, v in got] == [3.0, 4.0]
+    files = fetched.select(F.input_file_name()).distinct().collect()
+    touched = {f[0].split("pday=")[1].split("/")[0] for f in files}
+    assert touched == {"3", "4"}
+
+
+def test_pointstore_expiry(spark, tmpdir):
+    rows = [("m1", day * 86400, 1.0) for day in range(10)]
+    df = spark.createDataFrame(rows, "name string, ts long, value double")
+    store = PointStore(tmpdir)
+    st = Stage.from_string("3*86400s")  # keeps 3 days
+    store.write(df, st)
+    dropped = store.expire(st, now=10 * 86400, margin=0)
+    assert sorted(dropped) == list(range(0, 7))  # days 7,8,9 retained
+    remaining = {r["pday"] for r in store.read(spark, st).select("pday").distinct().collect()}
+    assert remaining == {7, 8, 9}
+
+
+def test_streaming_downsample_matches_batch(spark, tmpdir):
+    """Drive the streaming rollup over the sf0.001 events with a file source
+    and compare the generic partials against the batch downsampler."""
+    from biggraphite_spark.sources.events import load_events, event_ts_seconds, metric_name_col
+    from biggraphite_spark.streaming.ingest import generic_partials
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_events(spark, sf_dir)
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    pts = stream.select(
+        metric_name_col().alias("name"),
+        F.expr("ts div 1000000000").cast("timestamp").alias("ts"),
+        "value",
+    )
+    partials = generic_partials(pts, STAGE1)
+    q = (
+        partials.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_partials")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["name"], r["ts"]): (r["sum"], r["count"], r["min"], r["max"], r["last"])
+        for r in spark.sql("SELECT * FROM stream_partials").collect()
+    }
+
+    batch = (
+        ev.select(
+            metric_name_col().alias("name"),
+            event_ts_seconds(ev).alias("ts"),
+            "value",
+        )
+        .groupBy("name", ((F.col("ts") / 3600).cast("long") * 3600).alias("ts"))
+        .agg(
+            F.sum("value").alias("sum"),
+            F.count("value").alias("count"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+            F.max_by("value", "ts").alias("last"),
+        )
+    )
+    exp = {
+        (r["name"], r["ts"]): (r["sum"], r["count"], r["min"], r["max"], r["last"])
+        for r in batch.collect()
+    }
+    assert got.keys() == exp.keys()
+    for k, (gs, gc, gmin, gmax, glast) in got.items():
+        es, ec, emin, emax, elast = exp[k]
+        assert gc == ec and gmin == emin and gmax == emax
+        assert gs == pytest.approx(es)
+        assert glast == pytest.approx(elast)
+
+
+def test_multimodal_feature_pipeline(spark):
+    from biggraphite_spark.operators.multimodal import (
+        decode_image,
+        extract_features,
+        synthesize_media,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = synthesize_media(docs)
+    feats = extract_features(media)
+    rows = feats.orderBy("media_id").limit(5).collect()
+    assert len(rows) == 5
+    first = rows[0]
+    assert first["n_bytes"] > 0 and 0.0 < first["entropy_proxy"] < 1.0
+    assert len(first["head_hash"]) == 32
+    # determinism: same input -> same features
+    again = extract_features(media).orderBy("media_id").limit(5).collect()
+    assert [r["crc32"] for r in rows] == [r["crc32"] for r in again]
+    # stubbed decode is gated, not silently fake
+    with pytest.raises(NotImplementedError):
+        decode_image(media)
+
+
+def test_carbon_line_parsing(spark):
+    from biggraphite_spark.sources.carbon import new_metrics, parse_lines
+
+    lines = spark.createDataFrame(
+        [
+            ("a.b.c 42.5 1700000000",),
+            ("  x..y   -1   1700000001  ",),  # sanitized name, negative value
+            ("broken line",),
+            ("n notanumber 1700000002",),
+            ("noname",),
+        ],
+        "value string",
+    )
+    pts = parse_lines(lines).collect()
+    got = {(r["name"], r["ts"], r["value"]) for r in pts}
+    assert got == {("a.b.c", 1700000000, 42.5), ("x.y", 1700000001, -1.0)}
+
+    catalog = spark.createDataFrame([("a.b.c",)], "name string")
+    new = {r["name"] for r in new_metrics(parse_lines(lines), catalog).collect()}
+    assert new == {"x.y"}

@@ -717,6 +717,259 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COPY_ORACLE = f"""
+WITH pts AS ({_PTS}), d AS ({_oracle_partials(7200)})
+SELECT name, ts, ROUND(value, 6) AS value, pcount, aggregator FROM d
+"""
+
+
+@_register("bg_copy_2h", _COPY_ORACLE)
+def bg_copy_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bgutil copy with retention override (SURVEY §3.3, command_copy.py):
+    rebuild a 2h destination stage purely from the 1h source partials —
+    merge-mode re-aggregation, no raw points touched."""
+    _utc(spark)
+    from biggraphite_spark.model import Retention
+    from biggraphite_spark.operators.downsample import copy_to_retention
+
+    src = RETENTION
+    dst = Retention.from_string("2678400*1s:500*7200s")
+    tables = {"1000*3600s": _stage1(spark, sf_dir)}
+    out = copy_to_retention(tables, src, dst)["500*7200s"]
+    return out.select(
+        "name", "ts", F.round("value", 6).alias("value"),
+        F.col("count").alias("pcount"), "aggregator",
+    )
+
+
+_DIR_PATTERNS = ("*", "bg.*")
+
+
+def _find_dirs_oracle() -> str:
+    selects = []
+    for pat in _DIR_PATTERNS:
+        rx = ("^(?:" + compile_glob(pat).regex + ")$").replace("'", "''")
+        n = pat.count(".") + 1
+        selects.append(
+            f"""SELECT '{pat}' AS pattern, directory FROM (
+                  SELECT DISTINCT array_to_string(parts[1:{n}], '.') AS directory
+                  FROM (SELECT string_split(name, '.') AS parts FROM m)
+                  WHERE len(parts) > {n}
+                ) WHERE regexp_matches(directory, '{rx}')"""
+        )
+    return (
+        f"WITH m AS (SELECT DISTINCT {ORACLE_NAME} AS name FROM events) "
+        + " UNION ALL ".join(selects)
+    )
+
+
+@_register("bg_find_dirs", _find_dirs_oracle())
+def bg_find_dirs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory (branch-node) globbing (SURVEY §2.7 U3, graphite find over
+    non-leaf nodes): distinct name prefixes at the pattern's depth."""
+    _utc(spark)
+    from biggraphite_spark.operators.find import find_directories
+
+    catalog = load_catalog(spark, sf_dir).cache()
+    parts = [
+        find_directories(catalog, pat).select(F.lit(pat).alias("pattern"), "directory")
+        for pat in _DIR_PATTERNS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+_TR_CUTOFF = NOW - 7 * 86400
+_TR_RX = ("^(?:" + compile_glob("bg.*.u*").regex + ")$").replace("'", "''")
+_FIND_TIMERANGE_ORACLE = f"""
+WITH m AS (SELECT {ORACLE_NAME} AS name, max({ORACLE_TS}) AS updated_on
+           FROM events GROUP BY 1)
+SELECT name, updated_on FROM m
+WHERE regexp_matches(name, '{_TR_RX}') AND updated_on >= {_TR_CUTOFF}
+"""
+
+
+@_register("bg_find_timerange", _FIND_TIMERANGE_ORACLE)
+def bg_find_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-ranged metadata find (SURVEY §2.2 P9: glob_* accept
+    start_time/end_time): glob match restricted to metrics alive in the
+    window via the catalog's lifecycle timestamps."""
+    _utc(spark)
+    catalog = load_catalog(spark, sf_dir)
+    return (
+        find_metrics(catalog, "bg.*.u*")
+        .filter(F.col("updated_on") >= F.lit(_TR_CUTOFF))
+        .select("name", "updated_on")
+    )
+
+
+_SNAPSHOT_ORACLE = f"""
+WITH snap AS (
+  SELECT {ORACLE_NAME} AS name,
+         ({ORACLE_TS} - {DATA_START}) // 604800 AS week,
+         max({ORACLE_TS}) AS updated_on,
+         CAST(count(*) AS BIGINT) AS points_in_week
+  FROM events GROUP BY 1, 2
+)
+SELECT name, week, updated_on, points_in_week
+FROM snap
+QUALIFY row_number() OVER (PARTITION BY name ORDER BY updated_on DESC, week DESC) = 1
+"""
+
+
+@_register("bg_latest_metadata", _SNAPSHOT_ORACLE)
+def bg_latest_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup across dated metadata snapshots keeping the newest (SURVEY §2.7
+    U2: ES daily indices deduped by updated_on via row_number = 1)."""
+    _utc(spark)
+    from pyspark.sql import Window
+    from biggraphite_spark.sources.events import event_ts_seconds, load_events, metric_name_col
+
+    ev = load_events(spark, sf_dir)
+    sec = event_ts_seconds(ev)
+    snap = (
+        ev.groupBy(
+            metric_name_col().alias("name"),
+            ((sec - F.lit(DATA_START)) / 604800).cast("long").alias("week"),
+        )
+        .agg(
+            F.max(sec).alias("updated_on"),
+            F.count("*").alias("points_in_week"),
+        )
+    )
+    w = Window.partitionBy("name").orderBy(F.desc("updated_on"), F.desc("week"))
+    return (
+        snap.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("name", "week", "updated_on", "points_in_week")
+    )
+
+
+_SESSION_ORACLE = f"""
+WITH e AS (SELECT user_id, {ORACLE_TS} AS sec, event_id FROM events),
+l AS (SELECT user_id, sec,
+             lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev
+      FROM e),
+s AS (SELECT user_id,
+             CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END AS is_new
+      FROM l)
+SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+@_register("events_sessionize", _SESSION_ORACLE)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (beyond-reference stream analytics): lag + gap>30min
+    flags summed per user — the standard Window idiom."""
+    _utc(spark)
+    from pyspark.sql import Window
+    from biggraphite_spark.sources.events import event_ts_seconds, load_events
+
+    ev = load_events(spark, sf_dir)
+    e = ev.select("user_id", event_ts_seconds(ev).alias("sec"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    flagged = e.withColumn("prev", F.lag("sec").over(w)).withColumn(
+        "is_new",
+        F.when(F.col("prev").isNull() | (F.col("sec") - F.col("prev") > 1800), 1).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("is_new").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+_TOPK_ORACLE = f"""
+WITH t AS (
+  SELECT event_type, user_id, ROUND(sum(value), 4) AS total
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, user_id, total,
+       CAST(row_number() OVER w AS BIGINT) AS rn
+FROM t
+WINDOW w AS (PARTITION BY event_type ORDER BY total DESC, user_id)
+QUALIFY row_number() OVER w <= 3
+"""
+
+
+@_register("events_topk_users", _TOPK_ORACLE)
+def events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via window rank (rounded-total ordering + id
+    tie-break for determinism); Catalyst turns it into WindowGroupLimit."""
+    _utc(spark)
+    from pyspark.sql import Window
+    from biggraphite_spark.sources.events import load_events
+
+    t = (
+        load_events(spark, sf_dir)
+        .groupBy("event_type", "user_id")
+        .agg(F.round(F.sum("value"), 4).alias("total"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("total"), F.asc("user_id"))
+    return (
+        t.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_PIVOT_ORACLE = f"""
+SELECT ({ORACLE_TS} // 86400) * 86400 AS day,
+       {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in _EVENT_TYPES)}
+FROM events GROUP BY 1
+"""
+
+
+@_register("events_pivot", _PIVOT_ORACLE)
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot day x event_type counts (explicit value list, so the plan is a
+    single pass with conditional aggregates — no second job to discover
+    pivot values)."""
+    _utc(spark)
+    from biggraphite_spark.sources.events import event_ts_seconds, load_events
+
+    ev = load_events(spark, sf_dir)
+    sec = event_ts_seconds(ev)
+    out = (
+        ev.select(((sec / 86400).cast("long") * 86400).alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+    )
+    # pivot leaves null for absent combos; counts should read 0
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+_Q6_ORACLE = """
+SELECT ROUND(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+@_register("tpch_q6", _Q6_ORACLE)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting-revenue filter+agg: fully pushed-down scan, one partial
+    aggregate, single-row output."""
+    _utc(spark)
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: text analysis / dedup / similarity search
 # ---------------------------------------------------------------------------

@@ -27,12 +27,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.aggregators import partial_count_expr, partial_value_expr
-from ..model import Stage
+from ..model import Retention, Stage
 
 
 def bucket_col(ts: F.Column, precision: int) -> F.Column:
     """Align unix-second timestamps down to a stage bucket (metric.py:469-475)."""
     return (ts - (ts % F.lit(precision))).alias("ts")
+
+
+def normalize_stage0(points0: DataFrame, stage0: Stage, arrival_col: str | None = None) -> DataFrame:
+    """Stage0 slot semantics: one point per (metric, stage0 step), newest
+    timestamp wins, emitted at the slot-aligned timestamp.
+
+    This is the batch equivalent of the reference's stage0 ring buffer
+    (drivers/_downsampling.py:128-189): a point lands in its step's slot and
+    replaces the stored one only when its timestamp is newer (the goldens in
+    tests/drivers/test_drivers_downsampling.py:133-185 pin this: feeding
+    (0,1),(1,2) into a 10s stage keeps 2; out-of-order (101,42),(100,84)
+    keeps 42).  Coarser stages aggregate these deduped slot points, so this
+    must run before :func:`downsample_stage0` whenever the raw feed can
+    carry several points per slot.
+
+    Two points with the *same* timestamp are ordered by ``arrival_col`` when
+    given (the reference's last-arrival-wins); without one the tie is
+    arbitrary — batch recomputes have no arrival order.
+    """
+    order = F.col("ts") if arrival_col is None else F.struct(F.col("ts"), F.col(arrival_col))
+    return (
+        points0.groupBy("name", bucket_col(F.col("ts"), stage0.precision).alias("ts"))
+        .agg(F.max_by("value", order).alias("value"))
+    )
 
 
 def with_aggregator(points: DataFrame, catalog: DataFrame, broadcast_catalog: bool = True) -> DataFrame:
@@ -82,6 +106,35 @@ def rollup_partials(stage_df: DataFrame, target: Stage) -> DataFrame:
             agg.alias("aggregator"),
         )
     )
+
+
+def copy_to_retention(
+    stage_tables: dict[str, DataFrame],
+    src_retention: "Retention",
+    dst_retention: "Retention",
+) -> dict[str, DataFrame]:
+    """``bgutil copy`` with a retention override (cli/command_copy.py:31-110):
+    rebuild every destination stage by re-aggregating the finest compatible
+    source stage's partials (merge mode — no raw points needed).
+
+    A destination stage is servable when some source aggregated stage's
+    precision divides it; incompatible stages are skipped (the reference
+    copies stage-by-stage under the same constraint).
+    """
+    out: dict[str, DataFrame] = {}
+    src_stages = [s for s in src_retention.stages if not s.stage0]
+    for dst in dst_retention.stages:
+        if dst.stage0:
+            continue
+        compatible = [
+            s for s in src_stages
+            if dst.precision % s.precision == 0 and s.as_string() in stage_tables
+        ]
+        if not compatible:
+            continue
+        src = min(compatible, key=lambda s: s.precision)
+        out[dst.as_string()] = rollup_partials(stage_tables[src.as_string()], dst)
+    return out
 
 
 def downsample_all(points0: DataFrame, catalog: DataFrame, stages: list[Stage]) -> dict[str, DataFrame]:

@@ -1269,6 +1269,256 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synthesize_media(docs))
 
 
+_ND_HYPERPLANES = _rh(4, 64, seed=11)
+_ND_THRESHOLD = 0.35
+
+
+def _neardup_oracle() -> str:
+    hp_lits = ", ".join(
+        "CAST([" + ", ".join(str(v) for v in plane) + "] AS DOUBLE[]) AS hp" + str(h)
+        for h, plane in enumerate(_ND_HYPERPLANES)
+    )
+    bucket_terms = " + ".join(
+        f"(CASE WHEN {_DOT64.format(a='v', b=f'hp{h}')} >= 0 THEN {1 << h} ELSE 0 END)"
+        for h in range(len(_ND_HYPERPLANES))
+    )
+    return f"""
+WITH hp AS (SELECT {hp_lits}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+             CAST({bucket_terms} AS BIGINT) AS bucket
+      FROM e, hp),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND({_DOT64.format(a='a.v', b='b.v')} / (a.nrm * b.nrm), 5) AS sim
+  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, sim FROM pairs WHERE sim >= {_ND_THRESHOLD}
+"""
+
+
+@_register("emb_neardup", _neardup_oracle())
+def emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked (the training-data
+    dedup shape): candidates share a 4-hyperplane sign bucket, exact rounded
+    cosine verifies the threshold.  At scale the corpus is pre-partitioned by
+    bucket so the self-join is partition-local."""
+    _utc(spark)
+    from biggraphite_spark.operators.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups(emb, _ND_HYPERPLANES, threshold=_ND_THRESHOLD)
+
+
+def _ann_ivf_oracle(nprobe: int = 2, k: int = 5) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (
+  SELECT label, list(mean_val ORDER BY i) AS cv FROM (
+    SELECT label, i, ROUND(avg(v[i]), 6) AS mean_val
+    FROM e, unnest(generate_series(1, 64)) t(i)
+    GROUP BY label, i)
+  GROUP BY label
+),
+cn AS (SELECT label, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm FROM cent),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+scored AS (
+  SELECT n.vec_id, n.v, n.nrm, cn.label,
+         ROUND({_DOT64.format(a='n.v', b='cn.cv')} / (n.nrm * cn.cnrm), 5) AS csim
+  FROM n, cn
+),
+assigned AS (
+  SELECT vec_id, v, nrm, label AS cell FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, label) = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, label AS cell
+  FROM scored WHERE vec_id < 5
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, label) <= {nprobe}
+),
+sims AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND({_DOT64.format(a='p.qv', b='a.v')} / (p.qnrm * a.nrm), 5) AS sim
+  FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, sim,
+       CAST(row_number() OVER w AS BIGINT) AS rank
+FROM sims
+WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+QUALIFY row_number() OVER w <= {k}
+"""
+
+
+@_register("emb_ann_ivf", _ann_ivf_oracle())
+def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: per-label mean centroids as the coarse codebook, corpus
+    assigned to nearest cell, queries probe their 2 closest cells and
+    brute-force only inside them (partition pruning at scale)."""
+    _utc(spark)
+    from biggraphite_spark.operators.similarity import ann_ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_ivf_topk(emb, emb.filter(F.col("vec_id") < 5), nprobe=2, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Graphite render-function layer (functions/series.py)
+# ---------------------------------------------------------------------------
+
+_GR_START = NOW - 10 * 86400
+
+
+def _series_cte(pattern: str, start: int = _GR_START, end: int = NOW) -> str:
+    """Hourly final series for a glob, values rounded so both engines feed
+    identical inputs into the window math."""
+    rx = ("^(?:" + compile_glob(pattern).regex + ")$").replace("'", "''")
+    where = f"sec >= {start} AND sec < {end} AND regexp_matches(name, '{rx}')"
+    return (
+        f"pts AS ({_PTS}), f AS ({_oracle_final(3600, where=where)}), "
+        "s AS (SELECT name, ts, ROUND(value, 6) AS value FROM f)"
+    )
+
+
+def _hourly_finals(spark: SparkSession, sf_dir: str, pattern: str) -> DataFrame:
+    catalog = load_catalog(spark, sf_dir)
+    metrics = find_metrics(catalog, pattern)
+    fetched = fetch_points(
+        _stage1(spark, sf_dir), metrics, _GR_START, NOW, target=STAGE1
+    )
+    return fetched.withColumn("value", F.round("value", 6))
+
+
+_GR_COMBINE_ORACLE = f"""
+WITH {_series_cte("bg.purchase.*")}
+SELECT 'sum' AS func, ts, ROUND(sum(value), 6) AS value FROM s GROUP BY ts
+UNION ALL SELECT 'average', ts, ROUND(avg(value), 6) FROM s GROUP BY ts
+UNION ALL SELECT 'max', ts, ROUND(max(value), 6) FROM s GROUP BY ts
+UNION ALL SELECT 'p50', ts, ROUND(quantile_cont(value, 0.5), 6) FROM s GROUP BY ts
+"""
+
+
+@_register("gr_series_combine", _GR_COMBINE_ORACLE)
+def gr_series_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sumSeries / averageSeries / maxSeries / percentileOfSeries across all
+    series of a glob, bucket by bucket (graphite-web combinators re-expressed
+    as per-ts aggregation; the shuffle key cardinality is the window length)."""
+    _utc(spark)
+    from biggraphite_spark.functions.series import combine, percentile_of_series
+
+    s = _hourly_finals(spark, sf_dir, "bg.purchase.*").cache()
+    parts = [
+        combine(s, how).select(F.lit(func).alias("func"), "ts", F.round("value", 6).alias("value"))
+        for func, how in (("sum", "sum"), ("average", "average"), ("max", "max"))
+    ]
+    p50 = percentile_of_series(s, 0.5).select(
+        F.lit("p50").alias("func"), "ts", F.round("value", 6).alias("value")
+    )
+    out = parts[0]
+    for p in parts[1:] + [p50]:
+        out = out.unionAll(p)
+    return out
+
+
+_GR_MOVING_ORACLE = f"""
+WITH {_series_cte("bg.error.u1*")}
+SELECT name, ts,
+       ROUND(avg(value) OVER w4, 6) AS mavg4,
+       ROUND(value - lag(value) OVER w1, 6) AS deriv,
+       ROUND(sum(value) OVER wcum, 6) AS integ
+FROM s
+WINDOW w4 AS (PARTITION BY name ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+       w1 AS (PARTITION BY name ORDER BY ts),
+       wcum AS (PARTITION BY name ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@_register("gr_moving_deriv", _GR_MOVING_ORACLE)
+def gr_moving_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """movingAverage(4) + derivative + integral per series — trailing-frame
+    window functions partitioned by name (shuffle-free under name-bucketed
+    storage)."""
+    _utc(spark)
+    from biggraphite_spark.functions.series import derivative, integral, moving
+
+    s = _hourly_finals(spark, sf_dir, "bg.error.u1*").cache()
+    mavg = moving(s, 4).withColumnRenamed("value", "mavg4")
+    der = derivative(s).withColumnRenamed("value", "deriv")
+    integ = integral(s).withColumnRenamed("value", "integ")
+    return (
+        mavg.join(der, ["name", "ts"]).join(integ, ["name", "ts"])
+        .select(
+            "name", "ts",
+            F.round("mavg4", 6).alias("mavg4"),
+            F.round("deriv", 6).alias("deriv"),
+            F.round("integ", 6).alias("integ"),
+        )
+    )
+
+
+_GR_TOPK_ORACLE = f"""
+WITH {_series_cte("bg.*.*")},
+stats AS (SELECT name, ROUND(avg(value), 6) AS stat FROM s GROUP BY name),
+top AS (
+  SELECT name, stat,
+         CAST(row_number() OVER (ORDER BY stat DESC, name) AS BIGINT) AS rank
+  FROM stats
+  QUALIFY row_number() OVER (ORDER BY stat DESC, name) <= 5
+)
+SELECT s.name, s.ts, s.value, top.stat, top.rank,
+       concat_ws('.', string_split(s.name, '.')[2], string_split(s.name, '.')[3]) AS alias
+FROM s JOIN top ON s.name = top.name
+"""
+
+
+@_register("gr_topk_series", _GR_TOPK_ORACLE)
+def gr_topk_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """highestAverage(5) + aliasByNode(1,2): top-k series selection by a
+    rounded per-series statistic (broadcast the tiny winner set back onto the
+    series), graphite's dashboard staple."""
+    _utc(spark)
+    from biggraphite_spark.functions.series import alias_by_node, highest
+
+    s = _hourly_finals(spark, sf_dir, "bg.*.*")
+    return alias_by_node(highest(s, 5, "average"), 1, 2)
+
+
+_GR_SUMMARIZE_ORACLE = f"""
+WITH pts AS ({_PTS}),
+m AS (SELECT DISTINCT name FROM pts WHERE regexp_matches(name, '{_GAP_RX}')),
+d AS ({_oracle_final(86400, where=f"sec >= {_GAP_START} AND sec < {NOW}")}),
+grid AS (SELECT m.name, g.ts FROM m
+         CROSS JOIN (SELECT CAST(ts AS BIGINT) AS ts
+                     FROM generate_series({_GAP_START}, {NOW - 86400}, 86400) t(ts)) g),
+joined AS (SELECT grid.name, grid.ts, ROUND(d.value, 6) AS value
+           FROM grid LEFT JOIN d ON d.name = grid.name AND d.ts = grid.ts),
+filled AS (SELECT name, ts,
+                  last_value(value IGNORE NULLS) OVER (
+                    PARTITION BY name ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+           FROM joined)
+SELECT name, (ts // 172800) * 172800 AS ts, ROUND(max(value), 6) AS value
+FROM filled GROUP BY name, (ts // 172800) * 172800
+"""
+
+
+@_register("gr_summarize_ffill", _GR_SUMMARIZE_ORACLE)
+def gr_summarize_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense grid -> keepLastValue (forward fill) -> summarize(2d, max):
+    the composed render pipeline over gap-filled series."""
+    _utc(spark)
+    from biggraphite_spark.functions.series import keep_last_value, summarize
+
+    catalog = load_catalog(spark, sf_dir)
+    metrics = find_metrics(catalog, "bg.error.u*")
+    fetched = fetch_points(_stage1(spark, sf_dir), metrics, _GAP_START, NOW, target=STAGE2)
+    dense = dense_series(fetched, metrics, _GAP_START, NOW, 86400).withColumn(
+        "value", F.round("value", 6)
+    )
+    filled = keep_last_value(dense)
+    out = summarize(filled, 2 * 86400, "max")
+    return out.select("name", "ts", F.round("value", 6).alias("value"))
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

@@ -1,0 +1,185 @@
+"""Graphite-render-style series functions as DataFrame transformations.
+
+The reference's own query surface stops at glob find + fetch + regroup
+(SURVEY.md §0): the render-function library (``sumSeries``, ``movingAverage``,
+``summarize``, …) lives in graphite-web, one layer above
+biggraphite/plugins/graphite.py:433-496, which only feeds it aligned series.
+A user switching from the reference still runs those functions on every
+dashboard, so this module re-expresses the common ones Spark-first: every
+function is a Column/Window expression over the canonical fetched shape
+``(name, ts, value)`` — no UDFs, no driver-side loops, whole-stage codegen
+end to end.
+
+Scale notes: per-series functions (`moving`, `derivative`, `integral`,
+`keep_last_value`) partition their window by ``name`` — with name-bucketed
+storage they need no exchange at all; across-series combinators (`combine`,
+`percentile_of_series`) shuffle on ``ts``, whose cardinality is the window
+length (small), so the exchange is cheap at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_COMBINE = {
+    "sum": F.sum,
+    "average": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+}
+
+
+def _check_how(how: str) -> None:
+    if how not in _COMBINE:
+        raise ValueError(f"unknown series function {how!r}; one of {sorted(_COMBINE)}")
+
+
+def summarize(series: DataFrame, precision: int, how: str = "sum") -> DataFrame:
+    """graphite ``summarize(series, interval, func)``: re-bucket each series
+    to ``precision`` seconds with the given combinator."""
+    _check_how(how)
+    bucket = (F.col("ts") - (F.col("ts") % F.lit(precision))).alias("ts")
+    return (
+        series.groupBy("name", bucket)
+        .agg(_COMBINE[how]("value").alias("value"))
+    )
+
+
+def combine(series: DataFrame, how: str = "sum", name: str | None = None) -> DataFrame:
+    """``sumSeries``/``averageSeries``/``minSeries``/``maxSeries``: collapse
+    all input series into one, bucket by bucket."""
+    _check_how(how)
+    out = series.groupBy("ts").agg(_COMBINE[how]("value").alias("value"))
+    if name is not None:
+        out = out.select(F.lit(name).alias("name"), "ts", "value")
+    return out
+
+
+def percentile_of_series(series: DataFrame, pct: float) -> DataFrame:
+    """``percentileOfSeries``: per-bucket exact interpolated percentile across
+    all series (matches graphite's sorted-interpolation definition)."""
+    return series.groupBy("ts").agg(
+        F.percentile("value", F.lit(pct)).alias("value")
+    )
+
+
+def moving(series: DataFrame, points: int, how: str = "average") -> DataFrame:
+    """``movingAverage``/``movingSum``/``movingMin``/``movingMax`` over the
+    trailing ``points`` buckets of each series (current bucket inclusive)."""
+    _check_how(how)
+    w = (
+        Window.partitionBy("name")
+        .orderBy("ts")
+        .rowsBetween(-(points - 1), Window.currentRow)
+    )
+    return series.select(
+        "name", "ts", _COMBINE[how]("value").over(w).alias("value")
+    )
+
+
+def derivative(series: DataFrame) -> DataFrame:
+    """``derivative``: bucket-over-bucket delta; first bucket is null."""
+    w = Window.partitionBy("name").orderBy("ts")
+    return series.select(
+        "name", "ts", (F.col("value") - F.lag("value").over(w)).alias("value")
+    )
+
+
+def non_negative_derivative(series: DataFrame) -> DataFrame:
+    """``nonNegativeDerivative``: like derivative but negative deltas (counter
+    resets) become null."""
+    w = Window.partitionBy("name").orderBy("ts")
+    delta = F.col("value") - F.lag("value").over(w)
+    return series.select(
+        "name", "ts", F.when(delta >= 0, delta).alias("value")
+    )
+
+
+def per_second(series: DataFrame, step: int) -> DataFrame:
+    """``perSecond``: non-negative derivative scaled by the bucket width."""
+    w = Window.partitionBy("name").orderBy("ts")
+    delta = F.col("value") - F.lag("value").over(w)
+    return series.select(
+        "name", "ts", F.when(delta >= 0, delta / F.lit(step)).alias("value")
+    )
+
+
+def integral(series: DataFrame) -> DataFrame:
+    """``integral``: running sum of each series from its first bucket."""
+    w = (
+        Window.partitionBy("name")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return series.select("name", "ts", F.sum("value").over(w).alias("value"))
+
+
+def time_shift(series: DataFrame, seconds: int) -> DataFrame:
+    """``timeShift``: move every bucket forward by ``seconds`` (negative
+    shifts backwards), e.g. to overlay last week on this week."""
+    return series.select(
+        "name", (F.col("ts") + F.lit(seconds)).alias("ts"), "value"
+    )
+
+
+def scale(series: DataFrame, factor: float) -> DataFrame:
+    return series.withColumn("value", F.col("value") * F.lit(factor))
+
+
+def offset(series: DataFrame, amount: float) -> DataFrame:
+    return series.withColumn("value", F.col("value") + F.lit(amount))
+
+
+def absolute(series: DataFrame) -> DataFrame:
+    return series.withColumn("value", F.abs("value"))
+
+
+def keep_last_value(series: DataFrame, limit: int | None = None) -> DataFrame:
+    """``keepLastValue``: forward-fill null buckets from the most recent
+    non-null one; with ``limit``, only across at most that many consecutive
+    holes.  Input is expected dense (see operators.gapfill.dense_series)."""
+    w = (
+        Window.partitionBy("name")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = F.last("value", ignorenulls=True).over(w)
+    if limit is None:
+        return series.select("name", "ts", filled.alias("value"))
+    # distance to the last non-null bucket = ts-rank minus rank of the fill source
+    rn = F.row_number().over(Window.partitionBy("name").orderBy("ts"))
+    src_rn = F.last(
+        F.when(F.col("value").isNotNull(), rn), ignorenulls=True
+    ).over(w)
+    gap = rn - src_rn
+    return series.select(
+        "name", "ts", F.when(gap <= limit, filled).alias("value")
+    )
+
+
+def highest(series: DataFrame, n: int, how: str = "average") -> DataFrame:
+    """``highestAverage``/``highestMax``: keep the n series ranking highest by
+    the given per-series statistic (rounded before ranking, name tie-break,
+    so the cut is reproducible across engines)."""
+    _check_how(how)
+    stat = series.groupBy("name").agg(
+        F.round(_COMBINE[how]("value"), 6).alias("stat")
+    )
+    w = Window.orderBy(F.desc("stat"), F.asc("name"))
+    top = (
+        stat.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= n)
+    )
+    return series.join(F.broadcast(top), "name").select(
+        "name", "ts", "value", "stat", "rank"
+    )
+
+
+def alias_by_node(series: DataFrame, *nodes: int) -> DataFrame:
+    """``aliasByNode``: rename each series to the dot-join of the selected
+    path components (0-based, as graphite counts them)."""
+    parts = F.split(F.col("name"), r"\.")
+    picked = [F.element_at(parts, i + 1) for i in nodes]
+    return series.withColumn("alias", F.concat_ws(".", *picked))

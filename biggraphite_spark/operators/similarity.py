@@ -133,6 +133,130 @@ def ann_lsh_topk(
     )
 
 
+def embedding_near_dups(
+    embeddings: DataFrame,
+    hyperplanes: list[list[float]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked.
+
+    The training-data dedup shape: candidate pairs must share a sign-pattern
+    bucket (self equi-join on ``bucket`` — at scale the corpus is written
+    ``partitionBy(bucket)`` so the join is partition-local), then the exact
+    rounded cosine verifies ``>= threshold``.  Emits each pair once
+    (``id_a < id_b``).  Recall is tuned by the hyperplane count exactly like
+    :func:`ann_lsh_topk`; a multi-table OR-amplified variant is the same plan
+    unioned over several hyperplane sets.
+    """
+    sig = embeddings.select(
+        F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", lsh_bucket_expr(F.col("v"), hyperplanes))
+    a = sig.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = sig.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 5).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def centroid_vectors(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Coarse-quantizer codebook: one centroid per ``label`` as the
+    per-dimension mean vector, rounded so both engines (and successive runs)
+    assign cells from bit-identical centroids.  Output: (label, cv)."""
+    exploded = embeddings.select(
+        "label", F.posexplode(as_double_array(F.col(vec_col))).alias("pos", "val")
+    )
+    means = exploded.groupBy("label", "pos").agg(
+        F.round(F.avg("val"), 6).alias("mean_val")
+    )
+    return means.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
+            lambda s: s.getField("mean_val"),
+        ).alias("cv")
+    )
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: assign every corpus vector to its nearest
+    centroid cell, probe each query's ``nprobe`` closest cells, brute-force
+    only inside them.
+
+    The codebook (one row per label) is broadcast everywhere, so the corpus
+    never shuffles: assignment is a broadcast nested-loop + local argmax, and
+    the candidate join is cell-equi.  At 100 TB the corpus is written
+    ``partitionBy(cell)`` once and each query batch reads ``nprobe``
+    partitions — the IVF promise, expressed as partition pruning.
+    """
+    cents = centroid_vectors(embeddings, id_col, vec_col)
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cv")
+    )
+    # nearest-cell assignment (rounded cosine, label tie-break => deterministic)
+    scored = corpus.crossJoin(F.broadcast(cents.withColumnRenamed("cv", "centv"))).select(
+        "neighbor_id",
+        "cv",
+        "label",
+        F.round(cosine_expr(F.col("cv"), F.col("centv")), 5).alias("csim"),
+    )
+    w_assign = Window.partitionBy("neighbor_id").orderBy(F.desc("csim"), F.asc("label"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "cv", F.col("label").alias("cell"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qv")
+    )
+    probes = q.crossJoin(F.broadcast(cents.withColumnRenamed("cv", "centv"))).select(
+        "query_id",
+        "qv",
+        "label",
+        F.round(cosine_expr(F.col("qv"), F.col("centv")), 5).alias("csim"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("label"))
+    probed = (
+        probes.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", F.col("label").alias("cell"))
+    )
+    sims = (
+        assigned.join(F.broadcast(probed), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 5).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def label_centroids(
     embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -1,0 +1,90 @@
+"""Graphite render-function layer (functions/series.py) unit tests.
+
+The oracle-checked queries (gr_* in __spark_entry__.py) pin combine /
+percentileOfSeries / moving / derivative / integral / keepLastValue /
+summarize / highest / aliasByNode against DuckDB; these tests pin the rest
+(scale, offset, absolute, perSecond, timeShift, nonNegativeDerivative,
+keepLastValue's limit) on hand-computed fixtures, graphite-web's documented
+semantics being the contract.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from biggraphite_spark.functions import series as S
+
+
+@pytest.fixture(scope="module")
+def two_series(spark):
+    rows = [
+        ("a", 0, 1.0), ("a", 60, 3.0), ("a", 120, 2.0), ("a", 180, 10.0),
+        ("b", 0, 100.0), ("b", 60, None), ("b", 120, 90.0),
+    ]
+    return spark.createDataFrame(rows, "name string, ts long, value double")
+
+
+def _as_dict(df):
+    return {(r["name"], r["ts"]): r["value"] for r in df.collect()}
+
+
+def test_scale_offset_absolute(two_series):
+    assert _as_dict(S.scale(two_series, 2.0))[("a", 60)] == 6.0
+    assert _as_dict(S.offset(two_series, -5.0))[("a", 0)] == -4.0
+    neg = S.offset(two_series, -5.0)
+    assert _as_dict(S.absolute(neg))[("a", 0)] == 4.0
+    # nulls propagate, never become numbers
+    assert _as_dict(S.scale(two_series, 2.0))[("b", 60)] is None
+
+
+def test_time_shift(two_series):
+    shifted = _as_dict(S.time_shift(two_series, 3600))
+    assert shifted[("a", 3600)] == 1.0
+    assert ("a", 0) not in shifted
+
+
+def test_derivative_and_per_second(two_series):
+    d = _as_dict(S.derivative(two_series))
+    assert d[("a", 0)] is None  # no predecessor
+    assert d[("a", 60)] == 2.0
+    assert d[("a", 120)] == -1.0
+    nn = _as_dict(S.non_negative_derivative(two_series))
+    assert nn[("a", 120)] is None  # counter reset -> null, not negative
+    ps = _as_dict(S.per_second(two_series, 60))
+    assert ps[("a", 180)] == pytest.approx(8.0 / 60)
+    # null bucket: lag over it gives null delta both sides
+    assert d[("b", 60)] is None
+
+
+def test_moving_skips_nulls(two_series):
+    m = _as_dict(S.moving(two_series, 2, "average"))
+    assert m[("a", 60)] == 2.0
+    # the frame is the trailing 2 *buckets* (60=null, 120=90); the null is
+    # skipped inside the avg, matching graphite's None-skipping windows
+    assert m[("b", 120)] == pytest.approx(90.0)
+
+
+def test_keep_last_value_limit(spark):
+    rows = [
+        ("m", 0, 5.0), ("m", 60, None), ("m", 120, None),
+        ("m", 180, None), ("m", 240, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "name string, ts long, value double")
+    unlimited = _as_dict(S.keep_last_value(df))
+    assert unlimited[("m", 180)] == 5.0
+    limited = _as_dict(S.keep_last_value(df, limit=2))
+    assert limited[("m", 60)] == 5.0
+    assert limited[("m", 120)] == 5.0
+    assert limited[("m", 180)] is None  # third consecutive hole exceeds limit
+    assert limited[("m", 240)] == 7.0
+
+
+def test_summarize_rejects_unknown_func(two_series):
+    with pytest.raises(ValueError, match="unknown series function"):
+        S.summarize(two_series, 120, "p99")
+
+
+def test_highest_is_deterministic_on_ties(spark):
+    rows = [("x", 0, 1.0), ("y", 0, 1.0), ("z", 0, 2.0)]
+    df = spark.createDataFrame(rows, "name string, ts long, value double")
+    top = {r["name"]: r["rank"] for r in S.highest(df, 2).collect()}
+    assert top == {"z": 1, "x": 2}  # name tie-break, not arbitrary

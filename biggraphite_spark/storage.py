@@ -86,6 +86,43 @@ class PointStore:
     def fetch(self, spark: SparkSession, stage: Stage, start: int, end: int) -> DataFrame:
         return self.read(spark, stage).filter(self.time_filter(start, end))
 
+    # -- name-bucketed variant ---------------------------------------------
+    def bucketed_table(self, stage: Stage) -> str:
+        return f"bg_{stage.table_name}"
+
+    def write_bucketed(
+        self, df: DataFrame, stage: Stage, n_buckets: int = 32
+    ) -> str:
+        """Persist a stage hash-bucketed by ``name`` (and sorted by
+        (name, ts) inside each bucket file).
+
+        This is the co-location layout for per-metric work: every windowed
+        rollup, regroup, window function, or self-join keyed by ``name``
+        (optionally plus a time bucket) reads the bucketed scan's existing
+        HashPartitioning(name) and needs NO exchange — the reference gets the
+        same locality from its `(metric, time_start_ms)` Cassandra partition
+        keys (drivers/cassandra.py:740-782).  At 100 TB this turns the
+        downsampling cascade into map-side-only stages; pick ``n_buckets``
+        ~ cluster cores so one bucket ~= one task.
+        """
+        name = self.bucketed_table(stage)
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.withColumn("pday", pday_col(F.col("ts")).cast("int"))
+            .write.format("parquet")
+            .partitionBy("pday")  # keep day pruning alongside name buckets
+            .bucketBy(n_buckets, "name")
+            .sortBy("name", "ts")
+            .option("path", self.stage_path(stage) + "_bucketed")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+        return name
+
+    def read_bucketed(self, spark: SparkSession, stage: Stage) -> DataFrame:
+        return spark.table(self.bucketed_table(stage))
+
     # -- retention expiry --------------------------------------------------
     def expire(self, stage: Stage, now: int, margin: int = OUT_OF_ORDER_S) -> list[int]:
         """Drop day partitions entirely older than the stage horizon.

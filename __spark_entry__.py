@@ -30,6 +30,7 @@ from biggraphite_spark.operators.fetch import fetch_points
 from biggraphite_spark.operators.find import find_metrics
 from biggraphite_spark.operators.gapfill import dense_series
 from biggraphite_spark.globs import compile_glob
+from biggraphite_spark.sources.testdata import load_parallel as _load_parallel
 from biggraphite_spark.sources.events import (
     NOW,
     ORACLE_AGG,
@@ -997,7 +998,7 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from biggraphite_spark.operators.text import text_stats
 
-    return text_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return text_stats(_load_parallel(spark, sf_dir, "documents"))
 
 
 _LANG_ID_ORACLE = """
@@ -1023,7 +1024,7 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from biggraphite_spark.operators.text import lang_id
 
-    return lang_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return lang_id(_load_parallel(spark, sf_dir, "documents"))
 
 
 _FINGERPRINT_ORACLE = """
@@ -1039,7 +1040,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from biggraphite_spark.operators.text import fingerprint
 
-    return fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return fingerprint(_load_parallel(spark, sf_dir, "documents"))
 
 
 _DEDUP_EXACT_ORACLE = """
@@ -1055,7 +1056,7 @@ def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from biggraphite_spark.operators.dedup import exact_dedup
 
-    return exact_dedup(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return exact_dedup(_load_parallel(spark, sf_dir, "documents"))
 
 
 _SHINGLES_SQL = """
@@ -1089,7 +1090,7 @@ def doc_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from biggraphite_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold=0.5)
+    return ngram_jaccard_pairs(_load_parallel(spark, sf_dir, "documents"), threshold=0.5)
 
 
 def _minhash_oracle(k: int = 16, bands: int = 4) -> str:
@@ -1129,7 +1130,7 @@ def doc_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from biggraphite_spark.operators.dedup import lsh_near_dups
 
-    return lsh_near_dups(spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold=0.5)
+    return lsh_near_dups(_load_parallel(spark, sf_dir, "documents"), threshold=0.5)
 
 
 def _simhash_oracle(bits: int = 16) -> str:
@@ -1156,7 +1157,7 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from biggraphite_spark.operators.dedup import simhash
 
-    return simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return simhash(_load_parallel(spark, sf_dir, "documents"))
 
 
 _DOT64 = "list_sum(list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i]))"
@@ -1185,7 +1186,7 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from biggraphite_spark.operators.similarity import cosine_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _load_parallel(spark, sf_dir, "embeddings")
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
@@ -1231,7 +1232,7 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from biggraphite_spark.operators.similarity import ann_lsh_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _load_parallel(spark, sf_dir, "embeddings")
     return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 5), _HYPERPLANES, k=5)
 
 
@@ -1253,7 +1254,7 @@ def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from biggraphite_spark.operators.similarity import label_centroids
 
-    return label_centroids(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return label_centroids(_load_parallel(spark, sf_dir, "embeddings"))
 
 
 @_register("mm_features")  # rows-only: binary + mapInPandas path, not SQL-expressible
@@ -1265,7 +1266,7 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from biggraphite_spark.operators.multimodal import extract_features, synthesize_media
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load_parallel(spark, sf_dir, "documents")
     return extract_features(synthesize_media(docs))
 
 
@@ -1306,7 +1307,7 @@ def emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from biggraphite_spark.operators.similarity import embedding_near_dups
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _load_parallel(spark, sf_dir, "embeddings")
     return embedding_near_dups(emb, _ND_HYPERPLANES, threshold=_ND_THRESHOLD)
 
 
@@ -1357,7 +1358,7 @@ def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from biggraphite_spark.operators.similarity import ann_ivf_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _load_parallel(spark, sf_dir, "embeddings")
     return ann_ivf_topk(emb, emb.filter(F.col("vec_id") < 5), nprobe=2, k=5)
 
 

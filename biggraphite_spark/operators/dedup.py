@@ -85,7 +85,7 @@ def minhash_signatures(docs: DataFrame, k: int = DEFAULT_K, n: int = 3) -> DataF
     shingle — the dominant cost of the signature pass.
     """
     exploded = with_shingles(docs, n=n).select(
-        "doc_id", "shingles", F.explode("shingles").alias("sh")
+        "doc_id", F.explode("shingles").alias("sh")
     )
     seeds = {
         s: F.md5(F.concat(F.lit(f"{s}:"), F.col("sh"))) for s in range((k + 3) // 4)
@@ -94,7 +94,9 @@ def minhash_signatures(docs: DataFrame, k: int = DEFAULT_K, n: int = 3) -> DataF
         F.min(F.substring(seeds[j // 4], (j % 4) * 8 + 1, 8)).alias(f"h{j}")
         for j in range(k)
     ]
-    return exploded.groupBy("doc_id").agg(F.first("shingles").alias("shingles"), *aggs)
+    # signatures stay narrow (k 8-char strings): the shingle arrays must NOT
+    # ride through this shuffle — the verify stage re-joins them separately
+    return exploded.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -142,14 +144,16 @@ def lsh_near_dups(
     """MinHash-LSH candidates verified with true Jaccard (array_intersect on
     the candidate pairs only) — the scale path for near-dup detection.
 
-    The signature relation is cached: it feeds both sides of the candidate
-    self-join plus both sides of the verify join, and Spark does not dedupe
-    common subtrees within one action — uncached, the (scan + explode +
-    16-min aggregate) subtree would execute four times.
+    Both relations are cached: the banded signatures feed both sides of the
+    candidate self-join and the shingle relation both sides of the verify
+    join, and Spark does not dedupe common subtrees within one action —
+    uncached, the (scan + explode + 16-min aggregate) subtree would execute
+    four times.  Signatures are narrow (doc_id + k short strings); the heavy
+    shingle arrays never enter the aggregation shuffle.
     """
     sigs = minhash_signatures(docs, k=k, n=n).cache()
     cands = lsh_candidate_pairs(sigs, k=k, bands=bands)
-    sh = sigs.select("doc_id", "shingles")
+    sh = with_shingles(docs, n=n).select("doc_id", "shingles").cache()
     pairs = (
         cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sa"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sb"), "doc_b")

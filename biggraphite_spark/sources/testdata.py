@@ -30,6 +30,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a table repartitioned to the session's core count.
+
+    The synthetic tables are single parquet files, so a bare scan yields ONE
+    input partition and every downstream per-row stage (shingle explosion,
+    hashing, mapInPandas) runs on one core.  A round-robin repartition costs
+    one tiny shuffle of the raw rows and buys full parallelism — on a real
+    lake with many files/splits this is a no-op to remove, which is why it
+    lives here (local-layout concern) and not inside the operators.
+    """
+    df = load_table(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

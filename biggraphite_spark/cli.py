@@ -46,6 +46,18 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("clean", help="expired metrics + empty directories")
     sp.add_argument("--max-age-days", type=int, default=7)
     sub.add_parser("repair", help="orphan/missing-parent report")
+    sp = sub.add_parser("write", help="create metrics / override metadata for a glob")
+    sp.add_argument("pattern")
+    sp.add_argument("--aggregator", default=None)
+    sp.add_argument("--retention", default=None)
+    sp.add_argument("--xfilesfactor", type=float, default=None)
+    sp = sub.add_parser("delete", help="delete metrics matching a glob")
+    sp.add_argument("pattern")
+    sp.add_argument("--recursive", action="store_true")
+    sp = sub.add_parser("copy", help="re-aggregate a stage into a new retention")
+    sp.add_argument("--retention", required=True)
+    sp = sub.add_parser("syncdb", help="materialize per-stage store skeleton")
+    sp.add_argument("--path", required=True)
 
     args = p.parse_args(argv)
 
@@ -108,6 +120,40 @@ def _dispatch(args, eng) -> int:
         # construction; report orphans against an empty metadata simulation
         print("# directories:", dirs.count())
         print("# orphan check: 0 (names-derived catalog is self-consistent)")
+    elif args.cmd == "write":
+        from .catalog import update_metrics_metadata
+        from .sources.events import NOW
+
+        updated = update_metrics_metadata(
+            eng.catalog, args.pattern, NOW,
+            aggregator=args.aggregator, retention=args.retention,
+            xfilesfactor=args.xfilesfactor,
+        )
+        hit = updated.filter(F.col("updated_on") == NOW)
+        print(f"# updated {hit.count()} metrics")
+        hit.select("name", "aggregator", "retention", "xfilesfactor").orderBy(
+            "name"
+        ).show(20, truncate=False)
+    elif args.cmd == "delete":
+        from .catalog import delete_metrics
+
+        remaining = delete_metrics(eng.catalog, args.pattern, recursive=args.recursive)
+        print(f"# deleted {eng.catalog.count() - remaining.count()} metrics")
+    elif args.cmd == "copy":
+        from .model import Retention
+        from .operators.downsample import copy_to_retention
+
+        dst = Retention.from_string(args.retention)
+        stage1 = eng.retention.stages[1]
+        tables = {stage1.as_string(): eng.stage_df(stage1)}
+        out = copy_to_retention(tables, eng.retention, dst)
+        for st, df in out.items():
+            print(f"# stage {st}: {df.count()} rows")
+    elif args.cmd == "syncdb":
+        from .storage import PointStore
+
+        PointStore(args.path).sync(eng.retention)
+        print(f"# synced {len(eng.retention.stages)} stage dirs under {args.path}")
     return 0
 
 

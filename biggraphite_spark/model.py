@@ -284,6 +284,38 @@ class Retention:
 DEFAULT_RETENTION = Retention.from_string(DEFAULT_RETENTION_STR)
 
 
+class MetricMetadata:
+    """Per-metric configuration: aggregator + retention + xFilesFactor.
+
+    Reference: metric.py:631-704; defaults metric.py:639-644 (average,
+    86400*1s:10080*60s, 0.5).  Plain value object — the engine stores these
+    as catalog columns, this class is the typed driver-side form.
+    """
+
+    def __init__(self, aggregator: "Aggregator | None" = None,
+                 retention: "Retention | None" = None,
+                 carbon_xfilesfactor: float = 0.5):
+        self.aggregator = aggregator if aggregator is not None else Aggregator("average")
+        self.retention = retention if retention is not None else DEFAULT_RETENTION
+        self.carbon_xfilesfactor = carbon_xfilesfactor
+
+    def as_string_dict(self) -> dict:
+        """The reference's 3-key config map (metric.py:672-682)."""
+        return {
+            "aggregator": self.aggregator.name,
+            "retention": self.retention.as_string(),
+            "carbon_xfilesfactor": f"{self.carbon_xfilesfactor:f}",
+        }
+
+    @classmethod
+    def from_string_dict(cls, d: dict) -> "MetricMetadata":
+        return cls(
+            Aggregator(d["aggregator"]) if "aggregator" in d else None,
+            Retention.from_string(d["retention"]) if "retention" in d else None,
+            float(d.get("carbon_xfilesfactor", 0.5)),
+        )
+
+
 # ---------------------------------------------------------------------------
 # Aggregators
 # ---------------------------------------------------------------------------

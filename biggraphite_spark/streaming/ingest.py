@@ -69,6 +69,23 @@ def finalize_partials(partials: DataFrame, aggregator_col: F.Column) -> F.Column
     )
 
 
+def fan_out_sink(*writers):
+    """MultiDatabase-style fan-out (SURVEY §2.7 U4, plugins/carbon.py:372-456:
+    the whisper+biggraphite double-write): one foreachBatch callback that
+    hands each micro-batch to every registered writer.  The batch DataFrame
+    is persisted across writers so the upstream aggregation runs once."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for w in writers:
+                w(batch_df, epoch_id)
+        finally:
+            batch_df.unpersist()
+
+    return sink
+
+
 def stream_events_to_store(points_stream: DataFrame, stage: Stage, store,
                            checkpoint_dir: str, trigger_seconds: int | None = None):
     """Wire the rollup to a PointStore sink via foreachBatch (exactly-once by

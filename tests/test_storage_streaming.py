@@ -116,6 +116,23 @@ def test_streaming_downsample_matches_batch(spark, tmpdir):
         assert glast == pytest.approx(elast)
 
 
+def test_fan_out_sink_writes_all_sinks(spark, tmpdir):
+    from biggraphite_spark.streaming.ingest import fan_out_sink
+
+    a = PointStore(os.path.join(tmpdir, "a"))
+    b = PointStore(os.path.join(tmpdir, "b"))
+    sink = fan_out_sink(
+        lambda df, _e: a.write(df, STAGE1, mode="append"),
+        lambda df, _e: b.write(df, STAGE1, mode="append"),
+    )
+    batch = spark.createDataFrame(
+        [("m1", 100, 1.0), ("m2", 7200, 2.0)], "name string, ts long, value double"
+    )
+    sink(batch, 0)
+    assert a.read(spark, STAGE1).count() == 2
+    assert b.read(spark, STAGE1).count() == 2
+
+
 def test_multimodal_feature_pipeline(spark):
     from biggraphite_spark.operators.multimodal import (
         decode_image,

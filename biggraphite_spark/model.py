@@ -278,6 +278,10 @@ class Retention:
         start = max(start, now - stage.duration)
         start = stage.round_down(start)
         end = stage.round_up(end)
+        if end < start:
+            # window entirely before the horizon collapses to empty
+            # (reference guard, metric.py:621-622)
+            end = start
         return start, end, stage
 
 

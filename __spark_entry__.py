@@ -1407,6 +1407,8 @@ def gr_series_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biggraphite_spark.functions.series import combine, percentile_of_series
 
     s = _hourly_finals(spark, sf_dir, "bg.purchase.*").cache()
+    s.count()  # materialize before the branches fan out, else each branch
+    # races the cold cache and recomputes the downsample subtree
     parts = [
         combine(s, how).select(F.lit(func).alias("func"), "ts", F.round("value", 6).alias("value"))
         for func, how in (("sum", "sum"), ("average", "average"), ("max", "max"))
@@ -1421,39 +1423,47 @@ def gr_series_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GR_MOVING_ORACLE = f"""
-WITH {_series_cte("bg.error.u1*")}
-SELECT name, ts,
-       ROUND(avg(value) OVER w4, 6) AS mavg4,
-       ROUND(value - lag(value) OVER w1, 6) AS deriv,
-       ROUND(sum(value) OVER wcum, 6) AS integ
-FROM s
-WINDOW w4 AS (PARTITION BY name ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
-       w1 AS (PARTITION BY name ORDER BY ts),
-       wcum AS (PARTITION BY name ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+WITH {_series_cte("bg.error.u1*")},
+w AS (
+  SELECT name, ts,
+         ROUND(avg(value) OVER w4, 6) AS mavg4,
+         ROUND(value - lag(value) OVER w1, 6) AS deriv,
+         ROUND(sum(value) OVER wcum, 6) AS integ
+  FROM s
+  WINDOW w4 AS (PARTITION BY name ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+         w1 AS (PARTITION BY name ORDER BY ts),
+         wcum AS (PARTITION BY name ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT name, ts, 'mavg4' AS func, mavg4 AS value FROM w
+UNION ALL SELECT name, ts, 'deriv', deriv FROM w
+UNION ALL SELECT name, ts, 'integ', integ FROM w
 """
 
 
 @_register("gr_moving_deriv", _GR_MOVING_ORACLE)
 def gr_moving_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """movingAverage(4) + derivative + integral per series — trailing-frame
-    window functions partitioned by name (shuffle-free under name-bucketed
-    storage)."""
+    window functions partitioned by name.  Each function yields its own
+    series (graphite's model); the branches share one (name)-hash exchange
+    over the cached input instead of re-joining on (name, ts), and are
+    shuffle-free outright under name-bucketed storage."""
     _utc(spark)
     from biggraphite_spark.functions.series import derivative, integral, moving
 
     s = _hourly_finals(spark, sf_dir, "bg.error.u1*").cache()
-    mavg = moving(s, 4).withColumnRenamed("value", "mavg4")
-    der = derivative(s).withColumnRenamed("value", "deriv")
-    integ = integral(s).withColumnRenamed("value", "integ")
-    return (
-        mavg.join(der, ["name", "ts"]).join(integ, ["name", "ts"])
-        .select(
-            "name", "ts",
-            F.round("mavg4", 6).alias("mavg4"),
-            F.round("deriv", 6).alias("deriv"),
-            F.round("integ", 6).alias("integ"),
+    s.count()  # materialize before the branches fan out (see gr_series_combine)
+    parts = [
+        (moving(s, 4), "mavg4"),
+        (derivative(s), "deriv"),
+        (integral(s), "integ"),
+    ]
+    out = None
+    for df, func in parts:
+        branch = df.select(
+            "name", "ts", F.lit(func).alias("func"), F.round("value", 6).alias("value")
         )
-    )
+        out = branch if out is None else out.unionAll(branch)
+    return out
 
 
 _GR_TOPK_ORACLE = f"""

@@ -191,6 +191,17 @@ def centroid_vectors(
     )
 
 
+def _cell_rank_structs(vec: Column, codebook: list[tuple[int, list[float]]]) -> Column:
+    """Array of (csim, -label) structs, one per centroid — struct max/sort
+    gives the argmax with smallest-label tie-break, all inside codegen."""
+    entries = []
+    for label, cv in codebook:
+        lit = F.array(*[F.lit(v) for v in cv])
+        csim = F.round(cosine_expr(vec, lit), 5)
+        entries.append(F.struct(csim.alias("csim"), F.lit(-label).alias("neg")))
+    return F.array(*entries)
+
+
 def ann_ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -203,44 +214,41 @@ def ann_ivf_topk(
     centroid cell, probe each query's ``nprobe`` closest cells, brute-force
     only inside them.
 
-    The codebook (one row per label) is broadcast everywhere, so the corpus
-    never shuffles: assignment is a broadcast nested-loop + local argmax, and
-    the candidate join is cell-equi.  At 100 TB the corpus is written
-    ``partitionBy(cell)`` once and each query batch reads ``nprobe``
-    partitions — the IVF promise, expressed as partition pruning.
+    The codebook is tiny (cells x dim doubles), so it is **collected once
+    and embedded as plan literals** — cell assignment is then a pure
+    projection (argmax over per-centroid expressions, whole-stage codegen,
+    zero shuffle of the corpus), and the candidate join broadcasts the probe
+    list.  At 100 TB the corpus is written ``partitionBy(cell)`` once and
+    each query batch reads ``nprobe`` partitions — the IVF promise,
+    expressed as partition pruning; the only shuffle left is the per-query
+    top-k over candidate similarities.
     """
-    cents = centroid_vectors(embeddings, id_col, vec_col)
+    codebook = [
+        (r["label"], list(r["cv"]))
+        for r in centroid_vectors(embeddings, id_col, vec_col).collect()
+    ]
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cv")
     )
-    # nearest-cell assignment (rounded cosine, label tie-break => deterministic)
-    scored = corpus.crossJoin(F.broadcast(cents.withColumnRenamed("cv", "centv"))).select(
+    assigned = corpus.select(
         "neighbor_id",
         "cv",
-        "label",
-        F.round(cosine_expr(F.col("cv"), F.col("centv")), 5).alias("csim"),
-    )
-    w_assign = Window.partitionBy("neighbor_id").orderBy(F.desc("csim"), F.asc("label"))
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("neighbor_id", "cv", F.col("label").alias("cell"))
+        (-F.array_max(_cell_rank_structs(F.col("cv"), codebook)).getField("neg")).alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qv")
     )
-    probes = q.crossJoin(F.broadcast(cents.withColumnRenamed("cv", "centv"))).select(
+    probed = q.select(
         "query_id",
         "qv",
-        "label",
-        F.round(cosine_expr(F.col("qv"), F.col("centv")), 5).alias("csim"),
-    )
-    w_probe = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("label"))
-    probed = (
-        probes.withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qv", F.col("label").alias("cell"))
-    )
+        F.explode(
+            F.slice(
+                F.sort_array(_cell_rank_structs(F.col("qv"), codebook), asc=False),
+                1,
+                nprobe,
+            )
+        ).alias("probe"),
+    ).select("query_id", "qv", (-F.col("probe.neg")).alias("cell"))
     sims = (
         assigned.join(F.broadcast(probed), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))

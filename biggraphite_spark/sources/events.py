@@ -58,6 +58,11 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NOTE: deliberately NOT repartitioned (unlike testdata.load_parallel for
+    # documents/embeddings): the events derivations are plain columnar
+    # aggregations whose single-split partial agg is cheaper than an extra
+    # exchange in every downstream plan; the heavy-per-row tables are the
+    # ones that need the fan-out.
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
 

@@ -1530,6 +1530,61 @@ def gr_summarize_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("name", "ts", F.round("value", 6).alias("value"))
 
 
+def _gr_ratio_oracle() -> str:
+    rx_err = ("^(?:" + compile_glob("bg.error.*").regex + ")$").replace("'", "''")
+    rx_all = ("^(?:" + compile_glob("bg.*.*").regex + ")$").replace("'", "''")
+    base = f"sec >= {_GR_START} AND sec < {NOW}"
+    return f"""
+WITH pts AS ({_PTS}),
+f_err AS ({_oracle_final(3600, where=f"{base} AND regexp_matches(name, '{rx_err}')")}),
+f_all AS ({_oracle_final(3600, where=f"{base} AND regexp_matches(name, '{rx_all}')")}),
+s_err AS (SELECT name, ts, ROUND(value, 6) AS value FROM f_err),
+s_all AS (SELECT name, ts, ROUND(value, 6) AS value FROM f_all),
+num AS (SELECT ts, sum(value) AS num FROM s_err GROUP BY ts),
+den AS (SELECT ts, sum(value) AS den FROM s_all GROUP BY ts)
+SELECT 'ratio' AS func, CAST(NULL AS VARCHAR) AS name, COALESCE(num.ts, den.ts) AS ts,
+       ROUND(CASE WHEN den != 0 THEN num / den END, 6) AS value
+FROM num FULL OUTER JOIN den ON num.ts = den.ts
+UNION ALL
+SELECT 'stddev', CAST(NULL AS VARCHAR), ts, ROUND(stddev_pop(value), 6)
+FROM s_all GROUP BY ts
+UNION ALL
+SELECT 'rap', s.name, s.ts,
+       ROUND(CASE WHEN s.value <= c.cut THEN s.value END, 6)
+FROM s_err s JOIN (
+  SELECT name, quantile_cont(value, 0.9) AS cut FROM s_err GROUP BY name
+) c ON s.name = c.name
+"""
+
+
+@_register("gr_ratio_pct", _gr_ratio_oracle())
+def gr_ratio_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """divideSeries (error share of total traffic) + stddevSeries +
+    removeAbovePercentile(90) — the graphite ratio/dispersion staples as
+    joins/windows over combined series."""
+    _utc(spark)
+    from biggraphite_spark.functions.series import (
+        divide_series,
+        remove_above_percentile,
+        stddev_series,
+    )
+
+    s_err = _hourly_finals(spark, sf_dir, "bg.error.*").cache()
+    s_all = _hourly_finals(spark, sf_dir, "bg.*.*").cache()
+    s_err.count(), s_all.count()  # materialize before branch fan-out
+    null_name = F.lit(None).cast("string").alias("name")
+    ratio = divide_series(s_err, s_all).select(
+        F.lit("ratio").alias("func"), null_name, "ts", F.round("value", 6).alias("value")
+    )
+    sd = stddev_series(s_all).select(
+        F.lit("stddev").alias("func"), null_name, "ts", F.round("value", 6).alias("value")
+    )
+    rap = remove_above_percentile(s_err, 0.9).select(
+        F.lit("rap").alias("func"), "name", "ts", F.round("value", 6).alias("value")
+    )
+    return ratio.unionAll(sd).unionAll(rap)
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

@@ -177,6 +177,59 @@ def highest(series: DataFrame, n: int, how: str = "average") -> DataFrame:
     )
 
 
+def divide_series(num: DataFrame, den: DataFrame) -> DataFrame:
+    """``divideSeries``: bucketwise ratio of two series sets joined on ts
+    (each side pre-combined if it holds several series).  Division by
+    zero/null yields null, graphite's None semantics."""
+    n = combine(num, "sum").withColumnRenamed("value", "num")
+    d = combine(den, "sum").withColumnRenamed("value", "den")
+    return n.join(d, "ts", "full_outer").select(
+        "ts",
+        F.when(F.col("den") != 0, F.col("num") / F.col("den")).alias("value"),
+    )
+
+
+def diff_series(minuend: DataFrame, *subtrahends: DataFrame) -> DataFrame:
+    """``diffSeries``: first series set minus the sum of the rest."""
+    m = combine(minuend, "sum").withColumnRenamed("value", "pos")
+    rest = subtrahends[0]
+    for s in subtrahends[1:]:
+        rest = rest.unionByName(s)
+    neg = combine(rest, "sum").withColumnRenamed("value", "neg")
+    return m.join(neg, "ts", "full_outer").select(
+        "ts",
+        (F.coalesce(F.col("pos"), F.lit(0.0)) - F.coalesce(F.col("neg"), F.lit(0.0))).alias("value"),
+    )
+
+
+def as_percent(series: DataFrame) -> DataFrame:
+    """``asPercent`` (total mode): each series as a share of the bucket's
+    total across all series."""
+    w = Window.partitionBy("ts")
+    total = F.sum("value").over(w)
+    return series.select(
+        "name", "ts",
+        F.when(total != 0, F.col("value") / total * 100.0).alias("value"),
+    )
+
+
+def stddev_series(series: DataFrame) -> DataFrame:
+    """``stddevSeries``: per-bucket population standard deviation across
+    series."""
+    return series.groupBy("ts").agg(F.stddev_pop("value").alias("value"))
+
+
+def remove_above_percentile(series: DataFrame, pct: float) -> DataFrame:
+    """``removeAbovePercentile``: null out values above each series' own
+    exact percentile (graphite nulls, never drops, the bucket)."""
+    cut = series.groupBy("name").agg(
+        F.percentile("value", F.lit(pct)).alias("cut")
+    )
+    return series.join(F.broadcast(cut), "name").select(
+        "name", "ts", F.when(F.col("value") <= F.col("cut"), F.col("value")).alias("value")
+    )
+
+
 def alias_by_node(series: DataFrame, *nodes: int) -> DataFrame:
     """``aliasByNode``: rename each series to the dot-join of the selected
     path components (0-based, as graphite counts them)."""

@@ -83,6 +83,38 @@ def test_summarize_rejects_unknown_func(two_series):
         S.summarize(two_series, 120, "p99")
 
 
+def test_as_percent_shares_sum_to_100(spark):
+    rows = [("x", 0, 30.0), ("y", 0, 70.0), ("x", 60, 5.0)]
+    df = spark.createDataFrame(rows, "name string, ts long, value double")
+    got = _as_dict(S.as_percent(df))
+    assert got[("x", 0)] == pytest.approx(30.0)
+    assert got[("y", 0)] == pytest.approx(70.0)
+    assert got[("x", 60)] == pytest.approx(100.0)
+
+
+def test_diff_and_divide_series(spark):
+    a = spark.createDataFrame(
+        [("a", 0, 10.0), ("a", 60, 20.0)], "name string, ts long, value double"
+    )
+    b = spark.createDataFrame(
+        [("b", 0, 4.0), ("b", 60, 0.0)], "name string, ts long, value double"
+    )
+    diff = {r["ts"]: r["value"] for r in S.diff_series(a, b).collect()}
+    assert diff == {0: 6.0, 60: 20.0}
+    div = {r["ts"]: r["value"] for r in S.divide_series(a, b).collect()}
+    assert div[0] == pytest.approx(2.5)
+    assert div[60] is None  # divide by zero -> null, graphite's None
+
+
+def test_remove_above_percentile_nulls_not_drops(spark):
+    rows = [("m", i * 60, float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "name string, ts long, value double")
+    out = _as_dict(S.remove_above_percentile(df, 0.5))
+    assert len(out) == 10  # buckets survive
+    assert out[("m", 0)] == 0.0
+    assert out[("m", 540)] is None  # above the per-series p50 -> nulled
+
+
 def test_highest_is_deterministic_on_ties(spark):
     rows = [("x", 0, 1.0), ("y", 0, 1.0), ("z", 0, 2.0)]
     df = spark.createDataFrame(rows, "name string, ts long, value double")

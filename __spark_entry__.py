@@ -1585,6 +1585,81 @@ def gr_ratio_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ratio.unionAll(sd).unionAll(rap)
 
 
+_GR_SLICE_LO = _GR_START + 2 * 86400
+_GR_SLICE_HI = NOW - 2 * 86400
+
+_GR_FILTER_ORACLE = f"""
+WITH {_series_cte("bg.*.*")},
+stats AS (SELECT name, avg(value) AS stat FROM s GROUP BY name),
+thr AS (SELECT avg(stat) AS t FROM stats),
+kept AS (SELECT stats.name FROM stats, thr
+         WHERE stats.stat > thr.t AND NOT regexp_matches(stats.name, 'u1[0-9]$')),
+npstat AS (SELECT s.name, quantile_cont(s.value, 0.9) AS value
+           FROM s JOIN kept ON s.name = kept.name GROUP BY s.name),
+steps AS (SELECT name, min(d) AS step FROM (
+            SELECT name, ts - lag(ts) OVER (PARTITION BY name ORDER BY ts) AS d
+            FROM s) t
+          WHERE d IS NOT NULL GROUP BY name)
+SELECT 'npct' AS func, s.name AS name, s.ts AS ts, ROUND(n.value, 6) AS value
+FROM s JOIN npstat n ON s.name = n.name
+UNION ALL
+SELECT 'bynode', string_split(s.name, '.')[2], s.ts, ROUND(sum(s.value), 6)
+FROM s GROUP BY 2, 3
+UNION ALL
+SELECT 'hitcount', s.name, s.ts - s.ts % 86400, ROUND(sum(s.value * st.step), 6)
+FROM s LEFT JOIN steps st ON s.name = st.name GROUP BY 2, 3
+UNION ALL
+SELECT 'slice', name, ts,
+       ROUND(CASE WHEN ts >= {_GR_SLICE_LO} AND ts <= {_GR_SLICE_HI}
+                  THEN COALESCE(value, -1.0) ELSE -1.0 END, 6)
+FROM s
+"""
+
+
+@_register("gr_filter_select", _GR_FILTER_ORACLE)
+def gr_filter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """averageAbove + exclude + nPercentile(90) + groupByNode + hitcount +
+    timeSlice/transformNull — the render-side selection/filter staples.  The
+    averageAbove threshold (mean of per-series means) is collected as a
+    plan-time literal, the same codebook-as-literal move as emb_ann_ivf; the
+    series-statistic filters broadcast their tiny kept-set back onto the
+    series, so the big relation never shuffles for selection."""
+    _utc(spark)
+    from biggraphite_spark.functions.series import (
+        average_above,
+        exclude,
+        group_by_node,
+        hitcount,
+        n_percentile,
+        time_slice,
+        transform_null,
+    )
+
+    s = _hourly_finals(spark, sf_dir, "bg.*.*").cache()
+    s.count()  # materialize before branch fan-out (see gr_series_combine)
+    thr = (
+        s.groupBy("name")
+        .agg(F.avg("value").alias("stat"))
+        .agg(F.avg("stat"))
+        .collect()[0][0]
+    )
+    kept = exclude(average_above(s, thr), r"u1[0-9]$")
+    rounded = F.round("value", 6).alias("value")
+    npct = n_percentile(kept, 0.9).select(
+        F.lit("npct").alias("func"), "name", "ts", rounded
+    )
+    bynode = group_by_node(s, 1, "sum").select(
+        F.lit("bynode").alias("func"), "name", "ts", rounded
+    )
+    hc = hitcount(s, 86400).select(
+        F.lit("hitcount").alias("func"), "name", "ts", rounded
+    )
+    sliced = transform_null(time_slice(s, _GR_SLICE_LO, _GR_SLICE_HI), -1.0).select(
+        F.lit("slice").alias("func"), "name", "ts", rounded
+    )
+    return npct.unionAll(bynode).unionAll(hc).unionAll(sliced)
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

@@ -34,6 +34,10 @@ def main() -> None:
         t0 = time.time()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # queries cache intermediates for their own branch fan-out; drop them
+        # so every measurement stays cold and later queries don't inherit
+        # heap pressure from earlier ones
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

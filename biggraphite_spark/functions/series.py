@@ -230,6 +230,140 @@ def remove_above_percentile(series: DataFrame, pct: float) -> DataFrame:
     )
 
 
+def hitcount(series: DataFrame, precision: int) -> DataFrame:
+    """``hitcount``: re-bucket to ``precision`` seconds as rate×time — each
+    source bucket contributes ``value * source_step`` so the output estimates
+    the number of events in the coarser bucket.  ``source_step`` is inferred
+    per series as the minimum ts delta (graphite knows it from the fetch
+    header; the inference keeps the function standalone)."""
+    w = Window.partitionBy("name").orderBy("ts")
+    step = F.min(F.col("ts") - F.lag("ts").over(w)).over(
+        Window.partitionBy("name")
+    )
+    bucket = (F.col("ts") - (F.col("ts") % F.lit(precision))).alias("ts")
+    return (
+        series.select("name", "ts", (F.col("value") * step).alias("scaled"))
+        .groupBy("name", bucket)
+        .agg(F.sum("scaled").alias("value"))
+    )
+
+
+def grep_series(series: DataFrame, pattern: str) -> DataFrame:
+    """``grep``: keep only series whose name matches the regex."""
+    return series.filter(F.col("name").rlike(pattern))
+
+
+def exclude(series: DataFrame, pattern: str) -> DataFrame:
+    """``exclude``: drop series whose name matches the regex."""
+    return series.filter(~F.col("name").rlike(pattern))
+
+
+def _stat_filter(series: DataFrame, how: str, keep: Column) -> DataFrame:
+    stat = series.groupBy("name").agg(_COMBINE[how]("value").alias("stat"))
+    kept = stat.filter(keep).select("name")
+    return series.join(F.broadcast(kept), "name", "left_semi")
+
+
+def average_above(series: DataFrame, n: float) -> DataFrame:
+    """``averageAbove``: keep series whose mean is above ``n``."""
+    return _stat_filter(series, "average", F.col("stat") > n)
+
+
+def average_below(series: DataFrame, n: float) -> DataFrame:
+    """``averageBelow``: keep series whose mean is below ``n``."""
+    return _stat_filter(series, "average", F.col("stat") < n)
+
+
+def maximum_above(series: DataFrame, n: float) -> DataFrame:
+    """``maximumAbove``: keep series whose max is above ``n``."""
+    return _stat_filter(series, "max", F.col("stat") > n)
+
+
+def minimum_below(series: DataFrame, n: float) -> DataFrame:
+    """``minimumBelow``: keep series whose min is below ``n``."""
+    return _stat_filter(series, "min", F.col("stat") < n)
+
+
+def n_percentile(series: DataFrame, pct: float) -> DataFrame:
+    """``nPercentile``: replace each series by the flat line of its own
+    exact percentile (same interpolated definition as graphite)."""
+    w = Window.partitionBy("name")
+    return series.select(
+        "name", "ts", F.percentile("value", F.lit(pct)).over(w).alias("value")
+    )
+
+
+def time_slice(series: DataFrame, start: int, end: int) -> DataFrame:
+    """``timeSlice``: null values outside [start, end] (graphite nulls the
+    bucket rather than dropping it, preserving the dense grid)."""
+    inside = (F.col("ts") >= start) & (F.col("ts") <= end)
+    return series.select(
+        "name", "ts", F.when(inside, F.col("value")).alias("value")
+    )
+
+
+def transform_null(series: DataFrame, default: float = 0.0) -> DataFrame:
+    """``transformNull``: replace null buckets with a constant."""
+    return series.withColumn(
+        "value", F.coalesce(F.col("value"), F.lit(default))
+    )
+
+
+def lowest(series: DataFrame, n: int, how: str = "average") -> DataFrame:
+    """``lowestAverage``/``lowestMax``: mirror of :func:`highest`."""
+    _check_how(how)
+    stat = series.groupBy("name").agg(
+        F.round(_COMBINE[how]("value"), 6).alias("stat")
+    )
+    w = Window.orderBy(F.asc("stat"), F.asc("name"))
+    bottom = (
+        stat.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= n)
+    )
+    return series.join(F.broadcast(bottom), "name").select(
+        "name", "ts", "value", "stat", "rank"
+    )
+
+
+def remove_below_percentile(series: DataFrame, pct: float) -> DataFrame:
+    """``removeBelowPercentile``: null out values below each series' own
+    exact percentile."""
+    cut = series.groupBy("name").agg(
+        F.percentile("value", F.lit(pct)).alias("cut")
+    )
+    return series.join(F.broadcast(cut), "name").select(
+        "name", "ts", F.when(F.col("value") >= F.col("cut"), F.col("value")).alias("value")
+    )
+
+
+def clamp(series: DataFrame, lo: float | None = None, hi: float | None = None) -> DataFrame:
+    """``removeBelowValue``/``removeAboveValue`` pair: null values outside
+    [lo, hi]."""
+    v = F.col("value")
+    keep = F.lit(True)
+    if lo is not None:
+        keep = keep & (v >= lo)
+    if hi is not None:
+        keep = keep & (v <= hi)
+    return series.withColumn("value", F.when(keep, v))
+
+
+def sort_by_name(series: DataFrame) -> DataFrame:
+    """``sortByName``: order the output rows by (name, ts)."""
+    return series.orderBy("name", "ts")
+
+
+def group_by_node(series: DataFrame, node: int, how: str = "sum") -> DataFrame:
+    """``groupByNode``: combine series sharing the selected path component
+    (0-based), the render-side analogue of an aggregated glob."""
+    _check_how(how)
+    key = F.element_at(F.split(F.col("name"), r"\."), node + 1).alias("name")
+    return (
+        series.groupBy(key, "ts")
+        .agg(_COMBINE[how]("value").alias("value"))
+    )
+
+
 def alias_by_node(series: DataFrame, *nodes: int) -> DataFrame:
     """``aliasByNode``: rename each series to the dot-join of the selected
     path components (0-based, as graphite counts them)."""

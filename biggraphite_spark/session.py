@@ -32,7 +32,16 @@ def get_spark(app_name: str = "biggraphite-spark", cpus: int | None = None) -> S
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM hosts all executor threads, so it needs
+        # a real heap — 8g with 32 threads + cached relations GC-thrashes
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # dozens of distinct codegen-heavy plans in one JVM overflow the
+        # default 240m JIT code cache; once full, hot generated code runs
+        # interpreted and individual queries degrade 10-20x intermittently
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # the driver-generated events.parquet carries TIMESTAMP(NANOS), which

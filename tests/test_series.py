@@ -120,3 +120,83 @@ def test_highest_is_deterministic_on_ties(spark):
     df = spark.createDataFrame(rows, "name string, ts long, value double")
     top = {r["name"]: r["rank"] for r in S.highest(df, 2).collect()}
     assert top == {"z": 1, "x": 2}  # name tie-break, not arbitrary
+
+
+def test_lowest_mirrors_highest(spark):
+    rows = [("x", 0, 1.0), ("y", 0, 1.0), ("z", 0, 2.0)]
+    df = spark.createDataFrame(rows, "name string, ts long, value double")
+    bottom = {r["name"]: r["rank"] for r in S.lowest(df, 2).collect()}
+    assert bottom == {"x": 1, "y": 2}
+
+
+def test_stat_filters_keep_whole_series(two_series):
+    # series a: mean 4.0; series b: mean 95.0 (null-skipping)
+    kept = {r["name"] for r in S.average_above(two_series, 10.0).collect()}
+    assert kept == {"b"}
+    kept = {r["name"] for r in S.average_below(two_series, 10.0).collect()}
+    assert kept == {"a"}
+    kept = {r["name"] for r in S.maximum_above(two_series, 50.0).collect()}
+    assert kept == {"b"}
+    kept = {r["name"] for r in S.minimum_below(two_series, 50.0).collect()}
+    assert kept == {"a"}
+
+
+def test_grep_and_exclude(two_series):
+    assert {r["name"] for r in S.grep_series(two_series, "^a$").collect()} == {"a"}
+    assert {r["name"] for r in S.exclude(two_series, "^a$").collect()} == {"b"}
+
+
+def test_n_percentile_is_flat_per_series(two_series):
+    got = _as_dict(S.n_percentile(two_series, 0.5))
+    # a: sorted [1,2,3,10] -> interpolated p50 = 2.5, every bucket
+    assert got[("a", 0)] == pytest.approx(2.5)
+    assert got[("a", 180)] == pytest.approx(2.5)
+    # b: nulls skipped -> p50 of [90,100] = 95
+    assert got[("b", 60)] == pytest.approx(95.0)
+
+
+def test_time_slice_nulls_outside(two_series):
+    got = _as_dict(S.time_slice(two_series, 60, 120))
+    assert len(got) == 7  # grid preserved
+    assert got[("a", 0)] is None
+    assert got[("a", 60)] == 3.0
+
+
+def test_transform_null(two_series):
+    got = _as_dict(S.transform_null(two_series, -1.0))
+    assert got[("b", 60)] == -1.0
+    assert got[("b", 0)] == 100.0
+
+
+def test_clamp_nulls_outside_bounds(two_series):
+    got = _as_dict(S.clamp(two_series, lo=2.0, hi=90.0))
+    assert got[("a", 0)] is None     # 1.0 below lo
+    assert got[("a", 60)] == 3.0
+    assert got[("b", 0)] is None     # 100.0 above hi
+    assert got[("b", 120)] == 90.0
+
+
+def test_remove_below_percentile(spark):
+    rows = [("m", i * 60, float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "name string, ts long, value double")
+    out = _as_dict(S.remove_below_percentile(df, 0.5))
+    assert len(out) == 10
+    assert out[("m", 0)] is None
+    assert out[("m", 540)] == 9.0
+
+
+def test_group_by_node(spark):
+    rows = [
+        ("bg.err.u1", 0, 1.0), ("bg.err.u2", 0, 2.0), ("bg.ok.u1", 0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "name string, ts long, value double")
+    got = _as_dict(S.group_by_node(df, 1, "sum"))
+    assert got == {("err", 0): 3.0, ("ok", 0): 5.0}
+
+
+def test_hitcount_scales_by_inferred_step(spark):
+    # step inferred as the min ts delta (60); hitcount(120) sums value*60
+    rows = [("m", 0, 1.0), ("m", 60, 2.0), ("m", 120, 4.0)]
+    df = spark.createDataFrame(rows, "name string, ts long, value double")
+    got = _as_dict(S.hitcount(df, 120))
+    assert got == {("m", 0): 180.0, ("m", 120): 240.0}

@@ -193,13 +193,30 @@ def centroid_vectors(
 
 def _cell_rank_structs(vec: Column, codebook: list[tuple[int, list[float]]]) -> Column:
     """Array of (csim, -label) structs, one per centroid — struct max/sort
-    gives the argmax with smallest-label tie-break, all inside codegen."""
-    entries = []
-    for label, cv in codebook:
-        lit = F.array(*[F.lit(v) for v in cv])
-        csim = F.round(cosine_expr(vec, lit), 5)
-        entries.append(F.struct(csim.alias("csim"), F.lit(-label).alias("neg")))
-    return F.array(*entries)
+    gives the argmax with smallest-label tie-break, all inside codegen.
+
+    The codebook is embedded as ONE literal array-of-structs and looped with
+    ``transform`` instead of unrolling a cosine expression per centroid:
+    unrolled, cells x dim literals per call site blow up the generated
+    method past the JIT's compilable size and the projection runs
+    interpreted; as a runtime loop over literal data the generated code is
+    tiny and independent of the codebook size."""
+    cb = F.array(
+        *[
+            F.struct(
+                F.lit(label).alias("label"),
+                F.array(*[F.lit(v) for v in cv]).alias("cv"),
+            )
+            for label, cv in codebook
+        ]
+    )
+    return F.transform(
+        cb,
+        lambda c: F.struct(
+            F.round(cosine_expr(vec, c.getField("cv")), 5).alias("csim"),
+            (-c.getField("label")).alias("neg"),
+        ),
+    )
 
 
 def ann_ivf_topk(

@@ -40,7 +40,10 @@ def get_spark(app_name: str = "biggraphite-spark", cpus: int | None = None) -> S
         # interpreted and individual queries degrade 10-20x intermittently
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing",
+            ),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

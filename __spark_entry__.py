@@ -1660,6 +1660,167 @@ def gr_filter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return npct.unionAll(bynode).unionAll(hc).unionAll(sliced)
 
 
+_GR_WINDOW_ORACLE = f"""
+WITH {_series_cte("bg.error.u1*")},
+fit AS (
+  SELECT name, min(ts) AS mn,
+         regr_slope(value, ts - (SELECT min(ts) FROM s s2 WHERE s2.name = s.name)) AS slope,
+         regr_intercept(value, ts - (SELECT min(ts) FROM s s2 WHERE s2.name = s.name)) AS icept
+  FROM s GROUP BY name
+)
+SELECT 'linreg' AS func, s.name AS name, s.ts AS ts,
+       ROUND(f.slope * (s.ts - f.mn) + f.icept, 4) AS value
+FROM s JOIN fit f ON s.name = f.name
+UNION ALL
+SELECT 'mmed4', name, ts, ROUND(median(value) OVER w4, 6) FROM s
+WINDOW w4 AS (PARTITION BY name ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+UNION ALL
+SELECT 'stdev4', name, ts, ROUND(stddev_samp(value) OVER w5, 6) FROM s
+WINDOW w5 AS (PARTITION BY name ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+UNION ALL
+SELECT 'changed', name, ts,
+       CASE WHEN lag(value) OVER w1 IS NOT NULL AND value IS NOT NULL
+                 AND value != lag(value) OVER w1 THEN 1.0 ELSE 0.0 END
+FROM s WINDOW w1 AS (PARTITION BY name ORDER BY ts)
+"""
+
+
+@_register("gr_window_stats", _GR_WINDOW_ORACLE)
+def gr_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """linearRegression + movingMedian(4) + stdev(4) + changed — the
+    analytic-window render functions.  The regression is built-in
+    regr_slope/regr_intercept (no UDF) with x rebased per series for
+    numeric stability; all four branches share the cached input's single
+    (name)-hash exchange."""
+    _utc(spark)
+    from biggraphite_spark.functions.series import (
+        changed,
+        linear_regression,
+        moving_median,
+        stdev,
+    )
+
+    s = _hourly_finals(spark, sf_dir, "bg.error.u1*").cache()
+    s.count()  # materialize before branch fan-out (see gr_series_combine)
+    parts = [
+        (linear_regression(s), "linreg", 4),
+        (moving_median(s, 4), "mmed4", 6),
+        (stdev(s, 4), "stdev4", 6),
+        (changed(s), "changed", 6),
+    ]
+    out = None
+    for df, func, digits in parts:
+        branch = df.select(
+            F.lit(func).alias("func"), "name", "ts",
+            F.round("value", digits).alias("value"),
+        )
+        out = branch if out is None else out.unionAll(branch)
+    return out
+
+
+def _gr_interp_oracle() -> str:
+    return f"""
+WITH pts AS ({_PTS}),
+m AS (SELECT DISTINCT name FROM pts WHERE regexp_matches(name, '{_GAP_RX}')),
+d AS ({_oracle_final(86400, where=f"sec >= {_GAP_START} AND sec < {NOW}")}),
+grid AS (SELECT m.name, g.ts FROM m
+         CROSS JOIN (SELECT CAST(ts AS BIGINT) AS ts
+                     FROM generate_series({_GAP_START}, {NOW - 86400}, 86400) t(ts)) g),
+s AS (SELECT grid.name, grid.ts, ROUND(d.value, 6) AS value
+      FROM grid LEFT JOIN d ON d.name = grid.name AND d.ts = grid.ts),
+marks AS (
+  SELECT name, ts, value,
+         last_value(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY name ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pts_,
+         last_value(CASE WHEN value IS NOT NULL THEN value END IGNORE NULLS)
+           OVER (PARTITION BY name ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pval,
+         first_value(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY name ORDER BY ts
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nts,
+         first_value(CASE WHEN value IS NOT NULL THEN value END IGNORE NULLS)
+           OVER (PARTITION BY name ORDER BY ts
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nval
+  FROM s
+)
+SELECT 'interp' AS func, name, ts,
+       ROUND(CASE WHEN value IS NOT NULL THEN value
+                  WHEN pts_ IS NOT NULL AND nts IS NOT NULL
+                  THEN pval + (nval - pval) * (ts - pts_) / (nts - pts_)
+             END, 6) AS value
+FROM marks
+UNION ALL
+SELECT 'log10', name, ts,
+       ROUND(CASE WHEN value > 0 THEN log10(value) END, 6) FROM s
+UNION ALL
+SELECT 'otz', name, ts,
+       ROUND(value - min(value) OVER (PARTITION BY name), 6) FROM s
+UNION ALL
+SELECT 'delay1', name, ts,
+       ROUND(lag(value) OVER (PARTITION BY name ORDER BY ts), 6) FROM s
+UNION ALL
+SELECT 'range', NULL, ts, ROUND(max(value) - min(value), 6) FROM s GROUP BY ts
+UNION ALL
+SELECT 'count', NULL, ts, ROUND(CAST(count(value) AS DOUBLE), 6) FROM s GROUP BY ts
+UNION ALL
+SELECT 'wild', concat_ws('.', string_split(name, '.')[1], string_split(name, '.')[3]),
+       ts, ROUND(avg(value), 6)
+FROM s GROUP BY 2, 3
+"""
+
+
+@_register("gr_interp_arith", _gr_interp_oracle())
+def gr_interp_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """interpolate (linear gap fill, pure window algebra) + logarithm +
+    offsetToZero + delay + rangeOfSeries/countSeries combinators +
+    averageSeriesWithWildcards(1) over the gapped daily grid."""
+    _utc(spark)
+    from biggraphite_spark.functions.series import (
+        average_series_with_wildcards,
+        count_series,
+        delay,
+        interpolate,
+        logarithm,
+        offset_to_zero,
+        range_of_series,
+    )
+
+    catalog = load_catalog(spark, sf_dir)
+    metrics = find_metrics(catalog, "bg.error.u*")
+    fetched = fetch_points(_stage1(spark, sf_dir), metrics, _GAP_START, NOW, target=STAGE2)
+    s = (
+        dense_series(fetched, metrics, _GAP_START, NOW, 86400)
+        .withColumn("value", F.round("value", 6))
+        .cache()
+    )
+    s.count()  # materialize before branch fan-out (see gr_series_combine)
+    rounded = F.round("value", 6).alias("value")
+    null_name = F.lit(None).cast("string").alias("name")
+    per_series = [
+        (interpolate(s), "interp"),
+        (logarithm(s), "log10"),
+        (offset_to_zero(s), "otz"),
+        (delay(s, 1), "delay1"),
+    ]
+    out = None
+    for df, func in per_series:
+        branch = df.select(F.lit(func).alias("func"), "name", "ts", rounded)
+        out = branch if out is None else out.unionAll(branch)
+    out = out.unionAll(
+        range_of_series(s).select(F.lit("range").alias("func"), null_name, "ts", rounded)
+    )
+    out = out.unionAll(
+        count_series(s).select(F.lit("count").alias("func"), null_name, "ts", rounded)
+    )
+    out = out.unionAll(
+        average_series_with_wildcards(s, 1).select(
+            F.lit("wild").alias("func"), "name", "ts", rounded
+        )
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

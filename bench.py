@@ -28,6 +28,16 @@ def main() -> None:
     spark = get_spark("biggraphite-bench")
     # JVM warm-up so the first timed query doesn't pay session startup
     spark.range(1000).selectExpr("sum(id)").collect()
+    # Python/Arrow worker-pool warm-up: the first pandas-UDF stage otherwise
+    # pays one pandas+pyarrow import per core (~10-20s across the pool) and
+    # whichever query runs it first absorbs that one-time environment cost.
+    # Workers are reused (spark.python.worker.reuse), so one tiny mapInPandas
+    # across all cores starts the whole pool untimed.
+    spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: (pdf for pdf in it), "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

@@ -370,3 +370,234 @@ def alias_by_node(series: DataFrame, *nodes: int) -> DataFrame:
     parts = F.split(F.col("name"), r"\.")
     picked = [F.element_at(parts, i + 1) for i in nodes]
     return series.withColumn("alias", F.concat_ws(".", *picked))
+
+
+def logarithm(series: DataFrame, base: float = 10.0) -> DataFrame:
+    """``logarithm``: log of each value in the given base; non-positive
+    values become null (graphite's None)."""
+    v = F.col("value")
+    return series.withColumn("value", F.when(v > 0, F.log(float(base), v)))
+
+
+def square_root(series: DataFrame) -> DataFrame:
+    """``squareRoot``: negative values become null."""
+    v = F.col("value")
+    return series.withColumn("value", F.when(v >= 0, F.sqrt(v)))
+
+
+def pow_series(series: DataFrame, exponent: float) -> DataFrame:
+    """``pow``: raise every value to ``exponent``."""
+    return series.withColumn("value", F.pow(F.col("value"), F.lit(exponent)))
+
+
+def invert(series: DataFrame) -> DataFrame:
+    """``invert``: 1/x; zero becomes null."""
+    v = F.col("value")
+    return series.withColumn("value", F.when(v != 0, F.lit(1.0) / v))
+
+
+def offset_to_zero(series: DataFrame) -> DataFrame:
+    """``offsetToZero``: subtract each series' own minimum so it baselines
+    at zero."""
+    w = Window.partitionBy("name")
+    return series.select(
+        "name", "ts", (F.col("value") - F.min("value").over(w)).alias("value")
+    )
+
+
+def delay(series: DataFrame, steps: int) -> DataFrame:
+    """``delay``: shift each series' values ``steps`` buckets forward in time
+    (the first ``steps`` buckets become null)."""
+    w = Window.partitionBy("name").orderBy("ts")
+    return series.select(
+        "name", "ts", F.lag("value", steps).over(w).alias("value")
+    )
+
+
+def changed(series: DataFrame) -> DataFrame:
+    """``changed``: 1 where the value differs from the previous bucket, else
+    0 (first bucket: 0, as graphite emits)."""
+    w = Window.partitionBy("name").orderBy("ts")
+    prev = F.lag("value").over(w)
+    return series.select(
+        "name",
+        "ts",
+        F.when(
+            prev.isNotNull() & F.col("value").isNotNull() & (F.col("value") != prev),
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("value"),
+    )
+
+
+def moving_median(series: DataFrame, points: int) -> DataFrame:
+    """``movingMedian``: exact median over the trailing ``points`` buckets
+    (current inclusive) of each series.  Spark refuses percentile-family
+    aggregates over a window frame, so the median is spelled out as
+    sorted-frame array algebra (collect_list skips nulls, matching
+    graphite's known-values semantics); the frame holds ≤ ``points`` values
+    so the per-row array is tiny."""
+    w = (
+        Window.partitionBy("name")
+        .orderBy("ts")
+        .rowsBetween(-(points - 1), Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(arr, (n / 2).cast("int"))
+        + F.element_at(arr, (n / 2 + 1).cast("int"))
+    ) / 2.0
+    med = F.when(n == 0, F.lit(None)).otherwise(
+        F.when(n % 2 == 1, odd).otherwise(even)
+    )
+    return series.select("name", "ts", med.alias("value"))
+
+
+def stdev(series: DataFrame, points: int) -> DataFrame:
+    """``stdev``: moving sample standard deviation over the trailing
+    ``points`` buckets of each series (single-row windows yield null)."""
+    w = (
+        Window.partitionBy("name")
+        .orderBy("ts")
+        .rowsBetween(-(points - 1), Window.currentRow)
+    )
+    return series.select(
+        "name", "ts", F.stddev_samp("value").over(w).alias("value")
+    )
+
+
+def linear_regression(series: DataFrame) -> DataFrame:
+    """``linearRegression``: replace each series by its least-squares fit
+    line evaluated at every bucket — built-in ``regr_slope``/
+    ``regr_intercept`` over the (ts, value) pairs, no UDF."""
+    w = Window.partitionBy("name")
+    # x is rebased to the series' own first bucket: the fitted line is the
+    # same, but epoch-sized x values lose ~9 digits to cancellation in the
+    # variance sums, which shows up at the rounding the oracle compares at
+    x = (F.col("ts") - F.min("ts").over(w)).cast("double")
+    slope = F.regr_slope("value", x).over(w)
+    intercept = F.regr_intercept("value", x).over(w)
+    return series.select(
+        "name", "ts", (slope * x + intercept).alias("value")
+    )
+
+
+def most_deviant(series: DataFrame, n: int) -> DataFrame:
+    """``mostDeviant``: keep the ``n`` series with the highest population
+    variance (rounded before ranking, name tie-break, reproducible cut)."""
+    stat = series.groupBy("name").agg(
+        F.round(F.var_pop("value"), 6).alias("stat")
+    )
+    w = Window.orderBy(F.desc("stat"), F.asc("name"))
+    top = (
+        stat.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= n)
+    )
+    return series.join(F.broadcast(top), "name").select(
+        "name", "ts", "value", "stat", "rank"
+    )
+
+
+def sort_by_total(series: DataFrame) -> DataFrame:
+    """``sortByTotal``: rank series by their sum, descending (rank column
+    carries the order; rows stay one-per-bucket)."""
+    stat = series.groupBy("name").agg(
+        F.round(F.sum("value"), 6).alias("stat")
+    )
+    w = Window.orderBy(F.desc("stat"), F.asc("name"))
+    ranked = stat.withColumn("rank", F.row_number().over(w).cast("long"))
+    return series.join(F.broadcast(ranked), "name").select(
+        "name", "ts", "value", "stat", "rank"
+    )
+
+
+def count_series(series: DataFrame) -> DataFrame:
+    """``countSeries``: number of series with a known value in each bucket."""
+    return series.groupBy("ts").agg(
+        F.count("value").cast("double").alias("value")
+    )
+
+
+def range_of_series(series: DataFrame) -> DataFrame:
+    """``rangeOfSeries``: per-bucket max minus min across series."""
+    return series.groupBy("ts").agg(
+        (F.max("value") - F.min("value")).alias("value")
+    )
+
+
+def multiply_series(series: DataFrame) -> DataFrame:
+    """``multiplySeries``: per-bucket product across series — a running
+    ``aggregate`` over the bucket's collected values (series-set cardinality
+    is dashboard-sized, so the collect_list stays tiny)."""
+    return series.groupBy("ts").agg(
+        F.aggregate(
+            F.collect_list("value"), F.lit(1.0), lambda acc, x: acc * x
+        ).alias("value")
+    )
+
+
+def average_series_with_wildcards(series: DataFrame, *positions: int) -> DataFrame:
+    """``averageSeriesWithWildcards``: blank out the given name components
+    (0-based) and average the series that collapse together."""
+    parts = F.split(F.col("name"), r"\.")
+    kept = F.filter(
+        F.transform(parts, lambda p, i: F.when(~i.isin(list(positions)), p)),
+        lambda p: p.isNotNull(),
+    )
+    key = F.concat_ws(".", kept).alias("name")
+    return series.groupBy(key, "ts").agg(F.avg("value").alias("value"))
+
+
+def alias_sub(series: DataFrame, pattern: str, replacement: str) -> DataFrame:
+    """``aliasSub``: regex-rewrite every series name."""
+    return series.withColumn(
+        "name", F.regexp_replace("name", pattern, replacement)
+    )
+
+
+def interpolate(series: DataFrame, limit: int | None = None) -> DataFrame:
+    """``interpolate``: linearly fill null buckets between two known
+    neighbours of the same series; leading/trailing holes stay null.  With
+    ``limit``, only gaps of at most that many consecutive holes are filled.
+
+    Pure window algebra: the last known (ts, value) before and the first
+    after each hole, then the straight line between them — no UDF, one
+    (name)-partitioned sort."""
+    w_prev = (
+        Window.partitionBy("name")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("name")
+        .orderBy("ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known = F.when(
+        F.col("value").isNotNull(), F.struct(F.col("ts"), F.col("value"))
+    )
+    prev = F.last(known, ignorenulls=True).over(w_prev)
+    nxt = F.first(known, ignorenulls=True).over(w_next)
+    frac = (F.col("ts") - prev["ts"]).cast("double") / (
+        nxt["ts"] - prev["ts"]
+    ).cast("double")
+    filled = prev["value"] + (nxt["value"] - prev["value"]) * frac
+    gap_ok = (
+        F.lit(True)
+        if limit is None
+        else ((nxt["ts"] - prev["ts"]) / _step_col() <= limit + 1)
+    )
+    out = F.when(F.col("value").isNotNull(), F.col("value")).otherwise(
+        F.when(prev.isNotNull() & nxt.isNotNull() & gap_ok, filled)
+    )
+    return series.select("name", "ts", out.alias("value"))
+
+
+def _step_col() -> Column:
+    """Per-series bucket width inferred as the minimum ts delta (same
+    inference as :func:`hitcount`)."""
+    w = Window.partitionBy("name").orderBy("ts")
+    return F.min(F.col("ts") - F.lag("ts").over(w)).over(Window.partitionBy("name"))

@@ -200,3 +200,107 @@ def test_hitcount_scales_by_inferred_step(spark):
     df = spark.createDataFrame(rows, "name string, ts long, value double")
     got = _as_dict(S.hitcount(df, 120))
     assert got == {("m", 0): 180.0, ("m", 120): 240.0}
+
+
+def test_arithmetic_transforms(two_series):
+    lg = _as_dict(S.logarithm(two_series, 10.0))
+    assert lg[("b", 0)] == pytest.approx(2.0)
+    assert lg[("b", 60)] is None
+    neg = S.offset(two_series, -5.0)
+    assert _as_dict(S.square_root(neg))[("a", 0)] is None  # -4 -> null
+    assert _as_dict(S.square_root(two_series))[("a", 60)] == pytest.approx(3.0 ** 0.5)
+    assert _as_dict(S.pow_series(two_series, 2.0))[("a", 120)] == 4.0
+    inv = _as_dict(S.invert(S.offset(two_series, -1.0)))
+    assert inv[("a", 0)] is None  # 1-1=0 -> null
+    assert inv[("a", 60)] == pytest.approx(0.5)
+
+
+def test_offset_to_zero(two_series):
+    z = _as_dict(S.offset_to_zero(two_series))
+    assert z[("a", 0)] == 0.0
+    assert z[("a", 180)] == 9.0
+    assert z[("b", 120)] == 0.0  # min skips the null bucket
+
+
+def test_delay_and_changed(two_series):
+    d = _as_dict(S.delay(two_series, 1))
+    assert d[("a", 0)] is None
+    assert d[("a", 60)] == 1.0
+    c = _as_dict(S.changed(two_series))
+    assert c[("a", 0)] == 0.0  # first bucket: graphite emits 0
+    assert c[("a", 60)] == 1.0
+    assert c[("b", 60)] == 0.0  # null vs known -> not a change
+
+
+def test_moving_median_and_stdev(spark):
+    rows = [("a", t, v) for t, v in ((0, 1.0), (60, 9.0), (120, 2.0), (180, 4.0))]
+    df = spark.createDataFrame(rows, "name string, ts long, value double")
+    mm = _as_dict(S.moving_median(df, 3))
+    assert mm[("a", 0)] == 1.0
+    assert mm[("a", 120)] == 2.0  # median(1, 9, 2)
+    assert mm[("a", 180)] == 4.0  # median(9, 2, 4)
+    sd = _as_dict(S.stdev(df, 2))
+    assert sd[("a", 0)] is None  # single-sample window
+    assert sd[("a", 60)] == pytest.approx(((1 - 5) ** 2 * 2 / 1) ** 0.5)
+
+
+def test_linear_regression_exact_fit(spark):
+    # y = 2x + 1 over the rebased x grid -> the fit reproduces it exactly
+    rows = [("a", 1_000_000 + 60 * i, 1.0 + 2.0 * 60 * i) for i in range(5)]
+    df = spark.createDataFrame(rows, "name string, ts long, value double")
+    fit = _as_dict(S.linear_regression(df))
+    for i in range(5):
+        assert fit[("a", 1_000_000 + 60 * i)] == pytest.approx(1.0 + 120.0 * i)
+
+
+def test_most_deviant_and_sort_by_total(two_series):
+    md = S.most_deviant(two_series, 1)
+    assert {r["name"] for r in md.collect()} == {"b"}  # var(100, 90) > var(a)
+    ranked = S.sort_by_total(two_series)
+    by_name = {r["name"]: r["rank"] for r in ranked.collect()}
+    assert by_name == {"b": 1, "a": 2}
+
+
+def test_across_series_combinators(two_series):
+    cnt = {r["ts"]: r["value"] for r in S.count_series(two_series).collect()}
+    assert cnt[0] == 2.0 and cnt[60] == 1.0  # null doesn't count
+    rng = {r["ts"]: r["value"] for r in S.range_of_series(two_series).collect()}
+    assert rng[0] == 99.0
+    assert rng[60] == 0.0  # single known value
+    mul = {r["ts"]: r["value"] for r in S.multiply_series(two_series).collect()}
+    assert mul[0] == 100.0
+    assert mul[120] == 180.0
+
+
+def test_average_series_with_wildcards(spark):
+    rows = [
+        ("dc1.web.cpu", 0, 10.0), ("dc1.db.cpu", 0, 30.0), ("dc2.web.cpu", 0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "name string, ts long, value double")
+    out = {(r["name"], r["ts"]): r["value"] for r in
+           S.average_series_with_wildcards(df, 1).collect()}
+    assert out[("dc1.cpu", 0)] == 20.0
+    assert out[("dc2.cpu", 0)] == 5.0
+
+
+def test_alias_sub(two_series):
+    out = S.alias_sub(two_series, "^a$", "alpha")
+    assert {r["name"] for r in out.collect()} == {"alpha", "b"}
+
+
+def test_interpolate(spark):
+    rows = [
+        ("a", 0, 1.0), ("a", 60, None), ("a", 120, None), ("a", 180, 7.0),
+        ("a", 240, None),  # trailing hole stays null
+        ("b", 0, None), ("b", 60, 5.0),  # leading hole stays null
+    ]
+    df = spark.createDataFrame(rows, "name string, ts long, value double")
+    out = _as_dict(S.interpolate(df))
+    assert out[("a", 60)] == pytest.approx(3.0)
+    assert out[("a", 120)] == pytest.approx(5.0)
+    assert out[("a", 240)] is None
+    assert out[("b", 0)] is None
+    # limit: the two-hole gap is wider than limit=1, stays null
+    lim = _as_dict(S.interpolate(df, limit=1))
+    assert lim[("a", 60)] is None
+    assert lim[("a", 180)] == 7.0

@@ -19,6 +19,7 @@ Scale shape:
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame, Window
@@ -53,6 +54,16 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def _paired_cosine() -> Column:
+    """Rounded cosine from pre-computed per-side norms — each side's norm is
+    evaluated once per ROW before the join instead of once per PAIR after
+    it, which is a ~3x compute cut on the pair stage (dot = d mults; the two
+    norms would add 2d more per pair)."""
+    return F.round(
+        dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 5
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -67,18 +78,14 @@ def cosine_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", norm_expr(F.col("qv")))
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", norm_expr(F.col("cv")))
     sims = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_expr(F.col("qv"), F.col("cv")), 5).alias("sim"),
-        )
+        .select("query_id", "neighbor_id", _paired_cosine().alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -111,20 +118,24 @@ def ann_lsh_topk(
     corpus is pre-bucketed (partitioned/bucketed by ``bucket``) so each query
     touches one partition.
     """
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cv")
-    ).withColumn("bucket", lsh_bucket_expr(F.col("cv"), hyperplanes))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket", lsh_bucket_expr(F.col("qv"), hyperplanes))
+    c = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cv")
+        )
+        .withColumn("bucket", lsh_bucket_expr(F.col("cv"), hyperplanes))
+        .withColumn("cn", norm_expr(F.col("cv")))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("bucket", lsh_bucket_expr(F.col("qv"), hyperplanes))
+        .withColumn("qn", norm_expr(F.col("qv")))
+    )
     sims = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_expr(F.col("qv"), F.col("cv")), 5).alias("sim"),
-        )
+        .select("query_id", "neighbor_id", _paired_cosine().alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -150,23 +161,26 @@ def embedding_near_dups(
     :func:`ann_lsh_topk`; a multi-table OR-amplified variant is the same plan
     unioned over several hyperplane sets.
     """
-    sig = embeddings.select(
-        F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", lsh_bucket_expr(F.col("v"), hyperplanes))
+    sig = (
+        embeddings.select(
+            F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v")
+        )
+        .withColumn("bucket", lsh_bucket_expr(F.col("v"), hyperplanes))
+        .withColumn("n", norm_expr(F.col("v")))
+    )
     a = sig.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket"
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"), "bucket"
     )
     b = sig.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"), "bucket"
+    )
+    sim = F.round(
+        dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 5
     )
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_expr(F.col("va"), F.col("vb")), 5).alias("sim"),
-        )
+        .select("id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 
@@ -191,7 +205,9 @@ def centroid_vectors(
     )
 
 
-def _cell_rank_structs(vec: Column, codebook: list[tuple[int, list[float]]]) -> Column:
+def _cell_rank_structs(
+    vec: Column, vec_norm: Column, codebook: list[tuple[int, list[float]]]
+) -> Column:
     """Array of (csim, -label) structs, one per centroid — struct max/sort
     gives the argmax with smallest-label tie-break, all inside codegen.
 
@@ -200,12 +216,16 @@ def _cell_rank_structs(vec: Column, codebook: list[tuple[int, list[float]]]) -> 
     unrolled, cells x dim literals per call site blow up the generated
     method past the JIT's compilable size and the projection runs
     interpreted; as a runtime loop over literal data the generated code is
-    tiny and independent of the codebook size."""
+    tiny and independent of the codebook size.  Centroid norms are computed
+    driver-side and embedded as literals (same sequential sum as the SQL
+    oracle's list_sum, so the doubles are bit-identical), and the vector's
+    own norm is evaluated once per row, not once per centroid."""
     cb = F.array(
         *[
             F.struct(
                 F.lit(label).alias("label"),
                 F.array(*[F.lit(v) for v in cv]).alias("cv"),
+                F.lit(math.sqrt(sum(v * v for v in cv))).alias("cn"),
             )
             for label, cv in codebook
         ]
@@ -213,7 +233,9 @@ def _cell_rank_structs(vec: Column, codebook: list[tuple[int, list[float]]]) -> 
     return F.transform(
         cb,
         lambda c: F.struct(
-            F.round(cosine_expr(vec, c.getField("cv")), 5).alias("csim"),
+            F.round(
+                dot_expr(vec, c.getField("cv")) / (vec_norm * c.getField("cn")), 5
+            ).alias("csim"),
             (-c.getField("label")).alias("neg"),
         ),
     )
@@ -246,34 +268,38 @@ def ann_ivf_topk(
     ]
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", norm_expr(F.col("cv")))
     assigned = corpus.select(
         "neighbor_id",
         "cv",
-        (-F.array_max(_cell_rank_structs(F.col("cv"), codebook)).getField("neg")).alias("cell"),
+        "cn",
+        (
+            -F.array_max(
+                _cell_rank_structs(F.col("cv"), F.col("cn"), codebook)
+            ).getField("neg")
+        ).alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", norm_expr(F.col("qv")))
     probed = q.select(
         "query_id",
         "qv",
+        "qn",
         F.explode(
             F.slice(
-                F.sort_array(_cell_rank_structs(F.col("qv"), codebook), asc=False),
+                F.sort_array(
+                    _cell_rank_structs(F.col("qv"), F.col("qn"), codebook), asc=False
+                ),
                 1,
                 nprobe,
             )
         ).alias("probe"),
-    ).select("query_id", "qv", (-F.col("probe.neg")).alias("cell"))
+    ).select("query_id", "qv", "qn", (-F.col("probe.neg")).alias("cell"))
     sims = (
         assigned.join(F.broadcast(probed), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_expr(F.col("qv"), F.col("cv")), 5).alias("sim"),
-        )
+        .select("query_id", "neighbor_id", _paired_cosine().alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

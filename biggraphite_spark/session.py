@@ -42,7 +42,12 @@ def get_spark(app_name: str = "biggraphite-spark", cpus: int | None = None) -> S
             "spark.driver.extraJavaOptions",
             os.environ.get(
                 "SPARK_GRAFT_DRIVER_JAVA_OPTS",
-                "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing",
+                "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing "
+                # dozens of distinct plans also flood the JIT's compile queue;
+                # with the default 2-3 C2 threads, whichever query is waiting
+                # runs interpreted (erratic 3-10x per-query tails) — more
+                # compiler threads keep per-query times stable
+                "-XX:CICompilerCount=12",
             ),
         )
         .config("spark.ui.enabled", "false")

@@ -45,7 +45,8 @@ def audit(name: str, text: str) -> dict:
         "bnlj": "BroadcastNestedLoopJoin" in text,
         "py_row_udf": "BatchEvalPython" in text,
         "arrow": "ArrowEvalPython" in text or "MapInPandas" in text,
-        "codegen_spans": len(re.findall(r"WholeStageCodegen", text)),
+        # formatted explain tags operators as "[codegen id : N]"
+        "codegen_spans": len(set(re.findall(r"codegen id : (\d+)", text))),
     }
 
 

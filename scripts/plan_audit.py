@@ -45,7 +45,8 @@ def audit(name: str, text: str) -> dict:
         "bnlj": "BroadcastNestedLoopJoin" in text,
         "py_row_udf": "BatchEvalPython" in text,
         "arrow": "ArrowEvalPython" in text or "MapInPandas" in text,
-        # formatted explain tags operators as "[codegen id : N]"
+        # "[codegen id : N]" tags only appear in post-execution AQE plans;
+        # pre-execution this column reads 0 — the flag columns are the signal
         "codegen_spans": len(set(re.findall(r"codegen id : (\d+)", text))),
     }
 

@@ -266,10 +266,23 @@ def ann_ivf_topk(
         (r["label"], list(r["cv"]))
         for r in centroid_vectors(embeddings, id_col, vec_col).collect()
     ]
+    assigned = assign_cells(embeddings, codebook, id_col, vec_col)
+    probed = probe_cells(queries, codebook, nprobe, id_col, vec_col)
+    return _probe_topk(assigned, probed, k)
+
+
+def assign_cells(
+    embeddings: DataFrame,
+    codebook: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus side of IVF: nearest-centroid cell per vector, as a pure
+    projection (no shuffle).  Output: neighbor_id, cv, cn, cell."""
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cv")
     ).withColumn("cn", norm_expr(F.col("cv")))
-    assigned = corpus.select(
+    return corpus.select(
         "neighbor_id",
         "cv",
         "cn",
@@ -279,10 +292,21 @@ def ann_ivf_topk(
             ).getField("neg")
         ).alias("cell"),
     )
+
+
+def probe_cells(
+    queries: DataFrame,
+    codebook: list[tuple[int, list[float]]],
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query side of IVF: each query exploded to its ``nprobe`` closest
+    cells.  Output: query_id, qv, qn, cell."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qv")
     ).withColumn("qn", norm_expr(F.col("qv")))
-    probed = q.select(
+    return q.select(
         "query_id",
         "qv",
         "qn",
@@ -296,6 +320,9 @@ def ann_ivf_topk(
             )
         ).alias("probe"),
     ).select("query_id", "qv", "qn", (-F.col("probe.neg")).alias("cell"))
+
+
+def _probe_topk(assigned: DataFrame, probed: DataFrame, k: int) -> DataFrame:
     sims = (
         assigned.join(F.broadcast(probed), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -306,6 +333,42 @@ def ann_ivf_topk(
         sims.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def write_ivf_corpus(
+    embeddings: DataFrame,
+    path: str,
+    codebook: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: the assigned corpus written
+    ``partitionBy(cell)`` — the one-time cost that turns every later probe
+    into a partition-pruned read."""
+    assign_cells(embeddings, codebook, id_col, vec_col).write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(path)
+
+
+def ann_ivf_topk_partitioned(
+    spark,
+    path: str,
+    queries: DataFrame,
+    codebook: list[tuple[int, list[float]]],
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe against a :func:`write_ivf_corpus` index — the 100 TB read
+    path.  ``cell`` is a partition column, and the broadcast equi-join on it
+    triggers dynamic partition pruning: only the probed cells' directories
+    are scanned (asserted by test_similarity_partitioned via
+    ``input_file_name``), so probe cost scales with nprobe/cells of the
+    corpus, not its size."""
+    assigned = spark.read.parquet(path)
+    probed = probe_cells(queries, codebook, nprobe, id_col, vec_col)
+    return _probe_topk(assigned, probed, k)
 
 
 def label_centroids(

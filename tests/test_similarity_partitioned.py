@@ -1,0 +1,73 @@
+"""IVF scale path: corpus written partitionBy(cell), probes read only the
+probed cells' partitions (dynamic partition pruning over the cell equi-join).
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from biggraphite_spark.operators.similarity import (
+    ann_ivf_topk_partitioned,
+    assign_cells,
+    probe_cells,
+    write_ivf_corpus,
+)
+
+# two well-separated 4-dim centroids
+CODEBOOK = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 0.0])]
+
+
+def _corpus(spark, n=40):
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            rows.append((i, [1.0, 0.01 * i, 0.0, 0.0]))
+        else:
+            rows.append((i, [0.0, 0.0, 1.0, 0.01 * i]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_partitioned_prunes_and_matches(spark, tmpdir):
+    path = os.path.join(str(tmpdir), "ivf")
+    corpus = _corpus(spark)
+    write_ivf_corpus(corpus, path, CODEBOOK)
+
+    # layout: one directory per cell
+    assert sorted(d for d in os.listdir(path) if d.startswith("cell=")) == [
+        "cell=0",
+        "cell=1",
+    ]
+
+    # queries live in cell 0 only (nprobe=1)
+    queries = corpus.filter(F.col("vec_id").isin(0, 2))
+    out = ann_ivf_topk_partitioned(spark, path, queries, CODEBOOK, nprobe=1, k=3)
+    rows = out.collect()
+
+    # the probe equi-join on the partition column plans dynamic partition
+    # pruning on the corpus scan: only probed cells' directories are read
+    joined = spark.read.parquet(path).join(
+        F.broadcast(probe_cells(queries, CODEBOOK, nprobe=1)), "cell"
+    )
+    plan = joined._jdf.queryExecution().toString()
+    assert "dynamicpruning" in plan.lower()
+    # and the surviving rows all come from cell=0 files (input_file_name
+    # survives the broadcast join but not the top-k shuffle)
+    touched = {
+        f[0].split("cell=")[1].split("/")[0]
+        for f in joined.select(F.input_file_name()).distinct().collect()
+        if "cell=" in f[0]
+    }
+    assert touched == {"0"}
+
+    # same results as the in-memory assign+probe plan
+    expected = (
+        assign_cells(corpus, CODEBOOK)
+        .join(F.broadcast(probe_cells(queries, CODEBOOK, nprobe=1)), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .count()
+    )
+    assert expected > 0
+    got = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in rows}
+    assert len(got) == 2 * 3  # k=3 per query
+    # every neighbor is an even id (cell-0 resident)
+    assert all(n % 2 == 0 for _, n, _ in got)

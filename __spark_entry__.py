@@ -1821,6 +1821,42 @@ def gr_interp_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_BPE_RE_SQL = (
+    "''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
+)
+
+_DOC_TOKEN_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         regexp_extract_all(text, '{_BPE_RE_SQL}') AS bpe
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_words,
+       CAST(len(bpe) AS BIGINT) AS n_bpe_tokens,
+       ROUND(CAST(len(bpe) AS DOUBLE) / len(toks), 6) AS tokens_per_word,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(toks, x -> CAST(ascii(x) * 31 + length(x) AS BIGINT))),
+         (a, b) -> (a * 1000003 + b) % 2147483647
+       ) AS rolling_fp
+FROM t
+"""
+
+
+@_register("doc_token_advanced", _DOC_TOKEN_ORACLE)
+def doc_token_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (fertility estimate for token budgeting)
+    + order-sensitive rolling-hash fingerprint — both single-pass Column
+    expressions inside codegen, no shuffle beyond the join of the two
+    single-doc-keyed outputs (planned as one scan per side + broadcast)."""
+    _utc(spark)
+    from biggraphite_spark.operators.text import bpe_token_count, rolling_fingerprint
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    return bpe_token_count(docs).join(rolling_fingerprint(docs), "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

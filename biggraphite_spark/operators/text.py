@@ -95,3 +95,43 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens_col(F.col(text_col))
     fp = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+#: GPT-2-style pre-tokenizer, simplified to the subset both Java regex and
+#: RE2 (the DuckDB oracle) support — no lookahead; contractions, letter runs,
+#: digit runs, punctuation runs, whitespace runs
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def bpe_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token counting: whitespace words vs pre-tokenizer matches.
+
+    ``n_bpe_tokens`` counts :data:`BPE_TOKEN_RE` matches (the unit a byte-pair
+    tokenizer would start from); ``tokens_per_word`` is the fertility
+    estimate pipelines use to budget token costs from raw text."""
+    toks = tokens_col(F.col(text_col))
+    n_words = F.size(toks)
+    n_bpe = F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE))
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        F.round(n_bpe / n_words, 6).alias("tokens_per_word"),
+    )
+
+
+def rolling_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive polynomial rolling hash over the token stream —
+    ``h = (h * 1000003 + ascii(tok[0]) * 31 + len(tok)) mod (2^31 - 1)`` —
+    the complement of :func:`fingerprint`'s order-insensitive vocab digest.
+    Token permutations produce different fingerprints here; the fold is one
+    ``aggregate`` over the split, fully inside codegen."""
+    toks = tokens_col(F.col(text_col))
+    rolled = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (
+            acc * F.lit(1000003) + F.ascii(t) * F.lit(31) + F.length(t)
+        ) % F.lit(2147483647),
+    )
+    return docs.select("doc_id", rolled.alias("rolling_fp"))

@@ -1,0 +1,55 @@
+"""bgutil-style CLI smoke coverage: every subcommand end-to-end on sf0.001.
+
+Reference surface: cli/commands.py (read/list/du/stats/clean/repair/write/
+delete/copy/syncdb); this drives main(argv) exactly as a shell user would.
+"""
+
+import os
+
+import pytest
+
+from biggraphite_spark.cli import main
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(capsys, *argv) -> str:
+    assert main(["--sf-dir", SF, *argv]) == 0
+    return capsys.readouterr().out
+
+
+def test_list_and_read(spark, capsys):
+    names = _run(capsys, "list", "bg.click.u*").splitlines()
+    assert names == sorted(names) and names
+    assert all(n.startswith("bg.click.u") for n in names)
+
+    out = _run(capsys, "read", names[0], "--limit", "5")
+    header = out.splitlines()[0]
+    assert header.startswith("# start=") and "step=" in header
+
+    # invalid glob -> exit 2, error on stderr
+    assert main(["--sf-dir", SF, "list", "bg.{a,b"]) == 2
+
+
+def test_du_stats_clean(spark, capsys):
+    assert "namespace" in _run(capsys, "du")
+    assert "namespace" in _run(capsys, "stats")
+    out = _run(capsys, "clean", "--max-age-days", "36500")
+    assert "# expired metrics" in out and "# empty directories" in out
+    assert "directories:" in _run(capsys, "repair")
+
+
+def test_write_delete_copy_syncdb(spark, capsys, tmpdir):
+    out = _run(capsys, "write", "bg.error.*", "--aggregator", "maximum")
+    assert "# updated" in out and "maximum" in out
+
+    out = _run(capsys, "delete", "bg.error.*")
+    assert out.startswith("# deleted") and not out.startswith("# deleted 0")
+
+    out = _run(capsys, "copy", "--retention", "1000*3600s:100*86400s")
+    assert "# stage" in out
+
+    path = os.path.join(str(tmpdir), "store")
+    out = _run(capsys, "syncdb", "--path", path)
+    assert "synced" in out
+    assert os.path.isdir(path)

@@ -1857,6 +1857,24 @@ def doc_token_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_count(docs).join(rolling_fingerprint(docs), "doc_id")
 
 
+@_register("gr_holt_winters")  # rows-only: sequential recurrence, not SQL-expressible
+def gr_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """holtWintersForecast + ConfidenceBands + Aberration over the daily
+    grid — graphite's anomaly-band family.  The per-series recurrence
+    (every bucket depends on the previous bucket AND the same bucket one
+    season ago) is the designed applyInPandas escape hatch; no oracle
+    because DuckDB cannot express the iteration, the driver records the
+    rows-only check.  Unit goldens live in test_holtwinters.py."""
+    _utc(spark)
+    from biggraphite_spark.functions.holtwinters import holt_winters
+
+    catalog = load_catalog(spark, sf_dir)
+    metrics = find_metrics(catalog, "bg.error.u*")
+    fetched = fetch_points(_stage1(spark, sf_dir), metrics, _GAP_START, NOW, target=STAGE2)
+    dense = dense_series(fetched, metrics, _GAP_START, NOW, 86400)
+    return holt_winters(dense, step=86400, season_length=3)
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

@@ -1,0 +1,70 @@
+"""Holt-Winters forecast/bands/aberration (functions/holtwinters.py).
+
+Semantic pins (graphite-web holtWintersAnalysis is the contract):
+constant series converge to the constant with shrinking deviation; a spike
+breaks the upper band with positive aberration; the recurrence matches a
+directly-evaluated pure-Python reference on a mixed fixture.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from biggraphite_spark.functions.holtwinters import (
+    DELTA,
+    _analysis,
+    bootstrap_trim,
+    holt_winters,
+)
+
+
+def _rows(spark, values, name="m", step=60):
+    rows = [(name, i * step, v) for i, v in enumerate(values)]
+    return spark.createDataFrame(rows, "name string, ts long, value double")
+
+
+def test_constant_series_converges(spark):
+    df = _rows(spark, [5.0] * 50)
+    out = holt_winters(df, step=60, season_length=10).orderBy("ts").collect()
+    tail = out[-1]
+    assert tail["forecast"] == pytest.approx(5.0, abs=0.2)
+    assert tail["aberration"] == 0.0
+    assert tail["lower"] <= 5.0 <= tail["upper"]
+
+
+def test_spike_breaks_band(spark):
+    vals = [1.0] * 40 + [100.0]
+    out = (
+        holt_winters(_rows(spark, vals), step=60, season_length=10)
+        .orderBy("ts")
+        .collect()
+    )
+    spike = out[-1]
+    assert spike["value"] > spike["upper"]
+    assert spike["aberration"] == pytest.approx(spike["value"] - spike["upper"])
+    # everything before the spike sits inside the settled band
+    assert all(r["aberration"] == 0.0 for r in out[20:-1])
+
+
+def test_matches_reference_recurrence(spark):
+    vals = [1.0, 2.0, None, 4.0, 3.0, 2.0, 5.0, None, 1.0, 2.0, 3.0, 4.0]
+    season = 4
+    preds, devs = _analysis([v for v in vals], season)
+    out = (
+        holt_winters(_rows(spark, vals), step=60, season_length=season)
+        .orderBy("ts")
+        .collect()
+    )
+    for i, r in enumerate(out):
+        if preds[i] is None:
+            assert r["forecast"] is None
+        else:
+            assert r["forecast"] == pytest.approx(preds[i])
+            assert r["upper"] == pytest.approx(preds[i] + DELTA * devs[i])
+
+
+def test_bootstrap_trim(spark):
+    df = _rows(spark, [1.0] * 20)
+    out = holt_winters(df, step=60, season_length=5)
+    trimmed = bootstrap_trim(out, 10 * 60)
+    assert trimmed.count() == 10
+    assert trimmed.agg(F.min("ts")).collect()[0][0] == 600

@@ -601,3 +601,40 @@ def _step_col() -> Column:
     inference as :func:`hitcount`)."""
     w = Window.partitionBy("name").orderBy("ts")
     return F.min(F.col("ts") - F.lag("ts").over(w)).over(Window.partitionBy("name"))
+
+
+def weighted_average(values: DataFrame, weights: DataFrame) -> DataFrame:
+    """``weightedAverage``: per-bucket Σ(value·weight)/Σ(weight) across the
+    two series sets joined on (name, ts) — graphite pairs avg-series with
+    count-series to undo pre-averaged rollups."""
+    v = values.select("name", "ts", F.col("value").alias("v"))
+    w = weights.select("name", "ts", F.col("value").alias("w"))
+    joined = v.join(w, ["name", "ts"])
+    return joined.groupBy("ts").agg(
+        (F.sum(F.col("v") * F.col("w")) / F.nullif(F.sum("w"), F.lit(0.0))).alias(
+            "value"
+        )
+    )
+
+
+def sort_by_maxima(series: DataFrame) -> DataFrame:
+    """``sortByMaxima``: rank series by their max, descending (rank column
+    carries the order, mirror of :func:`sort_by_total`)."""
+    stat = series.groupBy("name").agg(F.round(F.max("value"), 6).alias("stat"))
+    w = Window.orderBy(F.desc("stat"), F.asc("name"))
+    ranked = stat.withColumn("rank", F.row_number().over(w).cast("long"))
+    return series.join(F.broadcast(ranked), "name").select(
+        "name", "ts", "value", "stat", "rank"
+    )
+
+
+def limit_series(series: DataFrame, n: int) -> DataFrame:
+    """``limit``: keep the first ``n`` series by name order (graphite's
+    deterministic truncation)."""
+    kept = (
+        series.select("name")
+        .distinct()
+        .orderBy("name")
+        .limit(n)
+    )
+    return series.join(F.broadcast(kept), "name", "left_semi")

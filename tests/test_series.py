@@ -304,3 +304,24 @@ def test_interpolate(spark):
     lim = _as_dict(S.interpolate(df, limit=1))
     assert lim[("a", 60)] is None
     assert lim[("a", 180)] == 7.0
+
+
+def test_weighted_average(spark):
+    vals = spark.createDataFrame(
+        [("a", 0, 10.0), ("b", 0, 20.0), ("a", 60, 4.0)],
+        "name string, ts long, value double",
+    )
+    wts = spark.createDataFrame(
+        [("a", 0, 1.0), ("b", 0, 3.0), ("a", 60, 0.0)],
+        "name string, ts long, value double",
+    )
+    out = {r["ts"]: r["value"] for r in S.weighted_average(vals, wts).collect()}
+    assert out[0] == pytest.approx((10.0 * 1 + 20.0 * 3) / 4)
+    assert out[60] is None  # zero total weight -> null, not division error
+
+
+def test_sort_by_maxima_and_limit(two_series):
+    ranked = {r["name"]: r["rank"] for r in S.sort_by_maxima(two_series).collect()}
+    assert ranked == {"b": 1, "a": 2}
+    lim = S.limit_series(two_series, 1)
+    assert {r["name"] for r in lim.collect()} == {"a"}  # name order

@@ -1413,7 +1413,7 @@ def gr_series_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
         combine(s, how).select(F.lit(func).alias("func"), "ts", F.round("value", 6).alias("value"))
         for func, how in (("sum", "sum"), ("average", "average"), ("max", "max"))
     ]
-    p50 = percentile_of_series(s, 0.5).select(
+    p50 = percentile_of_series(s, 50).select(
         F.lit("p50").alias("func"), "ts", F.round("value", 6).alias("value")
     )
     out = parts[0]
@@ -1554,19 +1554,31 @@ SELECT 'rap', s.name, s.ts,
 FROM s_err s JOIN (
   SELECT name, quantile_cont(value, 0.9) AS cut FROM s_err GROUP BY name
 ) c ON s.name = c.name
+UNION ALL
+SELECT 'wavg', CAST(NULL AS VARCHAR), v.ts,
+       ROUND(sum(v.value * w.value) / NULLIF(sum(w.value), 0), 6)
+FROM (SELECT string_split(name, '.')[3] AS k, ts, value FROM s_err) v
+JOIN (SELECT string_split(name, '.')[3] AS k, ts, value FROM s_all
+      WHERE starts_with(name, 'bg.purchase.')) w
+  ON v.k = w.k AND v.ts = w.ts
+GROUP BY v.ts
 """
 
 
 @_register("gr_ratio_pct", _gr_ratio_oracle())
 def gr_ratio_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """divideSeries (error share of total traffic) + stddevSeries +
-    removeAbovePercentile(90) — the graphite ratio/dispersion staples as
-    joins/windows over combined series."""
+    removeAbovePercentile(90) + weightedAverage(err, purchase, node=2) —
+    the graphite ratio/dispersion staples as joins/windows over combined
+    series.  weightedAverage pairs the two sides by the *user* name
+    component (node 2), graphite's node-keyed pairing — the full names
+    differ (bg.error.uNN vs bg.purchase.uNN) by design."""
     _utc(spark)
     from biggraphite_spark.functions.series import (
         divide_series,
         remove_above_percentile,
         stddev_series,
+        weighted_average,
     )
 
     s_err = _hourly_finals(spark, sf_dir, "bg.error.*").cache()
@@ -1579,10 +1591,15 @@ def gr_ratio_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sd = stddev_series(s_all).select(
         F.lit("stddev").alias("func"), null_name, "ts", F.round("value", 6).alias("value")
     )
-    rap = remove_above_percentile(s_err, 0.9).select(
+    rap = remove_above_percentile(s_err, 90).select(
         F.lit("rap").alias("func"), "name", "ts", F.round("value", 6).alias("value")
     )
-    return ratio.unionAll(sd).unionAll(rap)
+    wavg = weighted_average(
+        s_err, s_all.filter(F.col("name").startswith("bg.purchase.")), 2
+    ).select(
+        F.lit("wavg").alias("func"), null_name, "ts", F.round("value", 6).alias("value")
+    )
+    return ratio.unionAll(sd).unionAll(rap).unionAll(wavg)
 
 
 _GR_SLICE_LO = _GR_START + 2 * 86400
@@ -1645,7 +1662,7 @@ def gr_filter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = exclude(average_above(s, thr), r"u1[0-9]$")
     rounded = F.round("value", 6).alias("value")
-    npct = n_percentile(kept, 0.9).select(
+    npct = n_percentile(kept, 90).select(
         F.lit("npct").alias("func"), "name", "ts", rounded
     )
     bynode = group_by_node(s, 1, "sum").select(
@@ -1673,9 +1690,10 @@ SELECT 'linreg' AS func, s.name AS name, s.ts AS ts,
 FROM s JOIN fit f ON s.name = f.name
 UNION ALL
 SELECT 'mmed4', name, ts, ROUND(median(value) OVER w4, 6) FROM s
-WINDOW w4 AS (PARTITION BY name ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+WINDOW w4 AS (PARTITION BY name ORDER BY ts ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+QUALIFY row_number() OVER (PARTITION BY name ORDER BY ts) > 4
 UNION ALL
-SELECT 'stdev4', name, ts, ROUND(stddev_samp(value) OVER w5, 6) FROM s
+SELECT 'stdev4', name, ts, ROUND(stddev_pop(value) OVER w5, 6) FROM s
 WINDOW w5 AS (PARTITION BY name ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
 UNION ALL
 SELECT 'changed', name, ts,
@@ -1688,10 +1706,12 @@ FROM s WINDOW w1 AS (PARTITION BY name ORDER BY ts)
 @_register("gr_window_stats", _GR_WINDOW_ORACLE)
 def gr_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """linearRegression + movingMedian(4) + stdev(4) + changed — the
-    analytic-window render functions.  The regression is built-in
-    regr_slope/regr_intercept (no UDF) with x rebased per series for
-    numeric stability; all four branches share the cached input's single
-    (name)-hash exchange."""
+    analytic-window render functions.  movingMedian follows graphite's
+    current-exclusive trailing window with the first 4 buckets consumed as
+    warm-up; stdev is graphite's population deviation.  The regression is
+    built-in regr_slope/regr_intercept (no UDF) with x rebased per series
+    for numeric stability; all four branches share the cached input's
+    single (name)-hash exchange."""
     _utc(spark)
     from biggraphite_spark.functions.series import (
         changed,
@@ -1764,6 +1784,12 @@ SELECT 'range', NULL, ts, ROUND(max(value) - min(value), 6) FROM s GROUP BY ts
 UNION ALL
 SELECT 'count', NULL, ts, ROUND(CAST(count(value) AS DOUBLE), 6) FROM s GROUP BY ts
 UNION ALL
+SELECT 'product', NULL, ts,
+       ROUND(CASE WHEN count(*) = count(value)
+                  THEN sign(product(value)) * log10(abs(product(value)) + 1)
+             END, 6) + 0.0
+FROM s GROUP BY ts
+UNION ALL
 SELECT 'wild', concat_ws('.', string_split(name, '.')[1], string_split(name, '.')[3]),
        ts, ROUND(avg(value), 6)
 FROM s GROUP BY 2, 3
@@ -1773,8 +1799,13 @@ FROM s GROUP BY 2, 3
 @_register("gr_interp_arith", _gr_interp_oracle())
 def gr_interp_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """interpolate (linear gap fill, pure window algebra) + logarithm +
-    offsetToZero + delay + rangeOfSeries/countSeries combinators +
-    averageSeriesWithWildcards(1) over the gapped daily grid."""
+    offsetToZero + delay + rangeOfSeries/countSeries/multiplySeries
+    combinators + averageSeriesWithWildcards(1) over the gapped daily grid.
+    multiplySeries is compared in signed-log space (sign·log10(|p|+1)) so
+    the order-dependent float product's last-ulp wobble — relative, hence
+    tiny and absolute after the log — survives the 6-digit rounding both
+    engines hash at; the gapped grid also exercises its any-null-is-null
+    gate."""
     _utc(spark)
     from biggraphite_spark.functions.series import (
         average_series_with_wildcards,
@@ -1782,6 +1813,7 @@ def gr_interp_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         delay,
         interpolate,
         logarithm,
+        multiply_series,
         offset_to_zero,
         range_of_series,
     )
@@ -1812,6 +1844,13 @@ def gr_interp_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = out.unionAll(
         count_series(s).select(F.lit("count").alias("func"), null_name, "ts", rounded)
+    )
+    p = F.col("value")
+    signed_log = (F.round(F.signum(p) * F.log10(F.abs(p) + 1), 6) + 0.0).alias("value")
+    out = out.unionAll(
+        multiply_series(s).select(
+            F.lit("product").alias("func"), null_name, "ts", signed_log
+        )
     )
     out = out.unionAll(
         average_series_with_wildcards(s, 1).select(

@@ -63,12 +63,14 @@ def _analysis(values: list, season_length: int) -> tuple[list, list]:
         j = i - season_length
         return deviations[j] if j >= 0 else 0.0
 
-    slope = 0.0
     next_pred = None
     for i, actual in enumerate(values):
         if actual is None:
+            # graphite zeroes the slope across a gap (functions.py
+            # holtWintersAnalysis: slopes.append(0)); the recurrence resumes
+            # from zero slope at the next known bucket, NOT the stale one
             intercepts.append(None)
-            slopes.append(slope)
+            slopes.append(0.0)
             seasonals.append(0.0)
             predictions.append(next_pred)
             deviations.append(0.0)

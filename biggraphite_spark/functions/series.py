@@ -36,6 +36,15 @@ def _check_how(how: str) -> None:
         raise ValueError(f"unknown series function {how!r}; one of {sorted(_COMBINE)}")
 
 
+def _pct_frac(pct: float) -> float:
+    """Graphite's percentile functions take a *percent* (nPercentile(90)),
+    not a fraction; normalize and validate once so every family member
+    agrees (render/functions.py nPercentile/removeAbovePercentile)."""
+    if not 0 < pct <= 100:
+        raise ValueError(f"percentile must be in (0, 100], got {pct!r}")
+    return pct / 100.0
+
+
 def summarize(series: DataFrame, precision: int, how: str = "sum") -> DataFrame:
     """graphite ``summarize(series, interval, func)``: re-bucket each series
     to ``precision`` seconds with the given combinator."""
@@ -59,9 +68,10 @@ def combine(series: DataFrame, how: str = "sum", name: str | None = None) -> Dat
 
 def percentile_of_series(series: DataFrame, pct: float) -> DataFrame:
     """``percentileOfSeries``: per-bucket exact interpolated percentile across
-    all series (matches graphite's sorted-interpolation definition)."""
+    all series (matches graphite's sorted-interpolation definition).
+    ``pct`` is a graphite-style percent, e.g. 50 for the median."""
     return series.groupBy("ts").agg(
-        F.percentile("value", F.lit(pct)).alias("value")
+        F.percentile("value", F.lit(_pct_frac(pct))).alias("value")
     )
 
 
@@ -221,9 +231,10 @@ def stddev_series(series: DataFrame) -> DataFrame:
 
 def remove_above_percentile(series: DataFrame, pct: float) -> DataFrame:
     """``removeAbovePercentile``: null out values above each series' own
-    exact percentile (graphite nulls, never drops, the bucket)."""
+    exact percentile (graphite nulls, never drops, the bucket).  ``pct`` is
+    a graphite-style percent (removeAbovePercentile(90))."""
     cut = series.groupBy("name").agg(
-        F.percentile("value", F.lit(pct)).alias("cut")
+        F.percentile("value", F.lit(_pct_frac(pct))).alias("cut")
     )
     return series.join(F.broadcast(cut), "name").select(
         "name", "ts", F.when(F.col("value") <= F.col("cut"), F.col("value")).alias("value")
@@ -286,10 +297,13 @@ def minimum_below(series: DataFrame, n: float) -> DataFrame:
 
 def n_percentile(series: DataFrame, pct: float) -> DataFrame:
     """``nPercentile``: replace each series by the flat line of its own
-    exact percentile (same interpolated definition as graphite)."""
+    exact percentile (same interpolated definition as graphite).  ``pct``
+    is a graphite-style percent — nPercentile(90), not 0.9; a caller
+    porting a render target passes the number graphite shows."""
     w = Window.partitionBy("name")
     return series.select(
-        "name", "ts", F.percentile("value", F.lit(pct)).over(w).alias("value")
+        "name", "ts",
+        F.percentile("value", F.lit(_pct_frac(pct))).over(w).alias("value"),
     )
 
 
@@ -327,9 +341,9 @@ def lowest(series: DataFrame, n: int, how: str = "average") -> DataFrame:
 
 def remove_below_percentile(series: DataFrame, pct: float) -> DataFrame:
     """``removeBelowPercentile``: null out values below each series' own
-    exact percentile."""
+    exact percentile.  ``pct`` is a graphite-style percent."""
     cut = series.groupBy("name").agg(
-        F.percentile("value", F.lit(pct)).alias("cut")
+        F.percentile("value", F.lit(_pct_frac(pct))).alias("cut")
     )
     return series.join(F.broadcast(cut), "name").select(
         "name", "ts", F.when(F.col("value") >= F.col("cut"), F.col("value")).alias("value")
@@ -433,15 +447,17 @@ def changed(series: DataFrame) -> DataFrame:
 
 def moving_median(series: DataFrame, points: int) -> DataFrame:
     """``movingMedian``: exact median over the trailing ``points`` buckets
-    (current inclusive) of each series.  Spark refuses percentile-family
-    aggregates over a window frame, so the median is spelled out as
-    sorted-frame array algebra (collect_list skips nulls, matching
-    graphite's known-values semantics); the frame holds ≤ ``points`` values
-    so the per-row array is tiny."""
+    of each series, EXCLUDING the current bucket, with the first ``points``
+    buckets consumed as warm-up (graphite render/functions.py movingMedian:
+    ``window = series[i - windowSize:i]`` emitted for ``i >= windowSize``).
+    Spark refuses percentile-family aggregates over a window frame, so the
+    median is spelled out as sorted-frame array algebra (collect_list skips
+    nulls, matching graphite's known-values semantics); the frame holds
+    ≤ ``points`` values so the per-row array is tiny."""
     w = (
         Window.partitionBy("name")
         .orderBy("ts")
-        .rowsBetween(-(points - 1), Window.currentRow)
+        .rowsBetween(-points, -1)
     )
     arr = F.array_sort(F.collect_list("value").over(w))
     n = F.size(arr)
@@ -453,19 +469,27 @@ def moving_median(series: DataFrame, points: int) -> DataFrame:
     med = F.when(n == 0, F.lit(None)).otherwise(
         F.when(n % 2 == 1, odd).otherwise(even)
     )
-    return series.select("name", "ts", med.alias("value"))
+    rn = F.row_number().over(Window.partitionBy("name").orderBy("ts"))
+    return (
+        series.select("name", "ts", med.alias("value"), rn.alias("_rn"))
+        .filter(F.col("_rn") > points)
+        .drop("_rn")
+    )
 
 
 def stdev(series: DataFrame, points: int) -> DataFrame:
-    """``stdev``: moving sample standard deviation over the trailing
-    ``points`` buckets of each series (single-row windows yield null)."""
+    """``stdev``: moving *population* standard deviation over the trailing
+    ``points`` buckets of each series, current bucket inclusive — graphite's
+    stdev computes ``sqrt(n·Σx² − (Σx)²)/n`` over its streaming window
+    (render/functions.py stdev), which is stddev_pop, not stddev_samp;
+    single-known-value windows therefore yield 0, as graphite emits."""
     w = (
         Window.partitionBy("name")
         .orderBy("ts")
         .rowsBetween(-(points - 1), Window.currentRow)
     )
     return series.select(
-        "name", "ts", F.stddev_samp("value").over(w).alias("value")
+        "name", "ts", F.stddev_pop("value").over(w).alias("value")
     )
 
 
@@ -531,11 +555,15 @@ def range_of_series(series: DataFrame) -> DataFrame:
 def multiply_series(series: DataFrame) -> DataFrame:
     """``multiplySeries``: per-bucket product across series — a running
     ``aggregate`` over the bucket's collected values (series-set cardinality
-    is dashboard-sized, so the collect_list stays tiny)."""
+    is dashboard-sized, so the collect_list stays tiny).  Graphite's safeMul
+    returns None when ANY constituent is None, so the product is gated on
+    bucket completeness: a bucket with any null value yields null."""
+    prod = F.aggregate(
+        F.collect_list("value"), F.lit(1.0), lambda acc, x: acc * x
+    )
+    complete = F.count(F.lit(1)) == F.count("value")
     return series.groupBy("ts").agg(
-        F.aggregate(
-            F.collect_list("value"), F.lit(1.0), lambda acc, x: acc * x
-        ).alias("value")
+        F.when(complete, prod).alias("value")
     )
 
 
@@ -603,13 +631,26 @@ def _step_col() -> Column:
     return F.min(F.col("ts") - F.lag("ts").over(w)).over(Window.partitionBy("name"))
 
 
-def weighted_average(values: DataFrame, weights: DataFrame) -> DataFrame:
+def weighted_average(values: DataFrame, weights: DataFrame, *nodes: int) -> DataFrame:
     """``weightedAverage``: per-bucket Σ(value·weight)/Σ(weight) across the
-    two series sets joined on (name, ts) — graphite pairs avg-series with
-    count-series to undo pre-averaged rollups."""
-    v = values.select("name", "ts", F.col("value").alias("v"))
-    w = weights.select("name", "ts", F.col("value").alias("w"))
-    joined = v.join(w, ["name", "ts"])
+    two series sets — graphite pairs avg-series with count-series to undo
+    pre-averaged rollups.
+
+    Graphite pairs the two sides by the selected *node* components
+    (``weightedAverage(avgList, weightList, *nodes)``), not by identical
+    full names — the avg series is ``….avg`` and its weight ``….count``, so
+    a full-name join would match nothing.  Pass the 0-based node positions
+    whose dot-components identify the pair (each side must be unique per
+    key, as graphite's dict-keyed pairing assumes); with no nodes the join
+    falls back to the full name, for callers who pre-aliased both sides."""
+    if nodes:
+        parts = F.split(F.col("name"), r"\.")
+        key = F.concat_ws(".", *[F.element_at(parts, i + 1) for i in nodes])
+    else:
+        key = F.col("name")
+    v = values.select(key.alias("k"), "ts", F.col("value").alias("v"))
+    w = weights.select(key.alias("k"), "ts", F.col("value").alias("w"))
+    joined = v.join(w, ["k", "ts"])
     return joined.groupBy("ts").agg(
         (F.sum(F.col("v") * F.col("w")) / F.nullif(F.sum("w"), F.lit(0.0))).alias(
             "value"

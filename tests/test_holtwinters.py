@@ -62,6 +62,31 @@ def test_matches_reference_recurrence(spark):
             assert r["upper"] == pytest.approx(preds[i] + DELTA * devs[i])
 
 
+def test_gap_resets_slope_to_graphite_values(spark):
+    """Hand-computed graphite golden across a mid-series gap — pinned to
+    numbers worked out on paper from graphite-web's holtWintersAnalysis
+    (alpha=0.1, beta=0.0035, gamma=0.1), NOT to _analysis, so a drift in
+    the implementation can't hide in its own twin.  The decisive value is
+    the post-gap forecast: graphite appends slope 0 for a None bucket, so
+    the 12.0 bucket restarts from zero slope (a stale pre-gap slope of
+    0.0035 would shift the next forecast to ~11.916334)."""
+    vals = [10.0, 20.0, None, 12.0, 13.0]
+    out = (
+        holt_winters(_rows(spark, vals), step=60, season_length=2)
+        .orderBy("ts")
+        .collect()
+    )
+    expected_forecast = [10.0, 10.0, 11.0035, None, 11.909685]
+    expected_deviation = [0.0, 1.0, 0.0, 2.1, 0.1090315]
+    for r, want_f, want_d in zip(out, expected_forecast, expected_deviation):
+        if want_f is None:
+            assert r["forecast"] is None
+        else:
+            assert r["forecast"] == pytest.approx(want_f, abs=1e-9)
+            assert r["upper"] == pytest.approx(want_f + DELTA * want_d, abs=1e-9)
+            assert r["lower"] == pytest.approx(want_f - DELTA * want_d, abs=1e-9)
+
+
 def test_bootstrap_trim(spark):
     df = _rows(spark, [1.0] * 20)
     out = holt_winters(df, step=60, season_length=5)

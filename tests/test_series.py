@@ -109,7 +109,7 @@ def test_diff_and_divide_series(spark):
 def test_remove_above_percentile_nulls_not_drops(spark):
     rows = [("m", i * 60, float(i)) for i in range(10)]
     df = spark.createDataFrame(rows, "name string, ts long, value double")
-    out = _as_dict(S.remove_above_percentile(df, 0.5))
+    out = _as_dict(S.remove_above_percentile(df, 50))
     assert len(out) == 10  # buckets survive
     assert out[("m", 0)] == 0.0
     assert out[("m", 540)] is None  # above the per-series p50 -> nulled
@@ -147,7 +147,7 @@ def test_grep_and_exclude(two_series):
 
 
 def test_n_percentile_is_flat_per_series(two_series):
-    got = _as_dict(S.n_percentile(two_series, 0.5))
+    got = _as_dict(S.n_percentile(two_series, 50))  # graphite-style percent
     # a: sorted [1,2,3,10] -> interpolated p50 = 2.5, every bucket
     assert got[("a", 0)] == pytest.approx(2.5)
     assert got[("a", 180)] == pytest.approx(2.5)
@@ -179,7 +179,7 @@ def test_clamp_nulls_outside_bounds(two_series):
 def test_remove_below_percentile(spark):
     rows = [("m", i * 60, float(i)) for i in range(10)]
     df = spark.createDataFrame(rows, "name string, ts long, value double")
-    out = _as_dict(S.remove_below_percentile(df, 0.5))
+    out = _as_dict(S.remove_below_percentile(df, 50))
     assert len(out) == 10
     assert out[("m", 0)] is None
     assert out[("m", 540)] == 9.0
@@ -233,15 +233,18 @@ def test_delay_and_changed(two_series):
 
 
 def test_moving_median_and_stdev(spark):
+    # graphite movingMedian: trailing window EXCLUDING the current bucket,
+    # first windowSize buckets consumed as warm-up (emitted from i=windowSize)
     rows = [("a", t, v) for t, v in ((0, 1.0), (60, 9.0), (120, 2.0), (180, 4.0))]
     df = spark.createDataFrame(rows, "name string, ts long, value double")
     mm = _as_dict(S.moving_median(df, 3))
-    assert mm[("a", 0)] == 1.0
-    assert mm[("a", 120)] == 2.0  # median(1, 9, 2)
-    assert mm[("a", 180)] == 4.0  # median(9, 2, 4)
+    assert ("a", 0) not in mm and ("a", 120) not in mm  # warm-up dropped
+    assert mm == {("a", 180): 2.0}  # median(1, 9, 2) — current (4.0) excluded
+    # graphite stdev: population deviation, current inclusive, from row 0
     sd = _as_dict(S.stdev(df, 2))
-    assert sd[("a", 0)] is None  # single-sample window
-    assert sd[("a", 60)] == pytest.approx(((1 - 5) ** 2 * 2 / 1) ** 0.5)
+    assert sd[("a", 0)] == 0.0  # single-sample window: graphite emits 0
+    assert sd[("a", 60)] == pytest.approx(4.0)   # pop-stdev(1, 9)
+    assert sd[("a", 120)] == pytest.approx(3.5)  # pop-stdev(9, 2)
 
 
 def test_linear_regression_exact_fit(spark):
@@ -270,6 +273,8 @@ def test_across_series_combinators(two_series):
     mul = {r["ts"]: r["value"] for r in S.multiply_series(two_series).collect()}
     assert mul[0] == 100.0
     assert mul[120] == 180.0
+    assert mul[60] is None  # graphite safeMul: any-null bucket -> None
+    assert mul[180] == 10.0  # single known series: product of one
 
 
 def test_average_series_with_wildcards(spark):
@@ -318,6 +323,24 @@ def test_weighted_average(spark):
     out = {r["ts"]: r["value"] for r in S.weighted_average(vals, wts).collect()}
     assert out[0] == pytest.approx((10.0 * 1 + 20.0 * 3) / 4)
     assert out[60] is None  # zero total weight -> null, not division error
+
+
+def test_weighted_average_pairs_by_node(spark):
+    # graphite's documented use: …avg paired with …count — full names differ,
+    # the node components pair them (weightedAverage(avgList, wtList, 1))
+    vals = spark.createDataFrame(
+        [("app.u1.avg", 0, 10.0), ("app.u2.avg", 0, 20.0)],
+        "name string, ts long, value double",
+    )
+    wts = spark.createDataFrame(
+        [("app.u1.count", 0, 1.0), ("app.u2.count", 0, 3.0)],
+        "name string, ts long, value double",
+    )
+    out = {r["ts"]: r["value"] for r in S.weighted_average(vals, wts, 1).collect()}
+    assert out[0] == pytest.approx((10.0 * 1 + 20.0 * 3) / 4)
+    # full-name join (no nodes) matches nothing here — the bug the node
+    # pairing exists to avoid
+    assert S.weighted_average(vals, wts).count() == 0
 
 
 def test_sort_by_maxima_and_limit(two_series):

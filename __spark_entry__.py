@@ -1896,22 +1896,114 @@ def doc_token_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_count(docs).join(rolling_fingerprint(docs), "doc_id")
 
 
-@_register("gr_holt_winters")  # rows-only: sequential recurrence, not SQL-expressible
+def _hw_oracle(season: int = 3) -> str:
+    """graphite's holtWintersAnalysis recurrence as a DuckDB recursive CTE.
+
+    The iteration carries (intercept, slope, seasonal/deviation histories,
+    next prediction) per series and advances one bucket per recursion step;
+    expressions are written in the exact operation order of
+    functions/holtwinters.py::_analysis, so on identical (6-digit-rounded)
+    inputs both engines produce bit-identical doubles — verified exact at
+    sf0.001 before wiring in.  NB: every numeric state column must be cast
+    DOUBLE in the base case, else DuckDB types `0.0` as DECIMAL(2,1) and
+    silently truncates the whole recurrence."""
+    S = season
+    return f"""
+WITH RECURSIVE
+pts AS ({_PTS}),
+m AS (SELECT DISTINCT name FROM pts WHERE regexp_matches(name, '{_GAP_RX}')),
+d AS ({_oracle_final(86400, where=f"sec >= {_GAP_START} AND sec < {NOW}")}),
+grid AS (SELECT m.name AS name, g.ts AS ts FROM m
+         CROSS JOIN (SELECT CAST(ts AS BIGINT) AS ts
+                     FROM generate_series({_GAP_START}, {NOW - 86400}, 86400) t(ts)) g),
+s AS (SELECT grid.name AS name, grid.ts AS ts, ROUND(d.value, 6) AS value
+      FROM grid LEFT JOIN d ON d.name = grid.name AND d.ts = grid.ts),
+idx AS (SELECT name, ts, value,
+               CAST(row_number() OVER (PARTITION BY name ORDER BY ts) - 1 AS BIGINT) AS i
+        FROM s),
+rec AS (
+  SELECT name, CAST(-1 AS BIGINT) AS i,
+         CAST(NULL AS DOUBLE) AS icept, CAST(0.0 AS DOUBLE) AS slope,
+         CAST([] AS DOUBLE[]) AS seas, CAST([] AS DOUBLE[]) AS devs,
+         CAST(NULL AS DOUBLE) AS next_pred,
+         CAST(NULL AS DOUBLE) AS prediction, CAST(NULL AS DOUBLE) AS deviation
+  FROM m
+  UNION ALL
+  SELECT name, i,
+         CASE WHEN actual IS NULL THEN NULL ELSE icept_new END,
+         CASE WHEN actual IS NULL THEN CAST(0.0 AS DOUBLE) ELSE slope_new END,
+         list_append(seas, CASE WHEN actual IS NULL THEN 0.0 ELSE seasonal_new END),
+         list_append(devs, CASE WHEN actual IS NULL THEN 0.0 ELSE deviation_new END),
+         CASE WHEN actual IS NULL THEN NULL
+              ELSE icept_new + slope_new +
+                   (CASE WHEN i + 1 >= {S}
+                         THEN list_append(seas, seasonal_new)[i + 2 - {S}] ELSE 0.0 END) END,
+         prediction_new,
+         CASE WHEN actual IS NULL THEN 0.0 ELSE deviation_new END
+  FROM (
+    SELECT h.*,
+           0.0035 * (icept_new - last_icept) + (1 - 0.0035) * last_slope AS slope_new,
+           0.1 * (actual - icept_new) + (1 - 0.1) * seasonal_now AS seasonal_new,
+           0.1 * abs(actual - COALESCE(prediction_new, 0.0)) + (1 - 0.1) * seasonal_dev AS deviation_new
+    FROM (
+      SELECT g.*,
+             0.1 * (actual - seasonal_now) + (1 - 0.1) * (last_icept + last_slope) AS icept_new
+      FROM (
+        SELECT r.name AS name, x.i AS i, x.value AS actual,
+               r.seas AS seas, r.devs AS devs,
+               CASE WHEN x.i = 0 THEN x.value ELSE COALESCE(r.icept, x.value) END AS last_icept,
+               CASE WHEN x.i = 0 THEN CAST(0.0 AS DOUBLE) ELSE r.slope END AS last_slope,
+               CASE WHEN x.i >= {S} THEN r.seas[x.i - {S} + 1] ELSE 0.0 END AS seasonal_now,
+               CASE WHEN x.i >= {S} THEN r.devs[x.i - {S} + 1] ELSE 0.0 END AS seasonal_dev,
+               CASE WHEN x.i = 0 THEN x.value ELSE r.next_pred END AS prediction_new
+        FROM rec r JOIN idx x ON x.name = r.name AND x.i = r.i + 1
+      ) g
+    ) h
+  ) z
+)
+SELECT x.name AS name, x.ts AS ts, ROUND(x.value, 6) AS value,
+       ROUND(r.prediction, 6) AS forecast,
+       ROUND(r.prediction + 3.0 * r.deviation, 6) AS upper,
+       ROUND(r.prediction - 3.0 * r.deviation, 6) AS lower,
+       ROUND(CASE WHEN x.value IS NOT NULL AND r.prediction IS NOT NULL
+                       AND x.value > r.prediction + 3.0 * r.deviation
+                  THEN x.value - (r.prediction + 3.0 * r.deviation)
+                  WHEN x.value IS NOT NULL AND r.prediction IS NOT NULL
+                       AND x.value < r.prediction - 3.0 * r.deviation
+                  THEN x.value - (r.prediction - 3.0 * r.deviation)
+                  ELSE 0.0 END, 6) AS aberration
+FROM rec r JOIN idx x ON x.name = r.name AND x.i = r.i
+WHERE r.i >= 0
+"""
+
+
+@_register("gr_holt_winters", _hw_oracle())
 def gr_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """holtWintersForecast + ConfidenceBands + Aberration over the daily
     grid — graphite's anomaly-band family.  The per-series recurrence
     (every bucket depends on the previous bucket AND the same bucket one
-    season ago) is the designed applyInPandas escape hatch; no oracle
-    because DuckDB cannot express the iteration, the driver records the
-    rows-only check.  Unit goldens live in test_holtwinters.py."""
+    season ago) is the designed applyInPandas escape hatch; the DuckDB
+    oracle replays the same recurrence as a recursive CTE (see _hw_oracle)
+    so the family is independently verified, not self-golden.  Inputs are
+    rounded to 6 digits on both sides so the recurrences start from
+    identical doubles; outputs rounded likewise."""
     _utc(spark)
     from biggraphite_spark.functions.holtwinters import holt_winters
 
     catalog = load_catalog(spark, sf_dir)
     metrics = find_metrics(catalog, "bg.error.u*")
     fetched = fetch_points(_stage1(spark, sf_dir), metrics, _GAP_START, NOW, target=STAGE2)
-    dense = dense_series(fetched, metrics, _GAP_START, NOW, 86400)
-    return holt_winters(dense, step=86400, season_length=3)
+    dense = dense_series(fetched, metrics, _GAP_START, NOW, 86400).withColumn(
+        "value", F.round("value", 6)
+    )
+    hw = holt_winters(dense, step=86400, season_length=3)
+    return hw.select(
+        "name", "ts", "value",
+        F.round("forecast", 6).alias("forecast"),
+        F.round("upper", 6).alias("upper"),
+        F.round("lower", 6).alias("lower"),
+        F.round("aberration", 6).alias("aberration"),
+    )
 
 
 # ---------------------------------------------------------------------------

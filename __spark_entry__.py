@@ -37,8 +37,11 @@ from biggraphite_spark.sources.events import (
     ORACLE_NAME,
     ORACLE_TS,
     RETENTION,
+    event_ts_seconds,
     load_catalog,
+    load_events,
     load_stage0,
+    metric_name_col,
 )
 
 STAGE1 = Stage.from_string("1000*3600s")
@@ -231,6 +234,73 @@ def bg_downsample_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     so this checks merge(partials) == recompute identity."""
     _utc(spark)
     df = rollup_partials(_stage1(spark, sf_dir), STAGE2)
+    return df.select(
+        "name", "ts", F.round("value", 6).alias("value"),
+        F.col("count").alias("pcount"), "aggregator",
+    )
+
+
+_DUPSLOT_ORACLE = f"""
+WITH pts AS ({_PTS}),
+p AS (SELECT name, aggregator, sec, value, epoch_ns(rts) AS rns FROM pts
+      WHERE starts_with(name, 'bg.purchase.')),
+aug AS (
+  SELECT name, aggregator, sec, value, rns FROM p
+  UNION ALL
+  SELECT name, aggregator, sec, value * 3 + 1, rns + 1 FROM p
+),
+slots AS (
+  -- newest-wins per slot; (sec, rns) lexicographic == rns alone, since
+  -- sec is rns // 1e9 (monotone in rns)
+  SELECT name, aggregator, (sec // 60) * 60 AS ts,
+         arg_max(value, rns) AS value
+  FROM aug GROUP BY 1, 2, 3
+),
+d AS (
+  SELECT name, aggregator, (ts // 3600) * 3600 AS hts,
+         CASE aggregator WHEN 'minimum' THEN min(value)
+              WHEN 'maximum' THEN max(value)
+              WHEN 'last' THEN arg_max(value, ts)
+              ELSE sum(value) END AS value,
+         CAST(count(value) AS BIGINT) AS pcount
+  FROM slots GROUP BY 1, 2, 3
+)
+SELECT name, hts AS ts, ROUND(value, 6) AS value, pcount, aggregator FROM d
+"""
+
+
+@_register("bg_downsample_dupslots", _DUPSLOT_ORACLE)
+def bg_downsample_dupslots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage0 slot semantics composed into the default pipeline (SURVEY
+    §2.3 A3, reference ring buffer drivers/_downsampling.py:128-189):
+    every purchase point is resent once as a correction in the SAME 60s
+    stage0 slot (same second, arrival +1ns, value*3+1).  newest-wins must
+    aggregate the correction only — the pre-fix pipeline summed both,
+    doubling count and corrupting averages.  Runs downsample_all, which
+    now normalizes slots before the first aggregation."""
+    _utc(spark)
+    from biggraphite_spark.model import Retention
+    from biggraphite_spark.operators.downsample import downsample_all
+
+    ev = load_events(spark, sf_dir)
+    pts = (
+        ev.select(
+            metric_name_col().alias("name"),
+            event_ts_seconds(ev).alias("ts"),
+            F.when(F.isnan("value"), None).otherwise(F.col("value")).alias("value"),
+            F.col("ts").alias("rns"),  # arrival order: raw nanosecond stamp
+        )
+        .filter(F.col("name").startswith("bg.purchase."))
+    )
+    corrected = pts.select(
+        "name", "ts", (F.col("value") * 3 + 1).alias("value"),
+        (F.col("rns") + 1).alias("rns"),
+    )
+    aug = pts.unionByName(corrected)
+    catalog = load_catalog(spark, sf_dir)
+    ret = Retention.from_string("44640*60s:1000*3600s")
+    tables = downsample_all(aug, catalog, list(ret.stages), arrival_col="rns")
+    df = tables["1000*3600s"]
     return df.select(
         "name", "ts", F.round("value", 6).alias("value"),
         F.col("count").alias("pcount"), "aggregator",

@@ -137,12 +137,31 @@ def copy_to_retention(
     return out
 
 
-def downsample_all(points0: DataFrame, catalog: DataFrame, stages: list[Stage]) -> dict[str, DataFrame]:
+def downsample_all(
+    points0: DataFrame,
+    catalog: DataFrame,
+    stages: list[Stage],
+    arrival_col: str | None = None,
+    dedup_slots: bool = True,
+) -> dict[str, DataFrame]:
     """Produce every aggregated stage, cascading coarser from finer.
 
     Returns {stage_string: DataFrame(name, ts, value, count, aggregator)}.
+
+    When ``stages`` includes a stage0, raw points are first normalized to
+    the reference's slot semantics (:func:`normalize_stage0` — one point
+    per stage0 step, newest wins), so a feed carrying resent/corrected
+    values aggregates the correction only, exactly like the reference's
+    ring buffer (drivers/_downsampling.py:128-189).  This costs one extra
+    (name, slot)-keyed exchange before the first stage's aggregation;
+    pass ``dedup_slots=False`` only when the feed guarantees at most one
+    point per slot (e.g. a deterministic batch recompute from a deduped
+    store), which restores the single-shuffle plan.
     """
     out: dict[str, DataFrame] = {}
+    stage0 = next((s for s in stages if s.stage0), None)
+    if dedup_slots and stage0 is not None:
+        points0 = normalize_stage0(points0, stage0, arrival_col)
     enriched = with_aggregator(points0, catalog)
     prev: DataFrame | None = None
     for st in stages:

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from biggraphite_spark.model import Retention, Stage
 from biggraphite_spark.operators.downsample import (
     copy_to_retention,
+    downsample_all,
     downsample_stage0,
     normalize_stage0,
     rollup_partials,
@@ -52,6 +53,28 @@ def test_golden_out_of_order(spark):
 def test_golden_average_carries_sum(spark):
     got = _run(spark, [(0, 1), (1, 2), (10, 15), (30, 25), (60, 150)], "average")
     assert got[0] == (192.0, 4)  # stored partial is the SUM; division at read
+
+
+def test_downsample_all_composes_slot_dedup(spark):
+    """downsample_all must normalize stage0 slots BEFORE aggregating — a
+    resent value in one slot contributes once (the newest), not twice
+    (reference ring buffer, drivers/_downsampling.py:128-189).  The same
+    overwrite feed as test_golden_total_with_slot_overwrite, but driven
+    through the default pipeline entry point."""
+    feed = [(0, 1), (1, 2), (10, 15), (30, 25), (60, 150), (300, 1500), (300, 1501)]
+    rows = [("m", ts, float(v), i) for i, (ts, v) in enumerate(feed)]
+    pts = spark.createDataFrame(rows, "name string, ts long, value double, arrival long")
+    catalog = spark.createDataFrame([("m", "total")], "name string, aggregator string")
+    ret = Retention.from_string("3*10s:3*100s")
+    out = downsample_all(pts, catalog, list(ret.stages), arrival_col="arrival")
+    got = {r["ts"]: (r["value"], r["count"]) for r in out["3*100s"].collect()}
+    assert got[0] == (192.0, 4)     # slot 0 keeps 2, not 1+2
+    assert got[300] == (1501.0, 1)  # same-ts resend: last arrival wins
+    # opt-out restores raw aggregation (single-shuffle plan for known-unique feeds)
+    raw = downsample_all(pts, catalog, list(ret.stages), dedup_slots=False)
+    got_raw = {r["ts"]: (r["value"], r["count"]) for r in raw["3*100s"].collect()}
+    assert got_raw[0] == (193.0, 5)
+    assert got_raw[300] == (3001.0, 2)
 
 
 # ---------------------------------------------------------------------------

@@ -852,6 +852,50 @@ def bg_find_dirs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_DIR_GLOBSTAR_PATTERNS = ("**", "bg.**", "bg.**.u4")
+
+
+def _find_dirs_globstar_oracle() -> str:
+    selects = []
+    for pat in _DIR_GLOBSTAR_PATTERNS:
+        rx = ("^(?:" + compile_glob(pat).regex + ")$").replace("'", "''")
+        selects.append(
+            f"""SELECT '{pat}' AS pattern, directory FROM (
+                  SELECT DISTINCT array_to_string(parts[1:n], '.') AS directory
+                  FROM (SELECT string_split(name, '.') AS parts FROM m),
+                       (SELECT unnest(generate_series(1, 8)) AS n)
+                  WHERE n < len(parts)
+                ) WHERE regexp_matches(directory, '{rx}')"""
+        )
+    return (
+        f"WITH m AS (SELECT DISTINCT {ORACLE_NAME} AS name FROM events) "
+        + " UNION ALL ".join(selects)
+    )
+
+
+@_register("bg_find_dirs_globstar", _find_dirs_globstar_oracle())
+def bg_find_dirs_globstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory globbing with ``**`` (SURVEY §2.7 U3; reference
+    glob_utils.py:297-335 accepts any glob for directories, exercised at
+    tests/drivers/base_test_metadata.py:163-181): proper prefixes at every
+    depth ≥ the pattern's fixed-component floor, regex-filtered.  The
+    battery covers all-dirs (**), anchored-prefix (bg.**) and a
+    fixed-suffix globstar that matches no branch node (bg.**.u4 — u4 only
+    exists as a leaf)."""
+    _utc(spark)
+    from biggraphite_spark.operators.find import find_directories
+
+    catalog = load_catalog(spark, sf_dir).cache()
+    parts = [
+        find_directories(catalog, pat).select(F.lit(pat).alias("pattern"), "directory")
+        for pat in _DIR_GLOBSTAR_PATTERNS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 _TR_CUTOFF = NOW - 7 * 86400
 _TR_RX = ("^(?:" + compile_glob("bg.*.u*").regex + ")$").replace("'", "''")
 _FIND_TIMERANGE_ORACLE = f"""

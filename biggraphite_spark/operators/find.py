@@ -85,23 +85,43 @@ def find_directories(catalog: DataFrame, pattern: str) -> DataFrame:
     """Directory (branch-node) listing under a glob.
 
     The reference materializes a directories table (CASSANDRA_DESIGN.md:
-    108-112); ES derives them from name prefixes (elasticsearch.py:587-629).
-    We derive: each matched *prefix* of depth len(pattern components) that
-    has strictly deeper metrics below it is a directory.
+    108-112); ES derives them from name prefixes (elasticsearch.py:587-629),
+    and ``glob_directory_names`` accepts any glob — including ``**`` —
+    through the same machinery (glob_utils.py:297-335, exercised at
+    tests/drivers/base_test_metadata.py:163-181).  We derive: each matched
+    *proper prefix* of a metric name is a directory.
+
+    Fixed-depth globs take one prefix per metric (the pattern's component
+    count); globstar globs explode every proper-prefix length ≥ the
+    pattern's fixed-component floor — a ≤max-depth blow-up (metric names
+    are ≤ MAX_GLOB_COMPONENTS deep) followed by one distinct, so the
+    candidate relation stays a small multiple of the catalog before the
+    authoritative regex filter prunes it.
     """
     if pattern == "":
         return catalog.limit(0).select(F.col("name").alias("directory"))
     plan = compile_glob(pattern)
-    n = (plan.depth_exact + 1) if plan.depth_exact is not None else None
-    if n is None:
-        # globstar listings fall back to regex over derived prefixes
-        raise NotImplementedError("directory globs with ** are not part of the reference surface")
-    # prefix of the first n components, only for metrics deeper than n-1
-    prefix = F.array_join(F.slice(F.split(F.col("name"), r"\."), 1, n), ".")
+    parts = F.split(F.col("name"), r"\.")
+    rx = "^(?:" + plan.regex + ")$"
+    if plan.depth_exact is not None:
+        n = plan.depth_exact + 1
+        # prefix of the first n components, only for metrics deeper than n-1
+        prefix = F.array_join(F.slice(parts, 1, n), ".")
+        cand = (
+            catalog.filter(F.col("depth") >= n)  # strictly deeper than the prefix
+            .select(prefix.alias("directory"))
+            .distinct()
+        )
+        return cand.filter(F.col("directory").rlike(rx)).orderBy("directory")
+    # globstar: a matching directory has at least depth_min+1 components
+    # (the fixed components must all be present); depth >= n_min also keeps
+    # the sequence() ascending — proper prefixes only
+    n_min = max(1, (plan.depth_min or 0) + 1)
+    lens = F.sequence(F.lit(n_min), F.size(parts) - 1)
+    prefixes = F.transform(lens, lambda n: F.array_join(F.slice(parts, F.lit(1), n), "."))
     cand = (
-        catalog.filter(F.col("depth") >= n)  # strictly deeper than the prefix
-        .select(prefix.alias("directory"))
+        catalog.filter(F.col("depth") >= n_min)
+        .select(F.explode(prefixes).alias("directory"))
         .distinct()
     )
-    rx = "^(?:" + plan.regex + ")$"
     return cand.filter(F.col("directory").rlike(rx)).orderBy("directory")

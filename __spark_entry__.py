@@ -1089,11 +1089,21 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Training-data pipeline: text analysis / dedup / similarity search
 # ---------------------------------------------------------------------------
 
-_TEXT_STATS_ORACLE = """
+def _sql_word_list(words) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+
+
+def _text_stats_oracle() -> str:
+    """Generated from operators.text.STOPWORDS — the engine and oracle
+    share one externalized word table by construction."""
+    from biggraphite_spark.operators.text import STOPWORDS
+
+    stops = _sql_word_list(STOPWORDS)
+    return f"""
 WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
 s AS (SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_types,
              length(text) AS n_chars,
-             len(list_filter(toks, t -> t IN ('the', 'a'))) AS n_stop
+             len(list_filter(toks, t -> t IN ({stops}))) AS n_stop
       FROM t)
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(n_types AS BIGINT) AS n_types,
        ROUND(n_types * 1.0 / n_tokens, 6) AS ttr,
@@ -1103,6 +1113,9 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(n_types AS BIGINT) AS 
              + least(n_tokens / 100.0, 1.0) * 0.2, 6) AS quality_score
 FROM s
 """
+
+
+_TEXT_STATS_ORACLE = _text_stats_oracle()
 
 
 @_register("doc_text_stats", _TEXT_STATS_ORACLE)
@@ -1115,21 +1128,41 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats(_load_parallel(spark, sf_dir, "documents"))
 
 
-_LANG_ID_ORACLE = """
+def _lang_id_oracle() -> str:
+    """Generated from operators.text.LANG_MARKERS — priority order and
+    marker words come from the one externalized table."""
+    from biggraphite_spark.operators.text import LANG_MARKERS
+
+    langs = list(LANG_MARKERS)
+    score_defs = ",\n             ".join(
+        f"CAST(len(list_filter(toks, t -> t IN ({_sql_word_list(LANG_MARKERS[lang])})))"
+        f" AS BIGINT) AS score_{lang}"
+        for lang in langs
+    )
+    whens = []
+    for i, lang in enumerate(langs):
+        later = [f"score_{other}" for other in langs[i + 1 :]]
+        cond = f"score_{lang} > 0"
+        if len(later) == 1:
+            cond += f" AND score_{lang} >= {later[0]}"
+        elif later:
+            cond += f" AND score_{lang} >= greatest({', '.join(later)})"
+        whens.append(f"WHEN {cond} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'und' END"
+    score_cols = ", ".join(f"score_{lang}" for lang in langs)
+    return f"""
 WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
 s AS (SELECT doc_id, lang,
-             CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS BIGINT) AS score_en,
-             CAST(len(list_filter(toks, t -> t IN ('der', 'die', 'und'))) AS BIGINT) AS score_de,
-             CAST(len(list_filter(toks, t -> t IN ('el', 'la', 'los'))) AS BIGINT) AS score_es
+             {score_defs}
       FROM t)
-SELECT doc_id, score_en, score_de, score_es,
-       CASE WHEN score_en >= greatest(score_de, score_es) AND score_en > 0 THEN 'en'
-            WHEN score_de >= score_es AND score_de > 0 THEN 'de'
-            WHEN score_es > 0 THEN 'es'
-            ELSE 'und' END AS predicted_lang,
+SELECT doc_id, {score_cols},
+       {case} AS predicted_lang,
        lang AS labeled_lang
 FROM s
 """
+
+
+_LANG_ID_ORACLE = _lang_id_oracle()
 
 
 @_register("doc_lang_id", _LANG_ID_ORACLE)

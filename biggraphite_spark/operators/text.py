@@ -13,14 +13,22 @@ oracle can mirror it exactly with string_split.
 
 from __future__ import annotations
 
+from collections.abc import Mapping
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: language marker words for the n-gram-free heuristic lang-id
+#: default stopword list for quality scoring — high-frequency English
+#: function words; callers pass their own per-corpus list
+STOPWORDS: tuple[str, ...] = ("the", "a", "an", "and", "of", "to", "in", "is")
+
+#: language marker words for the n-gram-free heuristic lang-id: top
+#: function words per language (not fitted to any fixture).  Dict order is
+#: the tie-break priority; callers pass their own table for other corpora.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
-    "en": ("the", "a"),
-    "de": ("der", "die", "und"),
-    "es": ("el", "la", "los"),
+    "en": ("the", "a", "and", "of", "to", "is", "in", "that"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "es": ("el", "la", "los", "que", "es", "una", "para", "con"),
 }
 
 
@@ -28,19 +36,25 @@ def tokens_col(text: Column) -> Column:
     return F.split(text, " ")
 
 
-def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def text_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = STOPWORDS,
+) -> DataFrame:
     """Per-document token counts + quality score.
 
     Columns: n_tokens, n_types (distinct tokens), ttr (type/token ratio),
     avg_word_len, stopword_ratio, quality_score — the length/punct/stopword
-    feature family used for corpus filtering.
+    feature family used for corpus filtering.  ``stopwords`` defaults to
+    :data:`STOPWORDS`; pass the corpus' own list.
     """
     toks = tokens_col(F.col(text_col))
     n_tokens = F.size(toks)
     n_types = F.size(F.array_distinct(toks))
     # single-space separation makes total word chars = len(text) - (n-1)
     avg_word_len = (F.length(text_col) - (n_tokens - 1)) / n_tokens
-    stop = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+    stop_set = tuple(stopwords)
+    stop = F.size(F.filter(toks, lambda t: t.isin(*stop_set)))
     stopword_ratio = stop / n_tokens
     ttr = n_types / n_tokens
     quality = (
@@ -59,10 +73,17 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def lang_id(
+    docs: DataFrame,
+    text_col: str = "text",
+    markers: Mapping[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
     """Marker-word language heuristic: count each language's markers, pick
-    the max with a fixed priority tie-break (en > de > es), 'und' when no
-    marker hits."""
+    the max with a fixed priority tie-break (the ``markers`` table's key
+    order), 'und' when no marker hits.  ``markers`` defaults to
+    :data:`LANG_MARKERS`; pass a per-corpus table to cover other languages
+    — the operator generalizes to any ordered {lang: marker words} map."""
+    table = LANG_MARKERS if markers is None else dict(markers)
     toks = tokens_col(F.col(text_col))
 
     def marker_count(words: tuple[str, ...]) -> Column:
@@ -70,19 +91,24 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         # (element, index), so a `w=words` default would receive the index
         return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
 
-    scores = {lang: marker_count(words) for lang, words in LANG_MARKERS.items()}
-    s_en, s_de, s_es = scores["en"], scores["de"], scores["es"]
-    predicted = (
-        F.when((s_en >= F.greatest(s_de, s_es)) & (s_en > 0), "en")
-        .when((s_de >= s_es) & (s_de > 0), "de")
-        .when(s_es > 0, "es")
-        .otherwise("und")
-    )
+    langs = list(table)
+    scores = {lang: marker_count(tuple(table[lang])) for lang in langs}
+    predicted = None
+    for i, lang in enumerate(langs):
+        s = scores[lang]
+        later = [scores[other] for other in langs[i + 1 :]]
+        cond = s > 0
+        if len(later) == 1:
+            cond = cond & (s >= later[0])
+        elif later:
+            cond = cond & (s >= F.greatest(*later))
+        predicted = (
+            F.when(cond, lang) if predicted is None else predicted.when(cond, lang)
+        )
+    predicted = F.lit("und") if predicted is None else predicted.otherwise("und")
     return docs.select(
         "doc_id",
-        s_en.alias("score_en"),
-        s_de.alias("score_de"),
-        s_es.alias("score_es"),
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
         predicted.alias("predicted_lang"),
         F.col("lang").alias("labeled_lang"),
     )

@@ -85,6 +85,25 @@ def test_lang_id_markers(docs):
     assert rows[0] == "en" and rows[3] == "de" and rows[4] == "und"
 
 
+def test_lang_id_custom_marker_table(spark):
+    """The marker table is a parameter, not a constant: an arbitrary
+    ordered {lang: words} map drives scores, schema and priority."""
+    df = spark.createDataFrame(
+        [(0, "le chat et le chien", "fr", "s", 19),
+         (1, "il gatto e il cane", "it", "s", 18),
+         (2, "x y z", "xx", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    table = {"fr": ("le", "et", "la"), "it": ("il", "e", "lo")}
+    out = {r["doc_id"]: r for r in lang_id(df, markers=table).collect()}
+    assert set(out[0].asDict()) == {
+        "doc_id", "score_fr", "score_it", "predicted_lang", "labeled_lang"
+    }
+    assert out[0]["predicted_lang"] == "fr" and out[0]["score_fr"] == 3
+    assert out[1]["predicted_lang"] == "it"
+    assert out[2]["predicted_lang"] == "und"
+
+
 def test_fingerprint_permutation_invariant(spark):
     df = spark.createDataFrame(
         [(0, "a b c", "en", "s", 5), (1, "c b a", "en", "s", 5), (2, "a b d", "en", "s", 5)],

@@ -58,6 +58,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--retention", required=True)
     sp = sub.add_parser("syncdb", help="materialize per-stage store skeleton")
     sp.add_argument("--path", required=True)
+    sp = sub.add_parser("info", help="display metadata for one metric")
+    sp.add_argument("metric")
+    sub.add_parser("test", help="smoke-check the engine end to end")
 
     args = p.parse_args(argv)
 
@@ -154,7 +157,47 @@ def _dispatch(args, eng) -> int:
 
         PointStore(args.path).sync(eng.retention)
         print(f"# synced {len(eng.retention.stages)} stage dirs under {args.path}")
+    elif args.cmd == "info":
+        # cli/command_info.py:36-47: exact-name lookup, metadata dict
+        row = eng.catalog.filter(F.col("name") == args.metric).first()
+        if row is None:
+            print(f"Metric '{args.metric}' doesn't exist")
+            return 1
+        meta = {
+            "aggregator": row["aggregator"],
+            "retention": row["retention"],
+            "carbon_xfilesfactor": f"{row['xfilesfactor']:.6f}",
+        }
+        print("Name: ", row["name"])
+        print("Metadata: ", meta)
+        print("Id: ", row["id"])
+        print("Created: ", row["created_on"], " Updated: ", row["updated_on"])
+    elif args.cmd == "test":
+        # cli/command_test.py: connect + basic usability probes; ours checks
+        # each engine surface and reports ok/fail per step
+        failures = 0
+        for label, probe in (
+            ("catalog", lambda: eng.catalog.count() > 0),
+            ("find", lambda: eng.find("*.**").count() >= 0),
+            ("read", lambda: _probe_read(eng)),
+        ):
+            try:
+                ok = bool(probe())
+            except Exception as ex:  # a failing probe is the diagnostic
+                print(f"{label}: FAIL ({ex})")
+                failures += 1
+                continue
+            print(f"{label}: {'ok' if ok else 'FAIL'}")
+            failures += 0 if ok else 1
+        return 1 if failures else 0
     return 0
+
+
+def _probe_read(eng) -> bool:
+    from .sources.events import NOW
+
+    res = eng.read("*.**", NOW - 86400, NOW)
+    return res.series.count() >= 0
 
 
 if __name__ == "__main__":

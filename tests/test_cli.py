@@ -39,6 +39,20 @@ def test_du_stats_clean(spark, capsys):
     assert "directories:" in _run(capsys, "repair")
 
 
+def test_info_and_test(spark, capsys):
+    names = _run(capsys, "list", "bg.click.u*").splitlines()
+    out = _run(capsys, "info", names[0])
+    assert f"Name:  {names[0]}" in out
+    assert "aggregator" in out and "retention" in out and "xfilesfactor" in out
+
+    # unknown metric: reference prints "doesn't exist"; we also exit nonzero
+    assert main(["--sf-dir", SF, "info", "no.such.metric"]) == 1
+    assert "doesn't exist" in capsys.readouterr().out
+
+    out = _run(capsys, "test")
+    assert "catalog: ok" in out and "find: ok" in out and "read: ok" in out
+
+
 def test_write_delete_copy_syncdb(spark, capsys, tmpdir):
     out = _run(capsys, "write", "bg.error.*", "--aggregator", "maximum")
     assert "# updated" in out and "maximum" in out

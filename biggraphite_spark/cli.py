@@ -61,6 +61,8 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("info", help="display metadata for one metric")
     sp.add_argument("metric")
     sub.add_parser("test", help="smoke-check the engine end to end")
+    sp = sub.add_parser("web", help="serve the REST metadata API")
+    sp.add_argument("--port", type=int, default=5050)
 
     args = p.parse_args(argv)
 
@@ -172,6 +174,16 @@ def _dispatch(args, eng) -> int:
         print("Metadata: ", meta)
         print("Id: ", row["id"])
         print("Created: ", row["created_on"], " Updated: ", row["updated_on"])
+    elif args.cmd == "web":
+        from .sources.events import NOW
+        from .web import CatalogWeb, make_server
+
+        server = make_server(CatalogWeb(eng.catalog.cache(), NOW), args.port)
+        print(f"# serving on http://127.0.0.1:{server.server_address[1]}")
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            server.shutdown()
     elif args.cmd == "test":
         # cli/command_test.py: connect + basic usability probes; ours checks
         # each engine surface and reports ok/fail per step

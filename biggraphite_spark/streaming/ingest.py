@@ -19,10 +19,24 @@ aggregator-agnostic, and `max_by`-style ordering comes from max-of-struct
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..model import OUT_OF_ORDER_S, Stage
+
+#: ceiling for per-stage trigger intervals — even the 1-day stage flushes
+#: at least this often so operators see progress
+TRIGGER_CAP_S = 300
+
+
+def stage_trigger_seconds(stage: Stage, floor_s: int = 1, cap_s: int = TRIGGER_CAP_S) -> int:
+    """T5 slow-stage coalescing: flush cadence tracks stage precision.
+
+    A 1s stage triggers every second; a 1h/1d stage has nothing new to say
+    that often, so its micro-batches coalesce to the cap — the streaming
+    equivalent of the reference downsampler flushing coarse stages on a
+    slower period instead of per-point."""
+    return max(floor_s, min(stage.precision, cap_s))
 
 
 def generic_partials(points_stream: DataFrame, stage: Stage,
@@ -88,18 +102,45 @@ def fan_out_sink(*writers):
 
 def stream_events_to_store(points_stream: DataFrame, stage: Stage, store,
                            checkpoint_dir: str, trigger_seconds: int | None = None):
-    """Wire the rollup to a PointStore sink via foreachBatch (exactly-once by
-    checkpoint + idempotent partition overwrite)."""
+    """Wire the rollup to a PointStore sink via foreachBatch.
+
+    Update-mode re-emits a (name, bucket) whenever late-but-in-watermark
+    data lands, so each appended row is stamped with its batch epoch and
+    :func:`latest_partials` resolves last-write-wins at read time — the
+    parquet-append equivalent of the Delta MERGE upsert (T3).  The batch id
+    is monotonic across restarts (checkpointed), which also makes a
+    replayed batch after a crash idempotent under the same resolution.
+
+    ``trigger_seconds`` defaults to the stage's coalesced cadence
+    (:func:`stage_trigger_seconds`, T5); pass an explicit value to
+    override, or 0 for as-fast-as-possible micro-batches."""
     partials = generic_partials(points_stream, stage)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        store.write(batch_df, stage, mode="append")
+        store.write(batch_df.withColumn("epoch", F.lit(epoch_id)), stage, mode="append")
 
     writer = (
         partials.writeStream.outputMode("update")
         .foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
     )
+    if trigger_seconds is None:
+        trigger_seconds = stage_trigger_seconds(stage)
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def latest_partials(store, spark: SparkSession, stage: Stage) -> DataFrame:
+    """Resolve the streaming store to one row per (name, bucket): the
+    newest epoch's partial wins (see stream_events_to_store).  Plain
+    (non-epoch) stores pass through."""
+    df = store.read(spark, stage)
+    if "epoch" not in df.columns:
+        return df
+    w = Window.partitionBy("name", "ts").orderBy(F.desc("epoch"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "epoch")
+    )

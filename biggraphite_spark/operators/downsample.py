@@ -78,15 +78,23 @@ def downsample_stage0(
 
     For ``average`` the stored value is the bucket *sum* and count the point
     count — division is deferred to read time (CASSANDRA_DESIGN.md:43).
+
+    ``aggregator`` is a GROUPING key, not a ``first()`` aggregate: it is
+    functionally dependent on ``name`` so the result is identical, but a
+    string-typed aggregation buffer would force the whole rollup into
+    SortAggregate (per-partition sort of every raw point); with it in the
+    key the buffer is all fixed-width numerics and Spark plans
+    HashAggregate — the difference between sorting and hashing 100 TB.
     """
-    agg = F.first("aggregator", ignorenulls=True)
     return (
-        points0_with_agg.groupBy("name", bucket_col(F.col("ts"), stage.precision).alias("ts"))
-        .agg(
-            partial_value_expr(agg, F.col("value"), F.col("ts")).alias("value"),
-            partial_count_expr(F.col("value")).alias("count"),
-            agg.alias("aggregator"),
+        points0_with_agg.groupBy(
+            "name", "aggregator", bucket_col(F.col("ts"), stage.precision).alias("ts")
         )
+        .agg(
+            partial_value_expr(F.col("aggregator"), F.col("value"), F.col("ts")).alias("value"),
+            partial_count_expr(F.col("value")).alias("count"),
+        )
+        .select("name", "ts", "value", "count", "aggregator")
     )
 
 
@@ -95,16 +103,19 @@ def rollup_partials(stage_df: DataFrame, target: Stage) -> DataFrame:
 
     Same-stage merge semantics (Aggregator.merge, metric.py:218-261):
     (sum,count) partials add; min/max keep extrema; last keeps the newest.
-    Input/output shape: name, ts, value, count, aggregator.
+    Input/output shape: name, ts, value, count, aggregator.  ``aggregator``
+    is a grouping key for the same HashAggregate reason as
+    :func:`downsample_stage0`.
     """
-    agg = F.first("aggregator", ignorenulls=True)
     return (
-        stage_df.groupBy("name", bucket_col(F.col("ts"), target.precision).alias("ts"))
-        .agg(
-            partial_value_expr(agg, F.col("value"), F.col("ts")).alias("value"),
-            partial_count_expr(F.col("value"), F.col("count")).alias("count"),
-            agg.alias("aggregator"),
+        stage_df.groupBy(
+            "name", "aggregator", bucket_col(F.col("ts"), target.precision).alias("ts")
         )
+        .agg(
+            partial_value_expr(F.col("aggregator"), F.col("value"), F.col("ts")).alias("value"),
+            partial_count_expr(F.col("value"), F.col("count")).alias("count"),
+        )
+        .select("name", "ts", "value", "count", "aggregator")
     )
 
 

@@ -64,13 +64,19 @@ def fetch_points(
     else:
         count_col = F.col("count")
 
-    agg = F.first("aggregator", ignorenulls=True)
-    grouped = sliced.groupBy("name", bucket_col(F.col("ts"), target.precision).alias("ts"))
+    # aggregator joins the grouping key (functionally dependent on name, so
+    # the groups are unchanged) instead of riding a first() aggregate: a
+    # string agg buffer would demote the regroup to SortAggregate, and this
+    # is the read path's one shuffle — see downsample_stage0
+    agg = F.col("aggregator")
+    grouped = sliced.groupBy(
+        "name", "aggregator", bucket_col(F.col("ts"), target.precision).alias("ts")
+    )
     if aggregated:
         return grouped.agg(
             final_value_expr(agg, F.col("value"), count_col if count_col is not None else F.lit(1), F.col("ts")).alias("value")
-        )
+        ).select("name", "ts", "value")
     return grouped.agg(
         partial_value_expr(agg, F.col("value"), F.col("ts")).alias("value"),
         partial_count_expr(F.col("value"), count_col).alias("count"),
-    )
+    ).select("name", "ts", "value", "count")

@@ -79,17 +79,19 @@ def test_skew_within_2x_of_uniform(spark, path):
 
 
 def test_downsample_partial_aggregates_before_exchange(spark):
-    """The skew-absorber in the plan: a partial HashAggregate below the
-    (name, bucket) exchange — the hot metric's rows collapse to one row
-    per bucket per input partition before they ever shuffle."""
+    """The skew-absorbers in the plan: a partial aggregate below the
+    exchange (the hot metric's rows collapse per input partition before
+    they ever shuffle) and HASH aggregation — a string-typed agg buffer
+    (e.g. first(aggregator)) would silently demote the rollup to
+    SortAggregate, sorting every raw point per partition."""
     plan = io.StringIO()
     with redirect_stdout(plan):
         _downsample(spark, _points(spark, 0.30)).explain("formatted")
     text = plan.getvalue()
-    aggs = text.count("HashAggregate")
-    assert aggs >= 2, text  # partial + final
-    # the shuffle is keyed on the fine-grained (name, bucket-expression)
-    # pair, not name alone (formatted mode lists the keys on the Exchange
+    assert text.count("HashAggregate") >= 2, text  # partial + final
+    assert "SortAggregate" not in text, text
+    # the shuffle is keyed on the fine-grained (name, aggregator, bucket)
+    # tuple, not name alone (formatted mode lists the keys on the Exchange
     # node's Arguments line)
     exchange_args = next(
         line for line in text.splitlines()

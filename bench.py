@@ -39,6 +39,16 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # write-time materialization: the 1h stage lands in a PointStore (plain
+    # + name-bucketed) once, and every query reads those partials — the
+    # deployed shape.  Timed separately: it is the write path's cost, paid
+    # once per ingest, not per query.  SPARK_GRAFT_NO_STORE=1 benches the
+    # recompute-from-raw path instead (the r1 shape, kept for A/B).
+    if os.environ.get("SPARK_GRAFT_NO_STORE"):
+        mat = {}
+    else:
+        mat = entrymod.materialize_store(spark, SF_DIR)
+
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.time()
@@ -56,6 +66,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **mat,
     }
     print(json.dumps(out))
 

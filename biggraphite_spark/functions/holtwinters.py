@@ -142,8 +142,15 @@ def holt_winters(
 
     # grouped applyInPandas: each series' recurrence runs whole in one call
     # (an Arrow batch boundary must never cut a recurrence); parallelism is
-    # across series, the axis that matters at fleet scale
-    return series.groupBy("name").applyInPandas(fn, HW_SCHEMA)
+    # across series, the axis that matters at fleet scale.  The explicit
+    # repartition is load-bearing: series data is tiny in BYTES, so AQE
+    # coalesces the groupBy exchange to ONE partition and every group's
+    # Python recurrence runs on a single core — byte-based coalescing is
+    # blind to per-row Python cost.  A user repartition pins the width and
+    # already hash-distributes by name, so the groupBy needs no second
+    # exchange.
+    n = series.sparkSession.sparkContext.defaultParallelism
+    return series.repartition(n, "name").groupBy("name").applyInPandas(fn, HW_SCHEMA)
 
 
 def bootstrap_trim(forecast: DataFrame, start_ts: int) -> DataFrame:

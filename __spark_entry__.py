@@ -2067,6 +2067,176 @@ def gr_interp_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_GR_MISC_ORACLE = f"""
+WITH pts AS ({_PTS}),
+m AS (SELECT DISTINCT name FROM pts WHERE regexp_matches(name, '{_GAP_RX}')),
+d AS ({_oracle_final(86400, where=f"sec >= {_GAP_START} AND sec < {NOW}")}),
+grid AS (SELECT m.name AS name, g.ts AS ts FROM m
+         CROSS JOIN (SELECT CAST(ts AS BIGINT) AS ts
+                     FROM generate_series({_GAP_START}, {NOW - 86400}, 86400) t(ts)) g),
+s AS (SELECT grid.name AS name, grid.ts AS ts, ROUND(d.value, 6) AS value
+      FROM grid LEFT JOIN d ON d.name = grid.name AND d.ts = grid.ts),
+frac AS (SELECT name, count(value) * 1.0 / count(*) AS frac FROM s GROUP BY name),
+stats AS (SELECT name, ROUND(avg(value), 6) AS stat FROM s GROUP BY name
+          HAVING stat IS NOT NULL),
+arr AS (SELECT list_sort(list(stat)) AS a FROM stats),
+bounds AS (
+  SELECT a[greatest(least(CAST(floor(0.10 * (len(a) + 1)) AS INT), len(a)), 1)] AS lo,
+         a[greatest(least(CAST(floor(0.90 * (len(a) + 1)) AS INT), len(a)), 1)] AS hi
+  FROM arr
+)
+SELECT 'scale2s' AS func, name, ts, ROUND(value * 3600 / 86400, 6) AS value FROM s
+UNION ALL
+SELECT 'nonnull', name, ts, CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END FROM s
+UNION ALL
+SELECT 'minmax', name, ts,
+       ROUND(CASE WHEN (max(value) OVER wn - min(value) OVER wn) != 0
+                  THEN (value - min(value) OVER wn)
+                       / (max(value) OVER wn - min(value) OVER wn)
+                  WHEN value IS NOT NULL THEN 0.0 END, 6)
+FROM s WINDOW wn AS (PARTITION BY name)
+UNION ALL
+SELECT 'sigmoid', name, ts, ROUND(1.0 / (1.0 + exp(-value)), 6) FROM s
+UNION ALL
+SELECT 'round1', name, ts, ROUND(ROUND(value, 1), 6) FROM s
+UNION ALL
+SELECT 'integ3d', name, ts,
+       ROUND(sum(value) OVER (PARTITION BY name, ts - ts % {3 * 86400} ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+FROM s
+UNION ALL
+SELECT 'wildsum', concat_ws('.', string_split(name, '.')[1], string_split(name, '.')[3]),
+       ts, ROUND(sum(value), 6)
+FROM s GROUP BY 2, 3
+UNION ALL
+SELECT 'rempty', s.name, s.ts, ROUND(s.value, 6)
+FROM s JOIN frac ON s.name = frac.name WHERE frac.frac >= 0.5
+UNION ALL
+SELECT 'outpct', s.name, s.ts, ROUND(s.value, 6)
+FROM s JOIN stats ON s.name = stats.name CROSS JOIN bounds
+WHERE NOT (stats.stat > bounds.lo AND stats.stat < bounds.hi)
+"""
+
+
+@_register("gr_render_misc", _GR_MISC_ORACLE)
+def gr_render_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scaleToSeconds + isNonNull + minMax + sigmoid + round +
+    integralByInterval + sumSeriesWithWildcards + removeEmptySeries(0.5) +
+    averageOutsidePercentile(90) over the gapped daily grid — the render
+    transform/selection tail.  averageOutsidePercentile reproduces
+    graphite's NON-interpolated percentile (sorted-array rank indexing),
+    which the interpolated percentile() would get wrong on 15 series."""
+    _utc(spark)
+    from biggraphite_spark.functions.series import (
+        average_outside_percentile,
+        combine_series_with_wildcards,
+        integral_by_interval,
+        is_non_null,
+        min_max,
+        remove_empty_series,
+        round_series,
+        scale_to_seconds,
+        sigmoid_series,
+    )
+
+    catalog = load_catalog(spark, sf_dir)
+    metrics = find_metrics(catalog, "bg.error.u*")
+    fetched = fetch_points(_stage1(spark, sf_dir), metrics, _GAP_START, NOW, target=STAGE2)
+    s = (
+        dense_series(fetched, metrics, _GAP_START, NOW, 86400)
+        .withColumn("value", F.round("value", 6))
+        .cache()
+    )
+    s.count()  # materialize before branch fan-out (see gr_series_combine)
+    rounded = F.round("value", 6).alias("value")
+    parts = [
+        (scale_to_seconds(s, 3600), "scale2s"),
+        (is_non_null(s), "nonnull"),
+        (min_max(s), "minmax"),
+        (sigmoid_series(s), "sigmoid"),
+        (round_series(s, 1), "round1"),
+        (integral_by_interval(s, 3 * 86400), "integ3d"),
+        (combine_series_with_wildcards(s, "sum", 1), "wildsum"),
+        (remove_empty_series(s, 0.5), "rempty"),
+        (average_outside_percentile(s, 90), "outpct"),
+    ]
+    out = None
+    for df, func in parts:
+        branch = df.select(F.lit(func).alias("func"), "name", "ts", rounded)
+        out = branch if out is None else out.unionAll(branch)
+    return out
+
+
+def _ema_oracle(window: int = 3) -> str:
+    """EMA as a DuckDB recursive CTE — same technique as _hw_oracle: the
+    SQL replays exponential_moving_average's recurrence in the same
+    operation order on identical 6-digit-rounded inputs."""
+    W = window
+    c = repr(2.0 / (window + 1))
+    return f"""
+WITH RECURSIVE
+pts AS ({_PTS}),
+m AS (SELECT DISTINCT name FROM pts WHERE regexp_matches(name, '{_GAP_RX}')),
+d AS ({_oracle_final(86400, where=f"sec >= {_GAP_START} AND sec < {NOW}")}),
+grid AS (SELECT m.name AS name, g.ts AS ts FROM m
+         CROSS JOIN (SELECT CAST(ts AS BIGINT) AS ts
+                     FROM generate_series({_GAP_START}, {NOW - 86400}, 86400) t(ts)) g),
+s AS (SELECT grid.name AS name, grid.ts AS ts, ROUND(d.value, 6) AS value
+      FROM grid LEFT JOIN d ON d.name = grid.name AND d.ts = grid.ts),
+idx AS (SELECT name, ts, value,
+               CAST(row_number() OVER (PARTITION BY name ORDER BY ts) - 1 AS BIGINT) AS i
+        FROM s),
+rec AS (
+  SELECT name, CAST(-1 AS BIGINT) AS i,
+         CAST(NULL AS DOUBLE) AS ema,
+         CAST(0.0 AS DOUBLE) AS boot_sum, CAST(0 AS BIGINT) AS boot_cnt,
+         CAST(NULL AS DOUBLE) AS out
+  FROM m
+  UNION ALL
+  SELECT name, i,
+         CASE WHEN i < {W} THEN
+                CASE WHEN i = {W} - 1 AND boot_cnt2 > 0 THEN boot_sum2 / boot_cnt2
+                     ELSE ema END
+              WHEN actual IS NULL THEN ema
+              WHEN ema IS NULL THEN actual
+              ELSE {c} * actual + (1 - {c}) * ema END,
+         boot_sum2, boot_cnt2,
+         CASE WHEN i < {W} THEN
+                CASE WHEN i = {W} - 1 AND boot_cnt2 > 0 THEN boot_sum2 / boot_cnt2 END
+              WHEN actual IS NULL THEN NULL
+              WHEN ema IS NULL THEN actual
+              ELSE {c} * actual + (1 - {c}) * ema END
+  FROM (
+    SELECT r.name AS name, x.i AS i, x.value AS actual, r.ema AS ema,
+           CASE WHEN x.value IS NULL THEN r.boot_sum ELSE r.boot_sum + x.value END AS boot_sum2,
+           r.boot_cnt + CASE WHEN x.value IS NULL THEN 0 ELSE 1 END AS boot_cnt2
+    FROM rec r JOIN idx x ON x.name = r.name AND x.i = r.i + 1
+  ) g
+)
+SELECT x.name AS name, x.ts AS ts, ROUND(r.out, 6) AS value
+FROM rec r JOIN idx x ON x.name = r.name AND x.i = r.i
+WHERE r.i >= 0
+"""
+
+
+@_register("gr_ema", _ema_oracle())
+def gr_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exponentialMovingAverage(3) over the gapped daily grid — the second
+    sequential-recurrence operator, verified by the same recursive-CTE
+    oracle technique as gr_holt_winters."""
+    _utc(spark)
+    from biggraphite_spark.functions.holtwinters import exponential_moving_average
+
+    catalog = load_catalog(spark, sf_dir)
+    metrics = find_metrics(catalog, "bg.error.u*")
+    fetched = fetch_points(_stage1(spark, sf_dir), metrics, _GAP_START, NOW, target=STAGE2)
+    dense = dense_series(fetched, metrics, _GAP_START, NOW, 86400).withColumn(
+        "value", F.round("value", 6)
+    )
+    ema = exponential_moving_average(dense, 3)
+    return ema.select("name", "ts", F.round("value", 6).alias("value"))
+
+
 _BPE_RE_SQL = (
     "''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
 )

@@ -157,3 +157,59 @@ def bootstrap_trim(forecast: DataFrame, start_ts: int) -> DataFrame:
     """Drop the warm-up season (graphite fetches 7 extra days and trims):
     keep buckets at/after ``start_ts``."""
     return forecast.filter(F.col("ts") >= start_ts)
+
+
+EMA_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def exponential_moving_average(series: DataFrame, window: int) -> DataFrame:
+    """``exponentialMovingAverage``: SMA-bootstrapped EMA per series.
+
+    Contract (stated precisely because EMA variants differ): smoothing
+    constant ``c = 2/(window+1)``; the first ``window`` buckets emit null
+    except the last of them, which emits the arithmetic mean of the known
+    values seen so far (the bootstrap); from there, a known bucket emits
+    ``c·x + (1-c)·ema`` and advances the state, a null bucket emits null
+    and carries the state.  An all-null bootstrap window starts the EMA at
+    the first known value.  Sequential per series like the Holt-Winters
+    recurrence — same grouped-applyInPandas escape hatch, same explicit
+    repartition so AQE's byte-based coalescing can't serialize the Python
+    work onto one core.
+    """
+    c = 2.0 / (window + 1)
+
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.sort_values("ts")
+        out: list = []
+        ema = None
+        boot_sum, boot_cnt = 0.0, 0
+        for i, v in enumerate(g["value"]):
+            x = None if pd.isna(v) else float(v)
+            if i < window:
+                if x is not None:
+                    boot_sum += x
+                    boot_cnt += 1
+                if i == window - 1 and boot_cnt > 0:
+                    ema = boot_sum / boot_cnt
+                    out.append(ema)
+                else:
+                    out.append(None)
+                continue
+            if x is None:
+                out.append(None)
+                continue
+            ema = x if ema is None else c * x + (1 - c) * ema
+            out.append(ema)
+        return pd.DataFrame(
+            {"name": key[0], "ts": g["ts"].to_numpy(),
+             "value": pd.array(out, dtype="Float64")}
+        )
+
+    n = series.sparkSession.sparkContext.defaultParallelism
+    return series.repartition(n, "name").groupBy("name").applyInPandas(fn, EMA_SCHEMA)

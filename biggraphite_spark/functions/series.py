@@ -567,16 +567,27 @@ def multiply_series(series: DataFrame) -> DataFrame:
     )
 
 
-def average_series_with_wildcards(series: DataFrame, *positions: int) -> DataFrame:
-    """``averageSeriesWithWildcards``: blank out the given name components
-    (0-based) and average the series that collapse together."""
+def combine_series_with_wildcards(
+    series: DataFrame, how: str, *positions: int
+) -> DataFrame:
+    """``sumSeriesWithWildcards`` / ``averageSeriesWithWildcards`` /
+    ``minSeriesWithWildcards`` / ``maxSeriesWithWildcards``: blank out the
+    given name components (0-based) and combine the series that collapse
+    together with the chosen function."""
+    _check_how(how)
     parts = F.split(F.col("name"), r"\.")
     kept = F.filter(
         F.transform(parts, lambda p, i: F.when(~i.isin(list(positions)), p)),
         lambda p: p.isNotNull(),
     )
     key = F.concat_ws(".", kept).alias("name")
-    return series.groupBy(key, "ts").agg(F.avg("value").alias("value"))
+    return series.groupBy(key, "ts").agg(_COMBINE[how]("value").alias("value"))
+
+
+def average_series_with_wildcards(series: DataFrame, *positions: int) -> DataFrame:
+    """``averageSeriesWithWildcards`` — see
+    :func:`combine_series_with_wildcards`."""
+    return combine_series_with_wildcards(series, "average", *positions)
 
 
 def alias_sub(series: DataFrame, pattern: str, replacement: str) -> DataFrame:
@@ -677,5 +688,106 @@ def limit_series(series: DataFrame, n: int) -> DataFrame:
         .distinct()
         .orderBy("name")
         .limit(n)
+    )
+    return series.join(F.broadcast(kept), "name", "left_semi")
+
+
+def scale_to_seconds(series: DataFrame, seconds: int) -> DataFrame:
+    """``scaleToSeconds``: re-express each rate×step bucket per ``seconds``
+    — value · seconds/step, step inferred per series as in
+    :func:`hitcount`."""
+    return series.select(
+        "name", "ts",
+        (F.col("value") * F.lit(seconds) / _step_col()).alias("value"),
+    )
+
+
+def is_non_null(series: DataFrame) -> DataFrame:
+    """``isNonNull``: 1 where the bucket has a known value, else 0."""
+    return series.select(
+        "name", "ts",
+        F.when(F.col("value").isNotNull(), F.lit(1.0)).otherwise(F.lit(0.0)).alias("value"),
+    )
+
+
+def remove_empty_series(series: DataFrame, xff: float = 0.0) -> DataFrame:
+    """``removeEmptySeries``: drop series with no known values; with a
+    nonzero ``xff``, drop series whose known-bucket fraction is below it
+    (graphite's xFilesFactor form of the filter)."""
+    stat = series.groupBy("name").agg(
+        (F.count("value") / F.count(F.lit(1))).alias("frac")
+    )
+    keep = F.col("frac") >= xff if xff > 0 else F.col("frac") > 0
+    kept = stat.filter(keep).select("name")
+    return series.join(F.broadcast(kept), "name", "left_semi")
+
+
+def min_max(series: DataFrame) -> DataFrame:
+    """``minMax``: normalize each series to [0, 1] by its own range; a
+    flat series maps to 0 (graphite's ZeroDivisionError fallback), nulls
+    stay null."""
+    w = Window.partitionBy("name")
+    lo, hi = F.min("value").over(w), F.max("value").over(w)
+    norm = F.when(hi - lo != 0, (F.col("value") - lo) / (hi - lo)).otherwise(
+        F.when(F.col("value").isNotNull(), F.lit(0.0))
+    )
+    return series.select("name", "ts", norm.alias("value"))
+
+
+def sigmoid_series(series: DataFrame) -> DataFrame:
+    """``sigmoid``: 1 / (1 + e^-x) per bucket."""
+    return series.withColumn(
+        "value", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("value")))
+    )
+
+
+def round_series(series: DataFrame, precision: int = 0) -> DataFrame:
+    """``round``: round every value to ``precision`` decimal places."""
+    return series.withColumn("value", F.round("value", precision))
+
+
+def integral_by_interval(series: DataFrame, interval: int) -> DataFrame:
+    """``integralByInterval``: running sum within each ``interval``-second
+    window of each series, resetting at every window boundary — one window
+    partitioned by (name, interval bucket)."""
+    bucket = F.col("ts") - (F.col("ts") % F.lit(interval))
+    w = (
+        Window.partitionBy("name", bucket)
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return series.select("name", "ts", F.sum("value").over(w).alias("value"))
+
+
+def average_outside_percentile(series: DataFrame, n: float) -> DataFrame:
+    """``averageOutsidePercentile``: keep series whose mean falls outside
+    the [100-n, n] percentile band of all series' means.  Graphite's
+    ``_getPercentile(interpolate=False)`` picks ``sorted[rank-1]`` with
+    ``rank = int(n/100 · (len+1))`` (clamped to the ends) — reproduced
+    here by indexing the sorted means array, NOT by the interpolated
+    ``percentile`` function, which disagrees on small series sets.
+    All-null series have no mean: they neither enter the percentile
+    computation nor survive the filter."""
+    if n < 50:
+        n = 100 - n
+    # rounded before ranking (like highest/lowest): near-tied means must
+    # sort identically across engines or the band boundary flips
+    stat = series.groupBy("name").agg(F.round(F.avg("value"), 6).alias("stat"))
+    arr = stat.agg(F.array_sort(F.collect_list("stat")).alias("arr"))
+
+    def pick(pct: float) -> Column:
+        a = F.col("arr")
+        size = F.size(a)
+        rank = F.floor(F.lit(pct / 100.0) * (size + 1)).cast("int")
+        idx = F.greatest(F.least(rank, size), F.lit(1))
+        return F.element_at(a, idx)
+
+    bounds = arr.select(
+        pick(100 - n).alias("lo"), pick(n).alias("hi")
+    )
+    kept = (
+        stat.crossJoin(F.broadcast(bounds))
+        .filter(~((F.col("stat") > F.col("lo")) & (F.col("stat") < F.col("hi"))))
+        .select("name")
     )
     return series.join(F.broadcast(kept), "name", "left_semi")

@@ -87,6 +87,30 @@ def test_gap_resets_slope_to_graphite_values(spark):
             assert r["lower"] == pytest.approx(want_f - DELTA * want_d, abs=1e-9)
 
 
+def test_exponential_moving_average(spark):
+    """EMA contract: SMA bootstrap over the first window (emitted at its
+    last bucket), then c·x + (1-c)·ema with c = 2/(w+1); nulls emit null
+    and carry the state."""
+    from biggraphite_spark.functions.holtwinters import exponential_moving_average
+
+    vals = [3.0, 6.0, None, 12.0, None, 24.0]
+    out = [
+        r["value"]
+        for r in exponential_moving_average(_rows(spark, vals), 3)
+        .orderBy("ts")
+        .collect()
+    ]
+    c = 0.5  # 2/(3+1)
+    boot = (3.0 + 6.0) / 2  # null inside the bootstrap window is skipped
+    e3 = c * 12.0 + (1 - c) * boot
+    e5 = c * 24.0 + (1 - c) * e3
+    assert out[0] is None and out[1] is None
+    assert out[2] == pytest.approx(boot)
+    assert out[3] == pytest.approx(e3)
+    assert out[4] is None  # gap emits null, carries state
+    assert out[5] == pytest.approx(e5)
+
+
 def test_bootstrap_trim(spark):
     df = _rows(spark, [1.0] * 20)
     out = holt_winters(df, step=60, season_length=5)

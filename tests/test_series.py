@@ -343,6 +343,60 @@ def test_weighted_average_pairs_by_node(spark):
     assert S.weighted_average(vals, wts).count() == 0
 
 
+def test_transform_tail_functions(two_series, spark):
+    nn = _as_dict(S.is_non_null(two_series))
+    assert nn[("b", 60)] == 0.0 and nn[("b", 0)] == 1.0
+    sg = _as_dict(S.sigmoid_series(two_series))
+    assert sg[("a", 0)] == pytest.approx(1 / (1 + 2.718281828459045 ** -1.0))
+    rd = _as_dict(S.round_series(S.scale(two_series, 1.234), 1))
+    assert rd[("a", 0)] == pytest.approx(1.2)
+    mm = _as_dict(S.min_max(two_series))
+    assert mm[("a", 0)] == 0.0 and mm[("a", 180)] == 1.0
+    assert mm[("b", 60)] is None  # nulls stay null
+    flat = spark.createDataFrame(
+        [("f", 0, 2.0), ("f", 60, 2.0)], "name string, ts long, value double"
+    )
+    assert _as_dict(S.min_max(flat))[("f", 0)] == 0.0  # flat series -> 0
+
+
+def test_scale_to_seconds_and_integral_by_interval(spark):
+    rows = [("m", t * 60, float(v)) for t, v in ((0, 6), (1, 6), (2, 6), (3, 6))]
+    df = spark.createDataFrame(rows, "name string, ts long, value double")
+    # step inferred 60s; per-second rate = value/60
+    ps = _as_dict(S.scale_to_seconds(df, 1))
+    assert ps[("m", 0)] == pytest.approx(0.1)
+    # integral resets at each 120s boundary
+    ib = _as_dict(S.integral_by_interval(df, 120))
+    assert ib[("m", 60)] == 12.0
+    assert ib[("m", 120)] == 6.0  # reset
+
+
+def test_remove_empty_series(spark):
+    rows = [("full", 0, 1.0), ("full", 60, 2.0),
+            ("half", 0, 1.0), ("half", 60, None),
+            ("empty", 0, None), ("empty", 60, None)]
+    df = spark.createDataFrame(rows, "name string, ts long, value double")
+    assert {r["name"] for r in S.remove_empty_series(df).collect()} == {"full", "half"}
+    assert {r["name"] for r in S.remove_empty_series(df, 0.9).collect()} == {"full"}
+
+
+def test_combine_series_with_wildcards(spark):
+    rows = [("dc1.web.cpu", 0, 10.0), ("dc1.db.cpu", 0, 30.0)]
+    df = spark.createDataFrame(rows, "name string, ts long, value double")
+    out = {(r["name"], r["ts"]): r["value"]
+           for r in S.combine_series_with_wildcards(df, "sum", 1).collect()}
+    assert out[("dc1.cpu", 0)] == 40.0
+
+
+def test_average_outside_percentile_keeps_band_edges(spark):
+    rows = [(f"m{i}", 0, float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "name string, ts long, value double")
+    kept = {r["name"] for r in S.average_outside_percentile(df, 80).collect()}
+    # rank floor(0.8*11)=8 -> hi=sorted[7]=7.0; lo rank floor(0.2*11)=2 -> 1.0
+    # keep stats <= 1.0 or >= 7.0
+    assert kept == {"m0", "m1", "m7", "m8", "m9"}
+
+
 def test_sort_by_maxima_and_limit(two_series):
     ranked = {r["name"]: r["rank"] for r in S.sort_by_maxima(two_series).collect()}
     assert ranked == {"b": 1, "a": 2}

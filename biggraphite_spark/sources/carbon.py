@@ -51,3 +51,26 @@ def new_metrics(points: DataFrame, catalog: DataFrame) -> DataFrame:
     """Names present in the batch but absent from the catalog — the
     create-on-miss set (plugins/carbon.py:310-369 as one anti-join)."""
     return points.select("name").distinct().join(catalog.select("name"), "name", "left_anti")
+
+
+def carbon_socket_stream(spark, host: str, port: int) -> DataFrame:
+    """Streaming carbon ingest over a TCP socket — the transport the
+    reference's carbon plugin actually listens on (plaintext line
+    protocol, one metric per line).
+
+    Structured Streaming's socket source delivers one line per row; the
+    same :func:`parse_lines` transform then applies, so file, Kafka and
+    socket transports share one parser.  The stream carries ``ts`` as a
+    timestamp so it can feed ``streaming.ingest.generic_partials``
+    (watermarks need an event-time column) directly.
+    """
+    lines = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    pts = parse_lines(lines)
+    return pts.select(
+        "name", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )

@@ -156,6 +156,67 @@ def test_multimodal_feature_pipeline(spark):
         decode_image(media)
 
 
+def test_carbon_socket_stream_end_to_end(spark, tmpdir):
+    """Live TCP ingest: a thread plays carbon clients writing plaintext
+    lines to a socket; the socket-source stream parses and windows them
+    into generic partials.  Malformed lines are dropped mid-stream, not
+    fatal — the carbon contract."""
+    import socket
+    import threading
+
+    from biggraphite_spark.sources.carbon import carbon_socket_stream
+    from biggraphite_spark.streaming.ingest import generic_partials
+
+    lines = [
+        b"bg.sock.a 1.5 3600\n",
+        b"garbage line\n",             # dropped, stream survives
+        b"bg.sock.a 2.5 3700\n",
+        b"bg..sock.b 4.0 3650\n",      # name sanitized to bg.sock.b
+    ]
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def feed():
+        conn, _ = srv.accept()
+        with conn:
+            for ln in lines:
+                conn.sendall(ln)
+
+    t = threading.Thread(target=feed, daemon=True)
+    t.start()
+
+    pts = carbon_socket_stream(spark, "127.0.0.1", port)
+    partials = generic_partials(pts, STAGE1)
+    q = (
+        partials.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("carbon_sock")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt-sock"))
+        .start()
+    )
+    try:
+        deadline = 30
+        import time
+        while deadline > 0:
+            q.processAllAvailable()
+            got = {
+                (r["name"], r["ts"]): (r["sum"], r["count"])
+                for r in spark.sql("SELECT * FROM carbon_sock").collect()
+            }
+            if len(got) == 2:
+                break
+            time.sleep(0.5)
+            deadline -= 1
+    finally:
+        q.stop()
+    srv.close()
+    assert got[("bg.sock.a", 3600)] == (4.0, 2)
+    assert got[("bg.sock.b", 3600)] == (4.0, 1)
+
+
 def test_carbon_line_parsing(spark):
     from biggraphite_spark.sources.carbon import new_metrics, parse_lines
 

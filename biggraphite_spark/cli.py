@@ -63,6 +63,7 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser("test", help="smoke-check the engine end to end")
     sp = sub.add_parser("web", help="serve the REST metadata API")
     sp.add_argument("--port", type=int, default=5050)
+    sub.add_parser("shell", help="interactive Python with the engine in scope")
 
     args = p.parse_args(argv)
 
@@ -174,6 +175,16 @@ def _dispatch(args, eng) -> int:
         print("Metadata: ", meta)
         print("Id: ", row["id"])
         print("Created: ", row["created_on"], " Updated: ", row["updated_on"])
+    elif args.cmd == "shell":
+        # cli/command_shell.py: drop into an interpreter with the connected
+        # accessor in scope; here the locals are the engine + session
+        import code
+
+        code.interact(
+            banner="bgspark shell — locals: spark, eng, F",
+            local={"spark": eng.catalog.sparkSession, "eng": eng, "F": F},
+            exitmsg="",
+        )
     elif args.cmd == "web":
         from .sources.events import NOW
         from .web import CatalogWeb, make_server

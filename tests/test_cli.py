@@ -53,6 +53,14 @@ def test_info_and_test(spark, capsys):
     assert "catalog: ok" in out and "find: ok" in out and "read: ok" in out
 
 
+def test_shell(spark, capsys, monkeypatch):
+    import io
+
+    monkeypatch.setattr("sys.stdin", io.StringIO("print(eng.retention.as_string())\n"))
+    out = _run(capsys, "shell")
+    assert "2678400*1s:1000*3600s:100*86400s" in out
+
+
 def test_write_delete_copy_syncdb(spark, capsys, tmpdir):
     out = _run(capsys, "write", "bg.error.*", "--aggregator", "maximum")
     assert "# updated" in out and "maximum" in out

@@ -735,7 +735,9 @@ def min_max(series: DataFrame) -> DataFrame:
 
 
 def sigmoid_series(series: DataFrame) -> DataFrame:
-    """``sigmoid``: 1 / (1 + e^-x) per bucket."""
+    """``sigmoid``: 1 / (1 + e^-x) per bucket.  Deliberate variant: for
+    x < -709 graphite's safeExp overflows to None, while IEEE doubles
+    saturate to the mathematically-correct limit 0.0 here."""
     return series.withColumn(
         "value", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("value")))
     )
@@ -749,7 +751,10 @@ def round_series(series: DataFrame, precision: int = 0) -> DataFrame:
 def integral_by_interval(series: DataFrame, interval: int) -> DataFrame:
     """``integralByInterval``: running sum within each ``interval``-second
     window of each series, resetting at every window boundary — one window
-    partitioned by (name, interval bucket)."""
+    partitioned by (name, interval bucket).  Null buckets contribute 0 and
+    re-emit the accumulated sum (graphite adds ``v or 0``), except before
+    the window's first known value, where the sum is still null rather
+    than graphite's leading 0."""
     bucket = F.col("ts") - (F.col("ts") % F.lit(interval))
     w = (
         Window.partitionBy("name", bucket)

@@ -55,22 +55,44 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact pairwise Jaccard over n-gram shingles, shingle-join pruned.
 
-    Only pairs sharing >= 1 shingle are generated (the classic inverted-index
-    prune); at real scale prefer :func:`lsh_near_dups`.
+    One self-join, one aggregation: each posting carries its document's
+    shingle count, so both set sizes ride through the join for free (one int
+    per posting) and no separate size joins are needed.  Two exact-preserving
+    prunes keep the pair fan-out down:
+
+    - inverted-index prune: only pairs sharing >= 1 shingle are generated;
+    - Jaccard length filter: ``J(A,B) >= t`` implies
+      ``t*|A| <= |B| <= |A|/t``, pushed into the join condition, so pairs
+      whose sizes alone rule out the threshold never reach the aggregation.
+
+    Still quadratic in co-shingled documents; at real scale prefer
+    :func:`lsh_near_dups`.
     """
     sh = with_shingles(docs, n=n)
-    exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    exploded = sh.select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
+    )
     a, b = exploded.alias("a"), exploded.alias("b")
     shared = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n_sh") * F.lit(threshold) <= F.col("a.n_sh"))
+            & (F.col("a.n_sh") * F.lit(threshold) <= F.col("b.n_sh")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
         .agg(F.count("*").alias("shared"))
     )
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     return (
-        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
-        .withColumn("jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")))
+        shared.withColumn(
+            "jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )

@@ -1429,6 +1429,169 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_load_parallel(spark, sf_dir, "documents"))
 
 
+def _quality_rules_oracle() -> str:
+    """Generated from operators.text.STOPWORDS and the default Gopher-style
+    thresholds — one externalized rule table drives both engines."""
+    from biggraphite_spark.operators.text import STOPWORDS
+
+    stops = _sql_word_list(STOPWORDS)
+    return f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+        len(toks) AS n_words,
+        (length(text) - (len(toks) - 1)) * 1.0 / len(toks) AS mwl,
+        list_max(list_transform(toks, t -> length(t))) AS mtl,
+        len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) * 1.0 / len(toks) AS alpha,
+        len(list_filter(toks, t -> t IN ({stops}))) AS stop_hits
+      FROM t)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       ROUND(mwl, 6) AS mean_word_len,
+       CAST(mtl AS BIGINT) AS max_token_len,
+       ROUND(alpha, 6) AS alpha_ratio,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       (n_words >= 20 AND n_words <= 100000) AS rule_word_count,
+       (mwl >= 3.0 AND mwl <= 10.0) AS rule_mean_word_len,
+       (mtl <= 20) AS rule_max_token_len,
+       (alpha >= 0.8) AS rule_alpha_ratio,
+       (stop_hits >= 2) AS rule_stopwords,
+       (n_words >= 20 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+        AND mtl <= 20 AND alpha >= 0.8 AND stop_hits >= 2) AS keep
+FROM s
+"""
+
+
+@_register("doc_quality_rules", _quality_rules_oracle())
+def doc_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate: per-rule flags + keep decision, all inside
+    one codegen'd projection (no shuffle, no UDF)."""
+    _utc(spark)
+    from biggraphite_spark.operators.text import quality_rules
+
+    return quality_rules(_load_parallel(spark, sf_dir, "documents"))
+
+
+_REPETITION_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+uni AS (SELECT doc_id, unnest(toks) AS gram FROM t),
+bigr AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i + 1])) AS gram
+         FROM t WHERE len(toks) >= 2),
+uc AS (SELECT doc_id, gram, count(*) AS c FROM uni GROUP BY 1, 2),
+us AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS topf,
+              sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c) AS dupf
+       FROM uc GROUP BY doc_id),
+bc AS (SELECT doc_id, gram, count(*) AS c FROM bigr GROUP BY 1, 2),
+bs AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS topf,
+              sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c) AS dupf
+       FROM bc GROUP BY doc_id)
+SELECT u.doc_id,
+       ROUND(u.topf, 6) AS top_token_frac,
+       ROUND(u.dupf, 6) AS dup_token_frac,
+       ROUND(b.topf, 6) AS top_bigram_frac,
+       ROUND(b.dupf, 6) AS dup_bigram_frac
+FROM us u LEFT JOIN bs b ON u.doc_id = b.doc_id
+"""
+
+
+@_register("doc_repetition", _REPETITION_ORACLE)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/boilerplate features (top-token/top-bigram/dup-bigram
+    fractions) — linear posting-list shape, never O(len^2) per document."""
+    _utc(spark)
+    from biggraphite_spark.operators.text import repetition_stats
+
+    return repetition_stats(_load_parallel(spark, sf_dir, "documents"))
+
+
+def _dup_clusters_oracle(k: int = 16, bands: int = 4) -> str:
+    """Transitive closure over the MinHash-LSH near-dup pairs as a DuckDB
+    recursive CTE — a fully independent replay of signature, banding,
+    verification, AND the connected-components fixpoint."""
+    r = k // bands
+    mins = ", ".join(
+        f"min(substr(md5('{j // 4}:' || sh), {(j % 4) * 8 + 1}, 8)) AS h{j}"
+        for j in range(k)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b, key=" || ".join(f"h{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH RECURSIVE
+d AS ({_SHINGLES_SQL}),
+s AS (SELECT doc_id, unnest(sh) AS sh FROM d),
+sig AS (SELECT doc_id, {mins} FROM s GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+pairs AS (SELECT doc_a, doc_b
+          FROM (SELECT doc_a, doc_b, len(list_intersect(da.sh, db.sh)) AS shared,
+                       len(da.sh) AS na, len(db.sh) AS nb
+                FROM cand JOIN d da ON da.doc_id = doc_a JOIN d db ON db.doc_id = doc_b)
+          WHERE shared * 1.0 / (na + nb - shared) >= 0.5),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach AS (SELECT doc_id, doc_id AS root FROM documents
+          UNION
+          SELECT e.b AS doc_id, reach.root FROM reach JOIN edges e ON e.a = reach.doc_id),
+lab AS (SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT l.doc_id, l.cluster_id, c.n AS cluster_size
+FROM lab l JOIN (SELECT cluster_id, COUNT(*) AS n FROM lab GROUP BY 1) c USING (cluster_id)
+"""
+
+
+@_register("doc_dup_clusters", _dup_clusters_oracle())
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components cluster assignment over the LSH near-dup graph
+    (min-label propagation; every doc labelled, singletons included)."""
+    _utc(spark)
+    from biggraphite_spark.operators.dedup import dup_clusters
+
+    return dup_clusters(_load_parallel(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _bm25_oracle() -> str:
+    """Generated from operators.text.BM25_DEFAULT_TERMS with the standard
+    k1=1.2, b=0.75 — the engine and oracle share one term table."""
+    from biggraphite_spark.operators.text import BM25_DEFAULT_TERMS
+
+    k1, b = 1.2, 0.75
+    tfs = ", ".join(
+        f"CAST(len(list_filter(toks, t -> t = '{tm}')) AS DOUBLE) AS tf_{i}"
+        for i, tm in enumerate(BM25_DEFAULT_TERMS)
+    )
+    dfs = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1.0 ELSE 0.0 END) AS df_{i}"
+        for i in range(len(BM25_DEFAULT_TERMS))
+    )
+    score = " + ".join(
+        f"ln(1.0 + (N - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * tf_{i} * {k1 + 1} / (tf_{i} + {k1} * ({1 - b} + {b} * dl / avgdl))"
+        for i in range(len(BM25_DEFAULT_TERMS))
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+base AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, {tfs} FROM t),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS N, avg(dl) AS avgdl, {dfs} FROM base)
+SELECT doc_id, CAST(dl AS BIGINT) AS doc_len, ROUND({score}, 6) AS bm25
+FROM base, stats
+"""
+
+
+@_register("doc_bm25", _bm25_oracle())
+def doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 of every document against a bag of query terms — corpus
+    stats in one agg pass, re-attached via broadcast cross-join."""
+    _utc(spark)
+    from biggraphite_spark.operators.text import bm25_scores
+
+    return bm25_scores(_load_parallel(spark, sf_dir, "documents"))
+
+
 _DOT64 = "list_sum(list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i]))"
 
 _COSINE_TOPK_ORACLE = f"""

@@ -189,6 +189,86 @@ def lsh_near_dups(
     )
 
 
+def dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    threshold: float = 0.5,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    n: int = 3,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Near-duplicate cluster assignment: connected components over the
+    near-dup pair graph, labelled by the minimum doc_id in each component.
+
+    Every document gets a row — singletons are their own cluster — so the
+    output is the dedup decision table a pipeline keeps: group by
+    ``cluster_id``, keep the representative (``doc_id == cluster_id``), drop
+    the rest.
+
+    Algorithm: iterative min-label propagation.  Each round joins the labels
+    to the (bidirectional) edge list, takes the min label over each node's
+    neighbourhood, and stops when no label changed.  Rounds = graph diameter,
+    not row count — near-dup graphs are overwhelmingly tiny cliques, so this
+    converges in a handful of rounds.  Each round's result is
+    ``localCheckpoint``-ed: without it the self-referential join lineage
+    doubles per round and the planner, not the data, becomes the bottleneck.
+    At extreme scale swap the inner loop for the large-star/small-star
+    variant (Kiveris et al. 2014); the outer fixpoint shape is identical.
+    """
+    if pairs is None:
+        pairs = lsh_near_dups(docs, threshold=threshold, k=k, bands=bands, n=n)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .cache()
+    )
+    # only nodes with at least one edge enter the fixpoint loop — in a dedup
+    # graph that is a tiny fraction of the corpus; the singleton majority
+    # never pays a propagation round
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint()
+    )
+    # labels only ever decrease, so sum(label) is strictly decreasing until
+    # the fixpoint: one cheap agg action per round detects convergence
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        neighbor_min = (
+            labels.join(edges, labels["doc_id"] == edges["src"])
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    all_labels = docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("label")
+    )
+    # cluster count ~ document count, so sizes must NOT be a broadcast side;
+    # one window over the label keeps it a single hash shuffle
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label")
+    return all_labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        F.count("*").over(w).alias("cluster_size"),
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     """SimHash over the token multiset: one md5 per token, ``bits`` weighted
     bit-sums, sign -> bit.  Bits come from the top bit of each hex digit of

@@ -146,6 +146,158 @@ def bpe_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = STOPWORDS,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_token_len: int = 20,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality gate: per-rule boolean flags plus the
+    conjunction ``keep``.
+
+    The rule family follows Rae et al. 2021 (Gopher, table A1): word-count
+    bounds, mean-word-length band, no oversized tokens, minimum fraction of
+    words containing an alphabetic character, and a minimum stopword-hit
+    count.  Thresholds are keyword arguments — corpora tune them — and every
+    feature is a built-in Column expression, so the gate is one codegen'd
+    projection over the scan (no shuffle, no UDF): the shape that filters a
+    100 TB corpus at scan speed.
+    """
+    toks = tokens_col(F.col(text_col))
+    n_words = F.size(toks)
+    mean_word_len = (F.length(text_col) - (n_words - 1)) / n_words
+    longest = F.array_max(F.transform(toks, F.length))
+    alpha_ratio = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))) / n_words
+    stop_set = tuple(stopwords)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*stop_set)))
+    r_words = (n_words >= min_words) & (n_words <= max_words)
+    r_word_len = (mean_word_len >= min_mean_word_len) & (
+        mean_word_len <= max_mean_word_len
+    )
+    r_token_len = longest <= max_token_len
+    r_alpha = alpha_ratio >= min_alpha_ratio
+    r_stop = stop_hits >= min_stop_hits
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        longest.cast("long").alias("max_token_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        stop_hits.cast("long").alias("stop_hits"),
+        r_words.alias("rule_word_count"),
+        r_word_len.alias("rule_mean_word_len"),
+        r_token_len.alias("rule_max_token_len"),
+        r_alpha.alias("rule_alpha_ratio"),
+        r_stop.alias("rule_stopwords"),
+        (r_words & r_word_len & r_token_len & r_alpha & r_stop).alias("keep"),
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition / boilerplate features: the fraction of the document taken
+    by its most frequent token, most frequent bigram, and by bigrams that
+    occur more than once (Gopher's duplicate-n-gram family).
+
+    Shape: explode to (doc, gram) postings, count per (doc, gram), reduce per
+    doc — linear in corpus tokens with map-side partial aggregation, never
+    quadratic in document length (the in-row alternative is O(len^2) per
+    document, which dies on real long documents).
+    """
+    toks = tokens_col(F.col(text_col))
+    base = docs.select("doc_id", toks.alias("toks"))
+    uni = base.select("doc_id", F.explode("toks").alias("gram"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(" ", F.element_at("toks", i), F.element_at("toks", i + 1)),
+    )
+    bi = base.filter(F.size("toks") >= 2).select(
+        "doc_id", F.explode(bigrams).alias("gram")
+    )
+
+    def per_doc(postings: DataFrame, prefix: str) -> DataFrame:
+        counted = postings.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+        return counted.groupBy("doc_id").agg(
+            (F.max("c") / F.sum("c")).alias(f"{prefix}_top_frac"),
+            (
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / F.sum("c")
+            ).alias(f"{prefix}_dup_frac"),
+        )
+    out = per_doc(uni, "token").join(per_doc(bi, "bigram"), "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.round("token_top_frac", 6).alias("top_token_frac"),
+        F.round("token_dup_frac", 6).alias("dup_token_frac"),
+        F.round("bigram_top_frac", 6).alias("top_bigram_frac"),
+        F.round("bigram_dup_frac", 6).alias("dup_bigram_frac"),
+    )
+
+
+#: default probe for BM25 demos/tests — common corpus vocabulary
+BM25_DEFAULT_TERMS: tuple[str, ...] = ("spark", "join", "vector")
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: tuple[str, ...] = BM25_DEFAULT_TERMS,
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a bag of query terms.
+
+    Corpus statistics (N, avgdl, per-term document frequency) are computed in
+    ONE aggregation pass and re-attached via a broadcast cross-join of the
+    single stats row, so the whole operator is two scans of the corpus and no
+    wide shuffle — at 100 TB the stats row is pennies and the scoring pass is
+    scan-speed.  idf uses the standard ``ln(1 + (N - df + .5)/(df + .5))``
+    smoothing; per-term tf is an in-row ``filter`` count.
+    """
+    from pyspark.sql.functions import broadcast
+
+    toks = tokens_col(F.col(text_col))
+
+    def tf_of(term: str):
+        # NB: unary lambda — F.filter treats a 2-arg lambda as (element,
+        # index), so a `term=tm` default would receive the index column
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    tf_cols = [
+        tf_of(tm).cast("double").alias(f"tf_{i}") for i, tm in enumerate(terms)
+    ]
+    base = docs.select(
+        "doc_id", F.size(toks).cast("double").alias("dl"), *tf_cols
+    )
+    stats = base.agg(
+        F.count("*").cast("double").alias("N"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("double")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = base.crossJoin(broadcast(stats))
+    norm = F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    score = None
+    for i in range(len(terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("N") - F.col(f"df_{i}") + F.lit(0.5)) / (F.col(f"df_{i}") + F.lit(0.5))
+        )
+        part = idf * F.col(f"tf_{i}") * F.lit(k1 + 1) / (F.col(f"tf_{i}") + norm)
+        score = part if score is None else score + part
+    return joined.select(
+        "doc_id",
+        F.col("dl").cast("long").alias("doc_len"),
+        F.round(score, 6).alias("bm25"),
+    )
+
+
 def rolling_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-sensitive polynomial rolling hash over the token stream —
     ``h = (h * 1000003 + ascii(tok[0]) * 31 + len(tok)) mod (2^31 - 1)`` —

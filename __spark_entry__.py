@@ -2395,6 +2395,142 @@ def gr_render_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_TAIL_SHIFT = 86400
+_TAIL_BUCKET = 3 * 86400
+_TAIL_THR = 50.0
+
+
+def _gr_tail_oracle() -> str:
+    err_rx = ("^(?:" + compile_glob("bg.error.*").regex + ")$").replace("'", "''")
+    return f"""
+WITH {_series_cte("bg.*.*")},
+err AS (SELECT * FROM s WHERE regexp_matches(name, '{err_rx}')),
+purch AS (SELECT * FROM s WHERE starts_with(name, 'bg.purchase.')),
+lastv AS (SELECT name, arg_max(value, ts) AS lv FROM s
+          WHERE value IS NOT NULL GROUP BY name),
+nr AS (SELECT name, row_number() OVER (ORDER BY name) AS r
+       FROM (SELECT DISTINCT name FROM err)),
+dr AS (SELECT name, row_number() OVER (ORDER BY name) AS r
+       FROM (SELECT DISTINCT name FROM purch)),
+grid AS (SELECT CAST(ts AS BIGINT) AS ts
+         FROM generate_series({_GR_START}, {_GR_START + _TAIL_BUCKET - 1}, {_TAIL_SHIFT}) t(ts))
+SELECT 'smartsum' AS func, name,
+       {_GR_START} + (ts - {_GR_START}) - ((ts - {_GR_START}) % {_TAIL_BUCKET}) AS ts,
+       ROUND(sum(value), 6) AS value
+FROM s GROUP BY 1, 2, 3
+UNION ALL
+SELECT 'minima', name, CAST(0 AS BIGINT), CAST(rnk AS DOUBLE)
+FROM (SELECT name, row_number() OVER (ORDER BY stat, name) AS rnk
+      FROM (SELECT name, ROUND(min(value), 6) AS stat, max(value) AS mx
+            FROM s GROUP BY name) WHERE mx > 0)
+UNION ALL
+SELECT 'cura', s.name, ts, ROUND(value, 6)
+FROM s JOIN lastv ON s.name = lastv.name WHERE lastv.lv > {_TAIL_THR}
+UNION ALL
+SELECT 'curb', s.name, ts, ROUND(value, 6)
+FROM s JOIN lastv ON s.name = lastv.name WHERE lastv.lv <= {_TAIL_THR}
+UNION ALL
+SELECT 'aggline', name, ts, ROUND(avg(value) OVER (PARTITION BY name), 6) FROM s
+UNION ALL
+SELECT 'stack', name || '.shift_' || i, ts + i * {_TAIL_SHIFT}, ROUND(value, 6)
+FROM err CROSS JOIN (VALUES (0), (1), (2)) t(i)
+UNION ALL
+SELECT 'divlists', err.name, err.ts,
+       ROUND(err.value / NULLIF(purch.value, 0.0), 6)
+FROM err JOIN nr ON err.name = nr.name
+JOIN dr ON nr.r = dr.r JOIN purch ON purch.name = dr.name AND purch.ts = err.ts
+UNION ALL
+SELECT 'gbn', string_split(name, '.')[1] || '.' || string_split(name, '.')[3],
+       ts, ROUND(sum(value), 6)
+FROM s GROUP BY 2, 3
+UNION ALL
+SELECT 'sub', concat_ws('.', string_split(name, '.')[2], string_split(name, '.')[3]),
+       ts, ROUND(value, 6)
+FROM err
+UNION ALL
+SELECT 'uniq', name, ts, ROUND(value, 6) FROM err
+UNION ALL
+SELECT 'uniq', name, ts, ROUND(value, 6) FROM s
+WHERE name NOT IN (SELECT name FROM nr)
+UNION ALL
+SELECT 'const', 'constantLine', ts, 42.5 FROM grid
+UNION ALL
+SELECT 'time', 'time', ts, CAST(ts AS DOUBLE) FROM grid
+UNION ALL
+SELECT 'fallback', 'constantLine', ts, 42.5 FROM grid
+"""
+
+
+@_register("gr_render_tail", _gr_tail_oracle())
+def gr_render_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """smartSummarize + sortByMinima + currentAbove/Below + aggregateLine +
+    timeStack + divideSeriesLists + groupByNodes + substr + unique +
+    constantLine/time + fallbackSeries — the remaining render-function tail
+    in one union query over the cached hourly finals."""
+    _utc(spark)
+    from biggraphite_spark.functions.series import (
+        aggregate_line,
+        constant_line,
+        current_above,
+        current_below,
+        divide_series_lists,
+        fallback_series,
+        group_by_nodes,
+        smart_summarize,
+        sort_by_minima,
+        substr_series,
+        time_function,
+        time_stack,
+        unique_series,
+    )
+
+    s = _hourly_finals(spark, sf_dir, "bg.*.*").cache()
+    s.count()  # materialize before branch fan-out (see gr_series_combine)
+    err_rx = "^(?:" + compile_glob("bg.error.*").regex + ")$"
+    err = s.filter(F.col("name").rlike(err_rx))
+    purch = s.filter(F.col("name").startswith("bg.purchase."))
+    rounded = F.round("value", 6).alias("value")
+
+    def tag(df: DataFrame, func: str) -> DataFrame:
+        return df.select(F.lit(func).alias("func"), "name", "ts", rounded)
+
+    branches = [
+        tag(smart_summarize(s, _TAIL_BUCKET, "sum", origin=_GR_START), "smartsum"),
+        sort_by_minima(s).select(
+            F.lit("minima").alias("func"),
+            "name",
+            F.lit(0).cast("long").alias("ts"),
+            F.col("rank").cast("double").alias("value"),
+        ).distinct(),
+        tag(current_above(s, _TAIL_THR), "cura"),
+        tag(current_below(s, _TAIL_THR), "curb"),
+        tag(aggregate_line(s, "average"), "aggline"),
+        tag(time_stack(err, _TAIL_SHIFT, 0, 3), "stack"),
+        tag(divide_series_lists(err, purch), "divlists"),
+        tag(group_by_nodes(s, "sum", 0, 2), "gbn"),
+        tag(substr_series(err, 1, 3), "sub"),
+        tag(unique_series(err, s), "uniq"),
+        tag(
+            constant_line(spark, 42.5, _GR_START, _GR_START + _TAIL_BUCKET, _TAIL_SHIFT),
+            "const",
+        ),
+        tag(time_function(spark, "time", _GR_START, _GR_START + _TAIL_BUCKET, _TAIL_SHIFT), "time"),
+        tag(
+            fallback_series(
+                s.filter(F.col("name") == "no.such.name"),
+                constant_line(
+                    spark, 42.5, _GR_START, _GR_START + _TAIL_BUCKET, _TAIL_SHIFT
+                ),
+            ),
+            "fallback",
+        ),
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out
+
+
 def _ema_oracle(window: int = 3) -> str:
     """EMA as a DuckDB recursive CTE — same technique as _hw_oracle: the
     SQL replays exponential_moving_average's recurrence in the same

@@ -796,3 +796,171 @@ def average_outside_percentile(series: DataFrame, n: float) -> DataFrame:
         .select("name")
     )
     return series.join(F.broadcast(kept), "name", "left_semi")
+
+
+def smart_summarize(
+    series: DataFrame, precision: int, how: str = "sum", origin: int = 0
+) -> DataFrame:
+    """``smartSummarize``: like :func:`summarize` but buckets are aligned to
+    ``origin`` (graphite aligns to the requested window start) instead of the
+    epoch.  Pass the fetch window's start ts as ``origin``."""
+    _check_how(how)
+    off = F.col("ts") - F.lit(origin)
+    bucket = (F.lit(origin) + off - (off % F.lit(precision))).alias("ts")
+    return series.groupBy("name", bucket).agg(_COMBINE[how]("value").alias("value"))
+
+
+def sort_by_minima(series: DataFrame) -> DataFrame:
+    """``sortByMinima``: drop series whose max never exceeds 0, then rank
+    ascending by each survivor's minimum (graphite render/functions.py
+    sortByMinima: ``filter max > 0`` + ``sort key=min``)."""
+    stat = series.groupBy("name").agg(
+        F.round(F.min("value"), 6).alias("stat"), F.max("value").alias("mx")
+    )
+    kept = stat.filter(F.col("mx") > 0).drop("mx")
+    w = Window.orderBy(F.asc("stat"), F.asc("name"))
+    ranked = kept.withColumn("rank", F.row_number().over(w).cast("long"))
+    return series.join(F.broadcast(ranked), "name").select(
+        "name", "ts", "value", "stat", "rank"
+    )
+
+
+def substr_series(series: DataFrame, start: int, stop: int = 0) -> DataFrame:
+    """``substr``: rewrite each name to the dot-joined node slice
+    [start, stop) (0-based, stop=0 meaning "to the end"), graphite's
+    display-name truncation."""
+    parts = F.split(F.col("name"), r"\.")
+    length = (F.size(parts) if stop == 0 else F.lit(stop)) - F.lit(start)
+    sliced = F.slice(parts, start + 1, length)
+    return series.select(
+        F.array_join(sliced, ".").alias("name"), "ts", "value"
+    )
+
+
+def unique_series(*series_lists: DataFrame) -> DataFrame:
+    """``unique``: concatenate the lists keeping only the FIRST occurrence
+    of each name (earlier lists win, graphite's seen-set order)."""
+    tagged = None
+    for i, df in enumerate(series_lists):
+        t = df.select(F.lit(i).alias("pri"), "name", "ts", "value")
+        tagged = t if tagged is None else tagged.unionAll(t)
+    first = tagged.groupBy("name").agg(F.min("pri").alias("pri"))
+    return tagged.join(F.broadcast(first), ["name", "pri"]).select(
+        "name", "ts", "value"
+    )
+
+
+def _last_known(series: DataFrame) -> DataFrame:
+    """Per-series last non-null value (graphite safeLast)."""
+    return series.groupBy("name").agg(
+        F.max_by("value", F.when(F.col("value").isNotNull(), F.col("ts"))).alias(
+            "last_value"
+        )
+    )
+
+
+def current_above(series: DataFrame, n: float) -> DataFrame:
+    """``currentAbove``: keep series whose last known value is above ``n``."""
+    kept = _last_known(series).filter(F.col("last_value") > n).select("name")
+    return series.join(F.broadcast(kept), "name", "left_semi")
+
+
+def current_below(series: DataFrame, n: float) -> DataFrame:
+    """``currentBelow``: keep series whose last known value is at most
+    ``n`` (graphite keeps ``safeLast(s) <= n``)."""
+    kept = _last_known(series).filter(F.col("last_value") <= n).select("name")
+    return series.join(F.broadcast(kept), "name", "left_semi")
+
+
+def aggregate_line(series: DataFrame, how: str = "average") -> DataFrame:
+    """``aggregateLine``: replace each bucket's value with the series-wide
+    aggregate — a flat line at the statistic, emitted on the series' own
+    grid."""
+    _check_how(how)
+    agg = _COMBINE[how]
+    w = Window.partitionBy("name")
+    return series.select(
+        "name", "ts", agg("value").over(w).alias("value")
+    )
+
+
+def time_stack(
+    series: DataFrame, shift_s: int, start: int = 0, end: int = 7
+) -> DataFrame:
+    """``timeStack``: union of ``timeShift(series, i*shift_s)`` for i in
+    [start, end), each copy suffixed ``.shift_i`` — the week-over-week
+    overlay.  One scan per shift; Spark unions share the cached source."""
+    out = None
+    for i in range(start, end):
+        branch = series.select(
+            F.concat(F.col("name"), F.lit(f".shift_{i}")).alias("name"),
+            (F.col("ts") + F.lit(i * shift_s)).alias("ts"),
+            "value",
+        )
+        out = branch if out is None else out.unionAll(branch)
+    return out
+
+
+def divide_series_lists(dividends: DataFrame, divisors: DataFrame) -> DataFrame:
+    """``divideSeriesLists``: pair the two lists positionally BY SORTED NAME
+    (graphite zips the two fetched lists; dot-name order is the only
+    deterministic DataFrame analogue) and divide bucket-wise.  Unequal list
+    lengths raise in graphite; here unmatched ranks simply drop."""
+    wn = Window.orderBy("name")
+
+    def ranked(df: DataFrame, v: str) -> DataFrame:
+        names = df.select("name").distinct().withColumn("r", F.row_number().over(wn))
+        return df.join(F.broadcast(names), "name").select(
+            "r", "ts", F.col("value").alias(v), *( ["name"] if v == "v" else [] )
+        )
+
+    num = ranked(dividends, "v")
+    den = ranked(divisors, "w")
+    return num.join(den, ["r", "ts"]).select(
+        "name", "ts", (F.col("v") / F.nullif(F.col("w"), F.lit(0.0))).alias("value")
+    )
+
+
+def group_by_nodes(series: DataFrame, how: str, *nodes: int) -> DataFrame:
+    """``groupByNodes``: aggregate series whose selected node components
+    agree — the multi-node generalization of :func:`group_by_node`."""
+    _check_how(how)
+    parts = F.split(F.col("name"), r"\.")
+    key = F.concat_ws(".", *[F.element_at(parts, i + 1) for i in nodes])
+    return (
+        series.groupBy(key.alias("name"), "ts")
+        .agg(_COMBINE[how]("value").alias("value"))
+    )
+
+
+def fallback_series(series: DataFrame, fallback: DataFrame) -> DataFrame:
+    """``fallbackSeries``: if the primary selection is EMPTY, use the
+    fallback — graphite's all-or-nothing swap, decided per call, not per
+    name.  The emptiness probe is one cheap limit(1) action."""
+    if series.limit(1).count() > 0:
+        return series
+    return fallback
+
+
+def constant_line(
+    spark, value: float, start: int, end: int, step: int
+) -> DataFrame:
+    """``constantLine``: a synthetic flat series on [start, end) at the
+    given step (sequence + explode; no driver-side row building)."""
+    return spark.range(1).select(
+        F.lit("constantLine").alias("name"),
+        F.explode(
+            F.sequence(F.lit(start), F.lit(end - 1), F.lit(step))
+        ).alias("ts"),
+        F.lit(float(value)).alias("value"),
+    )
+
+
+def time_function(spark, name: str, start: int, end: int, step: int) -> DataFrame:
+    """``time``/``identity``: a synthetic series whose value at t is t."""
+    return spark.range(1).select(
+        F.lit(name).alias("name"),
+        F.explode(
+            F.sequence(F.lit(start), F.lit(end - 1), F.lit(step))
+        ).alias("ts"),
+    ).select("name", "ts", F.col("ts").cast("double").alias("value"))

@@ -402,3 +402,112 @@ def test_sort_by_maxima_and_limit(two_series):
     assert ranked == {"b": 1, "a": 2}
     lim = S.limit_series(two_series, 1)
     assert {r["name"] for r in lim.collect()} == {"a"}  # name order
+
+
+# ---------------------------------------------------------------------------
+# render tail: smartSummarize / sorts / selection / list ops / generators
+# ---------------------------------------------------------------------------
+
+
+def test_smart_summarize_origin_alignment(spark):
+    from biggraphite_spark.functions.series import smart_summarize
+
+    rows = [("a", 130, 1.0), ("a", 190, 2.0), ("a", 250, 4.0)]
+    df = spark.createDataFrame(rows, "name string, ts long, value double")
+    # origin=130, precision=120: buckets [130,250) and [250,370)
+    out = _as_dict(smart_summarize(df, 120, "sum", origin=130))
+    assert out == {("a", 130): 3.0, ("a", 250): 4.0}
+
+
+def test_sort_by_minima_filters_and_ranks(spark):
+    from biggraphite_spark.functions.series import sort_by_minima
+
+    rows = [("a", 0, 5.0), ("b", 0, 2.0), ("neg", 0, -1.0)]
+    df = spark.createDataFrame(rows, "name string, ts long, value double")
+    ranked = {r["name"]: r["rank"] for r in sort_by_minima(df).collect()}
+    # 'neg' max <= 0 -> dropped; b(min 2) before a(min 5)
+    assert ranked == {"b": 1, "a": 2}
+
+
+def test_current_above_below_partition(spark):
+    from biggraphite_spark.functions.series import current_above, current_below
+
+    rows = [
+        ("hi", 0, 1.0), ("hi", 60, 99.0),
+        ("lo", 0, 98.0), ("lo", 60, 3.0),
+        ("gap", 0, 97.0), ("gap", 60, None),  # last KNOWN value is 97
+    ]
+    df = spark.createDataFrame(rows, "name string, ts long, value double")
+    assert {r["name"] for r in current_above(df, 50).collect()} == {"hi", "gap"}
+    assert {r["name"] for r in current_below(df, 50).collect()} == {"lo"}
+
+
+def test_substr_and_group_by_nodes(spark):
+    from biggraphite_spark.functions.series import group_by_nodes, substr_series
+
+    rows = [("dc1.web.req.count", 0, 1.0), ("dc2.web.req.count", 0, 2.0)]
+    df = spark.createDataFrame(rows, "name string, ts long, value double")
+    assert {r["name"] for r in substr_series(df, 1, 3).collect()} == {"web.req"}
+    out = group_by_nodes(df, "sum", 1, 2).collect()
+    assert [(r["name"], r["value"]) for r in out] == [("web.req", 3.0)]
+
+
+def test_unique_series_first_list_wins(spark):
+    from biggraphite_spark.functions.series import unique_series
+
+    a = spark.createDataFrame([("x", 0, 1.0)], "name string, ts long, value double")
+    b = spark.createDataFrame(
+        [("x", 0, 99.0), ("y", 0, 2.0)], "name string, ts long, value double"
+    )
+    out = _as_dict(unique_series(a, b))
+    assert out == {("x", 0): 1.0, ("y", 0): 2.0}
+
+
+def test_divide_series_lists_pairs_by_sorted_name(spark):
+    from biggraphite_spark.functions.series import divide_series_lists
+
+    num = spark.createDataFrame(
+        [("n.b", 0, 10.0), ("n.a", 0, 4.0)], "name string, ts long, value double"
+    )
+    den = spark.createDataFrame(
+        [("d.b", 0, 5.0), ("d.a", 0, 2.0)], "name string, ts long, value double"
+    )
+    out = _as_dict(divide_series_lists(num, den))
+    # sorted pairing: n.a/d.a, n.b/d.b; dividend names survive
+    assert out == {("n.a", 0): 2.0, ("n.b", 0): 2.0}
+
+
+def test_aggregate_line_flat(spark):
+    from biggraphite_spark.functions.series import aggregate_line
+
+    rows = [("a", 0, 1.0), ("a", 60, 3.0), ("a", 120, None)]
+    df = spark.createDataFrame(rows, "name string, ts long, value double")
+    out = _as_dict(aggregate_line(df, "average"))
+    assert out == {("a", 0): 2.0, ("a", 60): 2.0, ("a", 120): 2.0}
+
+
+def test_time_stack_shifts_and_names(spark):
+    from biggraphite_spark.functions.series import time_stack
+
+    df = spark.createDataFrame([("a", 100, 1.0)], "name string, ts long, value double")
+    out = {(r["name"], r["ts"]) for r in time_stack(df, 10, 0, 3).collect()}
+    assert out == {("a.shift_0", 100), ("a.shift_1", 110), ("a.shift_2", 120)}
+
+
+def test_fallback_series_both_paths(spark):
+    from biggraphite_spark.functions.series import fallback_series
+
+    primary = spark.createDataFrame([("p", 0, 1.0)], "name string, ts long, value double")
+    empty = primary.filter("name = 'nope'")
+    fb = spark.createDataFrame([("f", 0, 9.0)], "name string, ts long, value double")
+    assert _as_dict(fallback_series(primary, fb)) == {("p", 0): 1.0}
+    assert _as_dict(fallback_series(empty, fb)) == {("f", 0): 9.0}
+
+
+def test_generators(spark):
+    from biggraphite_spark.functions.series import constant_line, time_function
+
+    cl = constant_line(spark, 7.5, 100, 400, 100).collect()
+    assert [(r["ts"], r["value"]) for r in cl] == [(100, 7.5), (200, 7.5), (300, 7.5)]
+    tf = time_function(spark, "t", 100, 300, 100).collect()
+    assert [(r["ts"], r["value"]) for r in tf] == [(100, 100.0), (200, 200.0)]

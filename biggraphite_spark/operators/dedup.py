@@ -189,6 +189,33 @@ def lsh_near_dups(
     )
 
 
+#: edge-count bound under which connected components is solved driver-side.
+#: 5M edges ~ 80 MB of longs — trivial for any driver; the LSH pair graph of
+#: even a 100 TB corpus is usually far below this (pairs ≪ docs by design)
+DRIVER_CC_MAX_EDGES = 5_000_000
+
+
+def _union_find(edge_rows) -> dict[int, int]:
+    """Path-compressed union-find; roots normalized to the component min."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the root IS the component minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
 def dup_clusters(
     docs: DataFrame,
     pairs: DataFrame | None = None,
@@ -197,6 +224,7 @@ def dup_clusters(
     bands: int = DEFAULT_BANDS,
     n: int = 3,
     max_iters: int = 20,
+    driver_max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """Near-duplicate cluster assignment: connected components over the
     near-dup pair graph, labelled by the minimum doc_id in each component.
@@ -206,63 +234,94 @@ def dup_clusters(
     ``cluster_id``, keep the representative (``doc_id == cluster_id``), drop
     the rest.
 
-    Algorithm: iterative min-label propagation.  Each round joins the labels
-    to the (bidirectional) edge list, takes the min label over each node's
-    neighbourhood, and stops when no label changed.  Rounds = graph diameter,
-    not row count — near-dup graphs are overwhelmingly tiny cliques, so this
-    converges in a handful of rounds.  Each round's result is
-    ``localCheckpoint``-ed: without it the self-referential join lineage
-    doubles per round and the planner, not the data, becomes the bottleneck.
-    At extreme scale swap the inner loop for the large-star/small-star
-    variant (Kiveris et al. 2014); the outer fixpoint shape is identical.
+    Two execution paths, picked by the size of the PAIR graph (not the
+    corpus): near-dup edges are a minuscule fraction of documents, so even
+    huge corpora usually fit the driver path.
+
+    - **Driver union-find** (≤ ``driver_max_edges``): collect the edge list,
+      path-compressed union-find, broadcast the label map back.  One job +
+      one broadcast join — no fixpoint loop, the shape production dedup
+      pipelines use.
+    - **Distributed min-label propagation** (larger graphs): each round
+      joins labels to the bidirectional edge list, takes the neighbourhood
+      min, and stops when the (monotonically decreasing) label sum is
+      unchanged.  Rounds = graph diameter.  Each round is
+      ``localCheckpoint``-ed: without it the self-referential join lineage
+      doubles per round and the planner, not the data, becomes the
+      bottleneck.  At extreme scale swap the inner loop for the
+      large-star/small-star variant (Kiveris et al. 2014); the outer
+      fixpoint shape is identical.
     """
     if pairs is None:
         pairs = lsh_near_dups(docs, threshold=threshold, k=k, bands=bands, n=n)
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .cache()
-    )
-    # only nodes with at least one edge enter the fixpoint loop — in a dedup
-    # graph that is a tiny fraction of the corpus; the singleton majority
-    # never pays a propagation round
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("label"))
-        .localCheckpoint()
-    )
-    # labels only ever decrease, so sum(label) is strictly decreasing until
-    # the fixpoint: one cheap agg action per round detects convergence
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iters):
-        neighbor_min = (
-            labels.join(edges, labels["doc_id"] == edges["src"])
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("label").alias("nlabel"))
+    pair_ids = pairs.select("doc_a", "doc_b").cache()
+    n_edges = pair_ids.count()
+
+    if n_edges <= driver_max_edges:
+        mapping = _union_find(
+            (r["doc_a"], r["doc_b"]) for r in pair_ids.toLocalIterator()
         )
-        labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+        pair_ids.unpersist()
+        spark = docs.sparkSession
+        if mapping:
+            label_df = spark.createDataFrame(
+                list(mapping.items()), "doc_id long, label long"
             )
+            labels = docs.join(F.broadcast(label_df), "doc_id", "left").select(
+                "doc_id", F.coalesce("label", "doc_id").alias("label")
+            )
+        else:
+            labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    else:
+        edges = (
+            pair_ids.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+            .union(
+                pair_ids.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+            )
+            .cache()
+        )
+        # only nodes with at least one edge enter the fixpoint loop — the
+        # singleton majority never pays a propagation round
+        lab = (
+            edges.select(F.col("src").alias("doc_id"))
+            .distinct()
+            .select("doc_id", F.col("doc_id").alias("label"))
             .localCheckpoint()
         )
-        new_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
-    edges.unpersist()
-    all_labels = docs.join(labels, "doc_id", "left").select(
-        "doc_id", F.coalesce("label", "doc_id").alias("label")
-    )
+        # labels only ever decrease, so sum(label) is strictly decreasing
+        # until the fixpoint: one cheap agg action per round
+        prev_sum = lab.agg(F.sum("label")).collect()[0][0]
+        for _ in range(max_iters):
+            neighbor_min = (
+                lab.join(edges, lab["doc_id"] == edges["src"])
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("label").alias("nlabel"))
+            )
+            lab = (
+                lab.join(neighbor_min, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("label"), F.coalesce("nlabel", "label")
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            new_sum = lab.agg(F.sum("label")).collect()[0][0]
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        edges.unpersist()
+        pair_ids.unpersist()
+        labels = docs.join(lab, "doc_id", "left").select(
+            "doc_id", F.coalesce("label", "doc_id").alias("label")
+        )
     # cluster count ~ document count, so sizes must NOT be a broadcast side;
     # one window over the label keeps it a single hash shuffle
     from pyspark.sql import Window
 
     w = Window.partitionBy("label")
-    return all_labels.select(
+    return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),
         F.count("*").over(w).alias("cluster_size"),

@@ -112,3 +112,14 @@ def test_dup_clusters_long_chain_converges(spark):
     )
     out = dup_clusters(docs, pairs=pairs).collect()
     assert all(r["cluster_id"] == 0 and r["cluster_size"] == n for r in out)
+
+
+def test_dup_clusters_distributed_path_matches_driver_path(spark):
+    docs = _docs(spark, [(i, f"doc {i}") for i in range(12)])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (7, 8), (8, 9), (9, 10)], "doc_a long, doc_b long"
+    )
+    driver = dup_clusters(docs, pairs=pairs).collect()
+    dist = dup_clusters(docs, pairs=pairs, driver_max_edges=0).collect()
+    key = lambda r: (r["doc_id"], r["cluster_id"], r["cluster_size"])  # noqa: E731
+    assert sorted(map(key, driver)) == sorted(map(key, dist))

@@ -1592,6 +1592,95 @@ def doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(_load_parallel(spark, sf_dir, "documents"))
 
 
+def _sample_oracle() -> str:
+    """Generated from operators.sampling.DEFAULT_RATES — one externalized
+    mixing table drives both engines; thresholds share rate_to_hex_threshold."""
+    from biggraphite_spark.operators.sampling import DEFAULT_RATES, rate_to_hex_threshold
+
+    conds = " OR ".join(
+        f"(lang = '{lang}' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+        f" < '{rate_to_hex_threshold(rate)}')"
+        for lang, rate in DEFAULT_RATES.items()
+    )
+    return f"""
+SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key
+FROM documents WHERE {conds}
+"""
+
+
+@_register("doc_sample", _sample_oracle())
+def doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by hashed doc id vs per-language
+    keep-rate thresholds — reproducible corpus mixing, no rand()."""
+    _utc(spark)
+    from biggraphite_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(_load_parallel(spark, sf_dir, "documents"))
+
+
+_PACK_BUDGET = 1024
+
+_PACK_ORACLE = f"""
+WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n FROM documents),
+o AS (SELECT doc_id, lang, n,
+             COALESCE(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS off
+      FROM t)
+SELECT doc_id, lang AS stream, CAST(n AS BIGINT) AS n_tokens,
+       CAST(floor(off / {_PACK_BUDGET}) AS BIGINT) AS seq_id,
+       CAST(off % {_PACK_BUDGET} AS BIGINT) AS seq_offset
+FROM o
+"""
+
+
+@_register("doc_pack", _PACK_ORACLE)
+def doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per-language token streams sliced
+    into 1024-token training sequences (exclusive running-sum window)."""
+    _utc(spark)
+    from biggraphite_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(_load_parallel(spark, sf_dir, "documents"), _PACK_BUDGET)
+
+
+_QUANT_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+r AS (SELECT pos, min(x) AS mn, max(x) AS mx
+      FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
+      GROUP BY pos),
+ra AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM r),
+q AS (SELECT vec_id, v,
+             list_transform(generate_series(1, 64),
+               i -> CASE WHEN mxs[i] - mns[i] != 0
+                         THEN CAST(round(255 * (v[i] - mns[i]) / (mxs[i] - mns[i])) AS INT)
+                         ELSE 0 END) AS codes,
+             mns, mxs
+      FROM e, ra),
+rec AS (SELECT vec_id, v, codes,
+               list_transform(generate_series(1, 64),
+                 i -> mns[i] + CAST(codes[i] AS DOUBLE) * (mxs[i] - mns[i]) / 255.0) AS rv
+        FROM q)
+SELECT vec_id,
+       array_to_string(list_transform(codes, c -> CAST(c AS VARCHAR)), ',') AS codes,
+       ROUND(list_sum(list_transform(generate_series(1, 64), i -> v[i] * rv[i]))
+             / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                * sqrt(list_sum(list_transform(rv, x -> x * x)))), 5) AS recon_cosine
+FROM rec
+"""
+
+
+@_register("emb_quantize", _QUANT_ORACLE)
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding corpus (per-dimension
+    affine codes as plan literals) + reconstruction cosine — the 4x memory
+    lever for billion-scale ANN."""
+    _utc(spark)
+    from biggraphite_spark.operators.similarity import quantize_int8
+
+    return quantize_int8(_load_parallel(spark, sf_dir, "embeddings"))
+
+
 _DOT64 = "list_sum(list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i]))"
 
 _COSINE_TOPK_ORACLE = f"""

@@ -389,3 +389,87 @@ def label_centroids(
             F.round(F.sqrt(F.sum(F.col("mean_val") * F.col("mean_val"))), 5).alias("centroid_norm"),
         )
     )
+
+
+def dimension_ranges(emb: DataFrame, vec_col: str = "embedding") -> list[tuple[float, float]]:
+    """Per-dimension (min, max) over the corpus, computed distributed
+    (posexplode + one agg) and collected — the quantization codebook is a
+    handful of doubles, the same codebook-as-literal move as IVF.  min/max
+    return exact input values (no summation), so any engine recomputing
+    them over the same data gets bit-identical literals."""
+    ranged = (
+        emb.select(F.posexplode(as_double_array(F.col(vec_col))).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )
+    return [(r["mn"], r["mx"]) for r in ranged]
+
+
+def quantize_int8(
+    emb: DataFrame,
+    ranges: list[tuple[float, float]] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    levels: int = 255,
+) -> DataFrame:
+    """Scalar int8 quantization of an embedding column: per-dimension affine
+    map onto [0, levels], plus the reconstruction's cosine against the
+    original as a quality column.
+
+    ``code_i = round(levels * (x_i - min_i) / (max_i - min_i))`` with the
+    per-dimension ranges embedded as plan literals (compute them once with
+    :func:`dimension_ranges`).  Quantization is then a pure projection —
+    zero shuffle, runs at scan speed, and cuts vector storage 4x (the
+    standard memory lever for billion-scale ANN corpora).  A flat dimension
+    (min == max) maps to code 0 and reconstructs the constant exactly.
+    """
+    if ranges is None:
+        ranges = dimension_ranges(emb, vec_col)
+    rng_lit = F.array(
+        *[
+            F.struct(
+                F.lit(float(mn)).alias("mn"),
+                F.lit(float(mx)).alias("mx"),
+            )
+            for mn, mx in ranges
+        ]
+    )
+    v = as_double_array(F.col(vec_col))
+    idx = F.sequence(F.lit(1), F.lit(len(ranges)))
+
+    def code_at(i: Column) -> Column:
+        x = F.element_at(v, i)
+        r = F.element_at(rng_lit, i)
+        mn, mx = r.getField("mn"), r.getField("mx")
+        span = mx - mn
+        return F.when(
+            span != 0, F.round(F.lit(levels) * (x - mn) / span).cast("int")
+        ).otherwise(F.lit(0))
+
+    codes = F.transform(idx, code_at)
+
+    def recon_at(i: Column) -> Column:
+        r = F.element_at(rng_lit, i)
+        mn, mx = r.getField("mn"), r.getField("mx")
+        c = F.element_at(F.col("code_arr"), i).cast("double")
+        return mn + c * (mx - mn) / F.lit(levels)
+
+    with_codes = emb.select(id_col, v.alias("v"), codes.alias("code_arr"))
+    recon = F.transform(idx, recon_at)
+    scored = with_codes.select(
+        id_col,
+        "code_arr",
+        F.round(
+            dot_expr(F.col("v"), recon)
+            / (norm_expr(F.col("v")) * norm_expr(recon)),
+            5,
+        ).alias("recon_cosine"),
+    )
+    # codes ride out as a comma-joined string: a portable, engine-neutral
+    # encoding (array cell formatting differs between pandas/duckdb)
+    code_str = F.array_join(
+        F.transform(F.col("code_arr"), lambda c: c.cast("string")), ","
+    )
+    return scored.select(id_col, code_str.alias("codes"), "recon_cosine")

@@ -1,0 +1,81 @@
+"""Stratified sampling, sequence packing, and int8 quantization unit tests."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from biggraphite_spark.operators.sampling import (
+    pack_sequences,
+    rate_to_hex_threshold,
+    stratified_sample,
+)
+from biggraphite_spark.operators.similarity import quantize_int8
+
+
+def test_rate_to_hex_threshold_bounds():
+    assert rate_to_hex_threshold(0.0) == "00000000"
+    assert rate_to_hex_threshold(1.0) == "ffffffff"
+    assert rate_to_hex_threshold(0.5) == f"{int(0.5 * 0xFFFFFFFF):08x}"
+    with pytest.raises(ValueError):
+        rate_to_hex_threshold(1.5)
+
+
+def test_stratified_sample_matches_python_twin(spark):
+    rows = [(i, "w", "en" if i % 2 == 0 else "de") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    rates = {"en": 0.5, "de": 1.0}
+    kept = {r["doc_id"] for r in stratified_sample(docs, rates).collect()}
+    expected = {
+        i
+        for i, _, lang in rows
+        if hashlib.md5(str(i).encode()).hexdigest()[:8]
+        < rate_to_hex_threshold(rates[lang])
+    }
+    assert kept == expected
+    # de rate 1.0 keeps every de doc; en rate 0.5 keeps a strict subset
+    assert all(i in kept for i in range(1, 200, 2))
+    assert 0 < sum(1 for i in range(0, 200, 2) if i in kept) < 100
+
+
+def test_stratified_sample_drops_unlisted_strata(spark):
+    docs = spark.createDataFrame(
+        [(1, "x", "fr")], "doc_id long, text string, lang string"
+    )
+    assert stratified_sample(docs, {"en": 1.0}).count() == 0
+
+
+def test_pack_sequences_offsets(spark):
+    # stream a: 60, 50, 30 tokens with budget 100:
+    #   doc 1 offset 0 (seq 0), doc 2 offset 60 (seq 0), doc 3 offset 110 -> seq 1 off 10
+    rows = [
+        (1, " ".join(["t"] * 60), "a"),
+        (2, " ".join(["t"] * 50), "a"),
+        (3, " ".join(["t"] * 30), "a"),
+        (4, " ".join(["t"] * 10), "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: (r["stream"], r["n_tokens"], r["seq_id"], r["seq_offset"])
+        for r in pack_sequences(docs, 100).collect()
+    }
+    assert out[1] == ("a", 60, 0, 0)
+    assert out[2] == ("a", 50, 0, 60)
+    assert out[3] == ("a", 30, 1, 10)
+    assert out[4] == ("b", 10, 0, 0)
+
+
+def test_quantize_int8_roundtrip(spark):
+    emb = spark.createDataFrame(
+        [(1, [0.0, 1.0, 5.0]), (2, [1.0, 1.0, -5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_int8(emb).collect()}
+    # dim1 range [0,1]: codes 0 and 255; dim2 flat -> code 0 both;
+    # dim3 range [-5,5]: codes 255 and 0
+    assert out[1]["codes"] == "0,0,255"
+    assert out[2]["codes"] == "255,0,0"
+    # reconstruction of extreme points is exact -> cosine 1.0
+    assert out[1]["recon_cosine"] == pytest.approx(1.0)
+    assert out[2]["recon_cosine"] == pytest.approx(1.0)

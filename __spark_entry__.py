@@ -2484,6 +2484,51 @@ def gr_render_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_GR_REDUCE_ORACLE = f"""
+WITH {_series_cte("bg.*.*")},
+t AS (SELECT string_split(name, '.')[1] || '.' || string_split(name, '.')[3] AS k,
+             string_split(name, '.')[2] AS role, ts, value
+      FROM s WHERE string_split(name, '.')[2] IN ('error', 'purchase')),
+p AS (SELECT k, ts,
+             max(CASE WHEN role = 'error' THEN value END) AS va,
+             max(CASE WHEN role = 'purchase' THEN value END) AS vb
+      FROM t GROUP BY k, ts)
+SELECT 'aspct' AS func, k || '.asPercent' AS name, ts,
+       ROUND(100.0 * va / NULLIF(vb, 0.0), 6) AS value
+FROM p
+UNION ALL
+SELECT 'div', k || '.divideSeries', ts, ROUND(va / NULLIF(vb, 0.0), 6) FROM p
+UNION ALL
+SELECT 'map', string_split(name, '.')[2] || '|' || name, ts, ROUND(value, 6) FROM s
+"""
+
+
+@_register("gr_reduce", _GR_REDUCE_ORACLE)
+def gr_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapSeries/reduceSeries: error-vs-purchase per user via the asPercent
+    and divideSeries reducers (role pivot = one conditional hash
+    aggregation, no self-join), plus the mapSeries key tagging."""
+    _utc(spark)
+    from biggraphite_spark.functions.series import map_series, reduce_series
+
+    s = _hourly_finals(spark, sf_dir, "bg.*.*").cache()
+    s.count()  # materialize before branch fan-out
+    rounded = F.round("value", 6).alias("value")
+    aspct = reduce_series(s, "asPercent", 1, "error", "purchase").select(
+        F.lit("aspct").alias("func"), "name", "ts", rounded
+    )
+    div = reduce_series(s, "divideSeries", 1, "error", "purchase").select(
+        F.lit("div").alias("func"), "name", "ts", rounded
+    )
+    mapped = map_series(s, 1).select(
+        F.lit("map").alias("func"),
+        F.concat_ws("|", "map_key", "name").alias("name"),
+        "ts",
+        rounded,
+    )
+    return aspct.unionAll(div).unionAll(mapped)
+
+
 _TAIL_SHIFT = 86400
 _TAIL_BUCKET = 3 * 86400
 _TAIL_THR = 50.0

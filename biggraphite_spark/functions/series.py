@@ -964,3 +964,65 @@ def time_function(spark, name: str, start: int, end: int, step: int) -> DataFram
             F.sequence(F.lit(start), F.lit(end - 1), F.lit(step))
         ).alias("ts"),
     ).select("name", "ts", F.col("ts").cast("double").alias("value"))
+
+
+def map_series(series: DataFrame, *map_nodes: int) -> DataFrame:
+    """``mapSeries``: tag each row with the dot-joined key of the selected
+    node components — the grouping half of graphite's map/reduce pair."""
+    parts = F.split(F.col("name"), r"\.")
+    key = F.concat_ws(".", *[F.element_at(parts, i + 1) for i in map_nodes])
+    return series.select(key.alias("map_key"), "name", "ts", "value")
+
+
+_REDUCERS = {
+    "divideSeries": lambda a, b: a / F.nullif(b, F.lit(0.0)),
+    "diffSeries": lambda a, b: a - F.coalesce(b, F.lit(0.0)),
+    "asPercent": lambda a, b: F.lit(100.0) * a / F.nullif(b, F.lit(0.0)),
+}
+
+
+def reduce_series(
+    series: DataFrame,
+    reducer: str,
+    reduce_node: int,
+    *matchers: str,
+) -> DataFrame:
+    """``reduceSeries``: group series whose names agree on every node except
+    ``reduce_node``, pick the two series whose ``reduce_node`` component
+    equals ``matchers[0]`` / ``matchers[1]``, and combine them with the
+    named reducer (graphite render/functions.py reduceSeries with the
+    standard two-argument reducers).
+
+    One conditional aggregation per (group key, ts) — roles pivot into
+    columns map-side, so the whole reduce is a single hash aggregation,
+    no self-join.  Output names are ``<group_key>.<reducer>``.
+    """
+    if reducer not in _REDUCERS:
+        raise ValueError(
+            f"unknown reducer {reducer!r}; one of {sorted(_REDUCERS)}"
+        )
+    if len(matchers) != 2:
+        raise ValueError("reduce_series supports exactly two matcher roles")
+    parts = F.split(F.col("name"), r"\.")
+    node_val = F.element_at(parts, reduce_node + 1)
+    key = F.array_join(
+        F.concat(
+            F.slice(parts, 1, reduce_node),
+            F.slice(parts, reduce_node + 2, F.size(parts) - reduce_node - 1),
+        ),
+        ".",
+    )
+    tagged = series.select(
+        key.alias("k"), node_val.alias("role"), "ts", "value"
+    ).filter(F.col("role").isin(*matchers))
+    a, b = matchers
+    pivoted = tagged.groupBy("k", "ts").agg(
+        F.max(F.when(F.col("role") == a, F.col("value"))).alias("va"),
+        F.max(F.when(F.col("role") == b, F.col("value"))).alias("vb"),
+    )
+    combined = _REDUCERS[reducer](F.col("va"), F.col("vb"))
+    return pivoted.select(
+        F.concat_ws(".", F.col("k"), F.lit(reducer)).alias("name"),
+        "ts",
+        combined.alias("value"),
+    )

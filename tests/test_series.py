@@ -511,3 +511,24 @@ def test_generators(spark):
     assert [(r["ts"], r["value"]) for r in cl] == [(100, 7.5), (200, 7.5), (300, 7.5)]
     tf = time_function(spark, "t", 100, 300, 100).collect()
     assert [(r["ts"], r["value"]) for r in tf] == [(100, 100.0), (200, 200.0)]
+
+
+def test_map_reduce_series(spark):
+    from biggraphite_spark.functions.series import map_series, reduce_series
+
+    rows = [
+        ("h1.disk.used", 0, 30.0), ("h1.disk.total", 0, 100.0),
+        ("h2.disk.used", 0, 10.0), ("h2.disk.total", 0, 40.0),
+        ("h1.disk.free", 0, 70.0),  # unmatched role: ignored
+    ]
+    df = spark.createDataFrame(rows, "name string, ts long, value double")
+    out = _as_dict(reduce_series(df, "asPercent", 2, "used", "total"))
+    assert out == {("h1.disk.asPercent", 0): 30.0, ("h2.disk.asPercent", 0): 25.0}
+    div = _as_dict(reduce_series(df, "divideSeries", 2, "used", "total"))
+    assert div[("h1.disk.divideSeries", 0)] == 0.3
+    keys = {r["map_key"] for r in map_series(df, 0).collect()}
+    assert keys == {"h1", "h2"}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        reduce_series(df, "nope", 2, "used", "total")

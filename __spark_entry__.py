@@ -1670,6 +1670,45 @@ FROM rec
 """
 
 
+_PQ_DIST = (
+    "list_transform(generate_series(1, 16), c -> "
+    "list_sum(list_transform(generate_series(1, 8), i -> "
+    "(v[(j-1)*8 + i] - cents[c][(j-1)*8 + i]) * (v[(j-1)*8 + i] - cents[c][(j-1)*8 + i]))))"
+)
+
+_PQ_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cb AS (SELECT list(v ORDER BY vec_id) AS cents FROM e WHERE vec_id < 16),
+dm AS (SELECT vec_id, v,
+              list_transform(generate_series(1, 8), j -> {_PQ_DIST}) AS dmat
+       FROM e, cb),
+cd AS (SELECT vec_id, v,
+              list_transform(dmat, d -> CAST(list_position(d, list_min(d)) AS INT) - 1) AS codes
+       FROM dm),
+rec AS (SELECT vec_id, v, codes,
+               list_transform(generate_series(1, 64),
+                 i -> cents[codes[CAST(floor((i - 1) / 8) AS INT) + 1] + 1][i]) AS rv
+        FROM cd, cb)
+SELECT vec_id,
+       array_to_string(list_transform(codes, c -> CAST(c AS VARCHAR)), ',') AS pq_codes,
+       ROUND(list_sum(list_transform(generate_series(1, 64), i -> v[i] * rv[i]))
+             / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                * sqrt(list_sum(list_transform(rv, x -> x * x)))), 5) AS recon_cosine
+FROM rec
+"""
+
+
+@_register("emb_pq", _PQ_ORACLE)
+def emb_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (8 subspaces x 16 sampled centroids): per-vector
+    m-code word + reconstruction cosine, codebook embedded as plan literals
+    — zero-shuffle scan-speed compression (Jégou et al. 2011)."""
+    _utc(spark)
+    from biggraphite_spark.operators.similarity import pq_quantize
+
+    return pq_quantize(_load_parallel(spark, sf_dir, "embeddings"))
+
+
 @_register("emb_quantize", _QUANT_ORACLE)
 def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar int8 quantization of the embedding corpus (per-dimension

@@ -473,3 +473,98 @@ def quantize_int8(
         F.transform(F.col("code_arr"), lambda c: c.cast("string")), ","
     )
     return scored.select(id_col, code_str.alias("codes"), "recon_cosine")
+
+
+def pq_codebook(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic sampled PQ codebook: the ``k`` lowest-id corpus vectors
+    become the centroids (their j-th subvector is subspace j's centroid
+    set).  A k-means-trained codebook plugs into the same quantizer — the
+    sampled one keeps the whole operator reproducible across engines with
+    zero iterative state.  Returns the k full vectors, ordered by id."""
+    rows = (
+        emb.orderBy(id_col)
+        .limit(k)
+        .select(id_col, as_double_array(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    return [list(r["v"]) for r in sorted(rows, key=lambda r: r[id_col])]
+
+
+def pq_quantize(
+    emb: DataFrame,
+    codebook: list[list[float]] | None = None,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product quantization: split each vector into ``m`` subspaces, assign
+    every subvector to its nearest codebook centroid (L2, first-index
+    tie-break), emit the m-code word plus the reconstruction's cosine
+    against the original.
+
+    The codebook rides as plan literals (the IVF codebook-as-literal move):
+    quantization is a pure projection — zero shuffle, scan-speed, and the
+    compressed corpus is dim/m bytes per vector, the standard memory layout
+    for billion-scale ANN (Jégou et al. 2011).  All distance sums are
+    explicit left-to-right folds so any engine replaying them gets
+    bit-identical codes.
+    """
+    if codebook is None:
+        codebook = pq_codebook(emb, m=m, k=k, vec_col=vec_col, id_col=id_col)
+    dim = len(codebook[0])
+    d_sub = dim // m
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in codebook]
+    )
+    v = as_double_array(F.col(vec_col))
+
+    def sub_dist(j: int, cent: Column) -> Column:
+        # explicit left-to-right fold over the subspace dims; squared via
+        # multiplication, NOT pow() — Math.pow(x, 2) is not guaranteed
+        # bit-equal to x*x, and the oracle replays x*x
+        def step(acc: Column, i: Column) -> Column:
+            diff = F.element_at(v, i + j * d_sub) - F.element_at(cent, i + j * d_sub)
+            return acc + diff * diff
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(d_sub)), F.lit(0.0), step
+        )
+
+    def code_for(j: int) -> Column:
+        dists = F.transform(cents_lit, lambda c: sub_dist(j, c))
+        # array_position finds the FIRST match -> lowest-index tie-break
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    codes = F.array(*[code_for(j) for j in range(m)])
+    with_codes = emb.select(id_col, v.alias("v"), codes.alias("code_arr"))
+    recon = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: F.element_at(
+            F.element_at(
+                cents_lit,
+                F.element_at(F.col("code_arr"), F.floor((i - 1) / d_sub).cast("int") + 1)
+                + 1,
+            ),
+            i,
+        ),
+    )
+    scored = with_codes.select(
+        id_col,
+        "code_arr",
+        F.round(
+            dot_expr(F.col("v"), recon)
+            / (norm_expr(F.col("v")) * norm_expr(recon)),
+            5,
+        ).alias("recon_cosine"),
+    )
+    code_str = F.array_join(
+        F.transform(F.col("code_arr"), lambda c: c.cast("string")), ","
+    )
+    return scored.select(id_col, code_str.alias("pq_codes"), "recon_cosine")

@@ -11,7 +11,7 @@ from biggraphite_spark.operators.sampling import (
     rate_to_hex_threshold,
     stratified_sample,
 )
-from biggraphite_spark.operators.similarity import quantize_int8
+from biggraphite_spark.operators.similarity import pq_quantize, quantize_int8
 
 
 def test_rate_to_hex_threshold_bounds():
@@ -79,3 +79,36 @@ def test_quantize_int8_roundtrip(spark):
     # reconstruction of extreme points is exact -> cosine 1.0
     assert out[1]["recon_cosine"] == pytest.approx(1.0)
     assert out[2]["recon_cosine"] == pytest.approx(1.0)
+
+
+def test_pq_quantize_codes_and_exact_recon_for_centroids(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 4) for _ in range(64)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in pq_quantize(emb).collect()}
+    assert len(out) == 40
+    # a codebook vector reconstructs to itself exactly in every subspace:
+    # its codes must be its own index and its recon cosine 1.0
+    for cid in (0, 7, 15):
+        assert out[cid]["pq_codes"] == ",".join([str(cid)] * 8)
+        assert out[cid]["recon_cosine"] == pytest.approx(1.0)
+    # codes are within [0, 16)
+    for r in out.values():
+        assert all(0 <= int(c) < 16 for c in r["pq_codes"].split(","))
+
+
+def test_pq_quantize_explicit_codebook(spark):
+    emb = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    # m=2 subspaces of 1 dim, 2 centroids
+    cb = [[0.0, 0.0], [1.0, 1.0]]
+    out = {
+        r["vec_id"]: r["pq_codes"]
+        for r in pq_quantize(emb, codebook=cb, m=2, k=2).collect()
+    }
+    assert out == {100: "1,0", 101: "0,1"}

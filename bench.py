@@ -58,6 +58,12 @@ def main() -> None:
         # so every measurement stays cold and later queries don't inherit
         # heap pressure from earlier ones
         spark.catalog.clearCache()
+        # let the JIT compile queue drain between queries: each plan floods
+        # the queue with fresh generated methods, and without a settle the
+        # NEXT query's measurement absorbs this one's compilation burst
+        # (observed as erratic 3-7x single-query tails hopping around the
+        # suite).  The pause is between measurements, not inside any.
+        time.sleep(0.25)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

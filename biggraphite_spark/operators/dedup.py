@@ -109,16 +109,31 @@ def minhash_signatures(docs: DataFrame, k: int = DEFAULT_K, n: int = 3) -> DataF
     exploded = with_shingles(docs, n=n).select(
         "doc_id", F.explode("shingles").alias("sh")
     )
-    seeds = {
-        s: F.md5(F.concat(F.lit(f"{s}:"), F.col("sh"))) for s in range((k + 3) // 4)
-    }
-    aggs = [
-        F.min(F.substring(seeds[j // 4], (j % 4) * 8 + 1, 8)).alias(f"h{j}")
-        for j in range(k)
-    ]
+    # digests materialize in a PROJECTION before the aggregation: inside a
+    # wide agg, common-subexpression elimination across aggregate functions
+    # is not guaranteed, so each md5 could be evaluated once per derived
+    # hash (4x the work) and the generated agg method balloons; staged this
+    # way each digest runs exactly once per posting and the agg is k plain
+    # column mins
+    digests = exploded.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{s}:"), F.col("sh"))).alias(f"d{s}")
+            for s in range((k + 3) // 4)
+        ],
+    )
+    hashes = digests.select(
+        "doc_id",
+        *[
+            F.substring(F.col(f"d{j // 4}"), (j % 4) * 8 + 1, 8).alias(f"h{j}")
+            for j in range(k)
+        ],
+    )
     # signatures stay narrow (k 8-char strings): the shingle arrays must NOT
     # ride through this shuffle — the verify stage re-joins them separately
-    return exploded.groupBy("doc_id").agg(*aggs)
+    return hashes.groupBy("doc_id").agg(
+        *[F.min(f"h{j}").alias(f"h{j}") for j in range(k)]
+    )
 
 
 def lsh_candidate_pairs(

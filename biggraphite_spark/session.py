@@ -47,7 +47,7 @@ def get_spark(app_name: str = "biggraphite-spark", cpus: int | None = None) -> S
                 # with the default 2-3 C2 threads, whichever query is waiting
                 # runs interpreted (erratic 3-10x per-query tails) — more
                 # compiler threads keep per-query times stable
-                "-XX:CICompilerCount=12 "
+                "-XX:CICompilerCount=16 "
                 # whole-stage codegen emits >8 KB-bytecode methods (wide
                 # hash/explode expressions); HotSpot refuses to JIT those at
                 # all by default, so the hottest generated loops can run

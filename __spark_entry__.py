@@ -2921,6 +2921,189 @@ def gr_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus curation family (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+_CHUNK = 8  # span size (tokens) for boilerplate chunk dedup
+
+_CHUNK_DEDUP_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+spans AS (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(ceil(len(toks) / {_CHUNK}.0) AS INT) - 1))
+           AS chunk_id,
+         toks
+  FROM t),
+s2 AS (
+  SELECT doc_id, chunk_id,
+         array_to_string(
+           list_slice(toks, chunk_id * {_CHUNK} + 1, chunk_id * {_CHUNK} + {_CHUNK}),
+           ' ') AS chunk_text
+  FROM spans),
+freq AS (SELECT md5(chunk_text) AS h, count(DISTINCT doc_id) AS doc_freq
+         FROM s2 GROUP BY 1),
+k AS (SELECT s2.doc_id, s2.chunk_id, s2.chunk_text, f.doc_freq <= 1 AS keep
+      FROM s2 JOIN freq f ON md5(s2.chunk_text) = f.h)
+SELECT doc_id, count(*) AS n_chunks,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+       COALESCE(string_agg(CASE WHEN keep THEN chunk_text END, ' '
+                           ORDER BY chunk_id), '') AS cleaned_text
+FROM k GROUP BY doc_id
+"""
+
+
+@_register("doc_chunk_dedup", _CHUNK_DEDUP_ORACLE)
+def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal by corpus-frequency span dedup (CCNet paragraph
+    dedup): drop every 8-token span that appears in more than one document,
+    reassemble the survivors in order."""
+    _utc(spark)
+    from biggraphite_spark.operators.curation import chunk_dedup
+
+    return chunk_dedup(
+        _load_parallel(spark, sf_dir, "documents"), chunk=_CHUNK, max_doc_freq=1
+    )
+
+
+_CONTAM_N = 5  # shingle width for decontamination
+_BENCH_MOD = 20  # every 20th doc plays the held-out benchmark set
+
+_CONTAM_GRAMS = f"""
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= {_CONTAM_N}
+                     THEN list_distinct(list_transform(
+                            generate_series(1, len(toks) - {_CONTAM_N - 1}),
+                            i -> array_to_string(
+                                   list_slice(toks, i, i + {_CONTAM_N - 1}), ' ')))
+                     ELSE [array_to_string(toks, ' ')] END) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+"""
+
+_CONTAM_ORACLE = f"""
+WITH g AS ({_CONTAM_GRAMS}),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_BENCH_MOD} = 0),
+j AS (SELECT g.doc_id, CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM g LEFT JOIN b ON g.gram = b.gram)
+SELECT doc_id, count(*) AS n_grams, sum(hit) AS n_overlap,
+       sum(hit) >= 1 AS contaminated
+FROM j GROUP BY doc_id
+"""
+
+
+@_register("doc_contamination", _CONTAM_ORACLE)
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-doc distinct 5-gram overlap against a
+    held-out eval slice (every 20th doc), broadcast semi-join — the GPT-3
+    appendix-C contamination check at scan speed."""
+    _utc(spark)
+    from biggraphite_spark.operators.curation import contamination
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    return contamination(docs, benchmark, n=_CONTAM_N, min_overlap=1)
+
+
+_PPL_ORACLE = """
+WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+v AS (SELECT tok, count(*) AS c FROM p GROUP BY tok),
+tt AS (SELECT sum(c) AS total FROM v)
+SELECT doc_id, count(*) AS n_tokens,
+       ROUND(avg(-log2(c / total)), 6) AS cross_entropy,
+       ROUND(pow(2.0, avg(-log2(c / total))), 6) AS perplexity
+FROM p JOIN v USING (tok), tt
+GROUP BY doc_id
+"""
+
+
+@_register("doc_perplexity", _PPL_ORACLE)
+def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy / perplexity per document (CCNet's quality
+    signal with the corpus itself as the LM): vocabulary-sized count
+    relation broadcast back onto the postings."""
+    _utc(spark)
+    from biggraphite_spark.operators.curation import unigram_logprob
+
+    return unigram_logprob(_load_parallel(spark, sf_dir, "documents"))
+
+
+_MIX_ALPHA = 0.3
+_MIX_BUDGET = 1_000_000
+
+_MIX_ORACLE = f"""
+WITH per AS (SELECT source, count(*) AS n_docs,
+                    sum(len(string_split(text, ' '))) AS n_tokens
+             FROM documents GROUP BY source),
+s AS (SELECT *, pow(n_tokens, {_MIX_ALPHA}) AS w_raw FROM per),
+z AS (SELECT sum(w_raw) AS z FROM s)
+SELECT source, n_docs, n_tokens,
+       ROUND(w_raw / z, 6) AS weight,
+       ROUND({_MIX_BUDGET} * (w_raw / z) / n_tokens, 6) AS effective_epochs
+FROM s, z
+"""
+
+
+@_register("doc_mix_weights", _MIX_ORACLE)
+def doc_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing weights (p_i ∝ n_i^0.3, the
+    XLM-R/mT5 sampling rule) + effective epochs at a 1M-token budget."""
+    _utc(spark)
+    from biggraphite_spark.operators.curation import mix_weights
+
+    return mix_weights(
+        _load_parallel(spark, sf_dir, "documents"),
+        alpha=_MIX_ALPHA,
+        token_budget=_MIX_BUDGET,
+    )
+
+
+_SUB_K = 5  # anchor gram width
+_SUB_MIN_RUN = 8  # report pairs sharing a run of >= 8 consecutive tokens
+_SUB_CAP = 50  # drop grams present in more than this many docs
+
+_SUBSTR_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+a AS (SELECT doc_id,
+             unnest(generate_series(1, greatest(len(toks) - {_SUB_K - 1}, 1)))
+               AS pos,
+             toks
+      FROM t),
+an AS (SELECT doc_id, pos,
+              md5(array_to_string(list_slice(toks, pos, pos + {_SUB_K - 1}), ' '))
+                AS h
+       FROM a),
+gdf AS (SELECT h, count(DISTINCT doc_id) AS gdf FROM an GROUP BY h),
+pr AS (SELECT an.* FROM an JOIN gdf ON an.h = gdf.h AND gdf.gdf <= {_SUB_CAP}),
+m AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             x.pos AS pos_a, x.pos - y.pos AS delta
+      FROM pr x JOIN pr y ON x.h = y.h AND x.doc_id < y.doc_id),
+i AS (SELECT *, pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, delta
+                                           ORDER BY pos_a) AS island
+      FROM m),
+r AS (SELECT doc_a, doc_b, delta, island,
+             count(*) + {_SUB_K - 1} AS run_tokens, count(*) AS n_anchor
+      FROM i GROUP BY 1, 2, 3, 4)
+SELECT doc_a, doc_b, max(run_tokens) AS longest_run, sum(n_anchor) AS n_anchors
+FROM r GROUP BY doc_a, doc_b HAVING max(run_tokens) >= {_SUB_MIN_RUN}
+"""
+
+
+@_register("doc_substring_dup", _SUBSTR_ORACLE)
+def doc_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared exact-substring detection (Lee et al. 2022) via k-gram
+    anchors at constant position delta — longest common token run >= 8
+    between document pairs, df-capped anchor join."""
+    _utc(spark)
+    from biggraphite_spark.operators.curation import substring_runs
+
+    return substring_runs(
+        _load_parallel(spark, sf_dir, "documents"),
+        k=_SUB_K,
+        min_run_tokens=_SUB_MIN_RUN,
+        max_gram_doc_freq=_SUB_CAP,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,126 @@
+"""Curation operators: hand-computed semantics + plan-shape checks."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from biggraphite_spark.operators.curation import (
+    chunk_dedup,
+    contamination,
+    mix_weights,
+    substring_runs,
+    unigram_logprob,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_dedup_drops_shared_spans_keeps_order(spark):
+    # chunk=2: doc 1 = [a b][c d][e f]; doc 2 = [a b][x y]; "a b" is shared
+    df = _docs(spark, [(1, "a b c d e f"), (2, "a b x y")])
+    out = {
+        r["doc_id"]: r
+        for r in chunk_dedup(df, chunk=2, max_doc_freq=1).collect()
+    }
+    assert out[1]["n_chunks"] == 3 and out[1]["n_kept"] == 2
+    assert out[1]["cleaned_text"] == "c d e f"
+    assert out[2]["cleaned_text"] == "x y"
+
+
+def test_chunk_dedup_all_boilerplate_yields_empty_text(spark):
+    df = _docs(spark, [(1, "a b"), (2, "a b")])
+    for r in chunk_dedup(df, chunk=2, max_doc_freq=1).collect():
+        assert r["n_kept"] == 0 and r["cleaned_text"] == ""
+
+
+def test_chunk_dedup_short_tail_chunk(spark):
+    # 5 tokens at chunk=2 -> 3 spans, last is 1 token
+    df = _docs(spark, [(1, "a b c d e")])
+    row = chunk_dedup(df, chunk=2, max_doc_freq=1).collect()[0]
+    assert row["n_chunks"] == 3 and row["cleaned_text"] == "a b c d e"
+
+
+def test_contamination_counts_distinct_gram_overlap(spark):
+    corpus = _docs(spark, [(1, "a b c d e"), (2, "p q r s t")])
+    bench = _docs(spark, [(100, "b c d e f")])
+    out = {
+        r["doc_id"]: r
+        for r in contamination(corpus, bench, n=3, min_overlap=1).collect()
+    }
+    # doc 1 grams: abc bcd cde; bench grams: bcd cde def -> overlap 2
+    assert out[1]["n_grams"] == 3 and out[1]["n_overlap"] == 2
+    assert out[1]["contaminated"] is True
+    assert out[2]["n_overlap"] == 0 and out[2]["contaminated"] is False
+
+
+def test_contamination_benchmark_side_is_broadcast(spark):
+    corpus = _docs(spark, [(1, "a b c d e")])
+    bench = _docs(spark, [(100, "b c d e f")])
+    plan = contamination(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_unigram_logprob_hand_computed(spark):
+    # corpus: a a a b -> p(a)=3/4, p(b)=1/4
+    df = _docs(spark, [(1, "a a"), (2, "a b")])
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    h1 = -math.log2(3 / 4)
+    h2 = (-math.log2(3 / 4) - math.log2(1 / 4)) / 2
+    assert abs(out[1]["cross_entropy"] - round(h1, 6)) < 1e-9
+    assert abs(out[2]["cross_entropy"] - round(h2, 6)) < 1e-9
+    assert abs(out[2]["perplexity"] - round(2 ** h2, 6)) < 1e-9
+
+
+def test_mix_weights_normalized_and_epoch_math(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d", "s1"), (2, "e f", "s1"), (3, "g h", "s2")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["source"]: r for r in mix_weights(df, alpha=1.0, token_budget=8).collect()}
+    # alpha=1 -> weights proportional to token counts: s1=6, s2=2
+    assert abs(rows["s1"]["weight"] - 0.75) < 1e-9
+    assert abs(rows["s2"]["weight"] - 0.25) < 1e-9
+    # epochs = budget * w / tokens = 8 * .75 / 6 = 1.0 ; 8 * .25 / 2 = 1.0
+    assert abs(rows["s1"]["effective_epochs"] - 1.0) < 1e-9
+    assert abs(rows["s2"]["effective_epochs"] - 1.0) < 1e-9
+    assert abs(sum(r["weight"] for r in rows.values()) - 1.0) < 1e-6
+
+
+def test_substring_runs_recovers_exact_run_length(spark):
+    # docs share exactly tokens 3..10 of doc 1 (run of 8); k=3 anchors
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    df = _docs(
+        spark,
+        [(1, f"x1 x2 {shared} x3 x4"), (2, f"y1 {shared} y2 y3 y4")],
+    )
+    rows = substring_runs(df, k=3, min_run_tokens=8).collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_a"] == 1 and rows[0]["doc_b"] == 2
+    assert rows[0]["longest_run"] == 8
+    # 8-token run at k=3 -> 6 anchors
+    assert rows[0]["n_anchors"] == 6
+
+
+def test_substring_runs_below_threshold_not_reported(spark):
+    df = _docs(spark, [(1, "a b c d e x1 x2"), (2, "a b c d e y1 y2")])
+    assert substring_runs(df, k=3, min_run_tokens=8).count() == 0
+
+
+def test_substring_runs_df_cap_prunes_common_grams(spark):
+    # the same gram in 3 docs with cap=2 -> no anchors survive
+    df = _docs(
+        spark,
+        [(1, "a b c q1 q2 q3 q4 q5"), (2, "a b c r1 r2 r3 r4 r5"), (3, "a b c s1 s2 s3 s4 s5")],
+    )
+    assert (
+        substring_runs(df, k=3, min_run_tokens=3, max_gram_doc_freq=2).count() == 0
+    )
+
+
+def test_chunk_dedup_single_wide_shuffle_pair(spark):
+    # plan sanity: no cartesian/nested-loop stage anywhere in the operator
+    df = _docs(spark, [(1, "a b c d"), (2, "a b x y")])
+    plan = chunk_dedup(df, chunk=2)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -63,6 +63,10 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser("test", help="smoke-check the engine end to end")
     sp = sub.add_parser("web", help="serve the REST metadata API")
     sp.add_argument("--port", type=int, default=5050)
+    sp = sub.add_parser(
+        "graphite_web", help="serve graphite-web's read API (/metrics/find, /render)"
+    )
+    sp.add_argument("--port", type=int, default=8080)
     sub.add_parser("shell", help="interactive Python with the engine in scope")
 
     args = p.parse_args(argv)
@@ -190,6 +194,18 @@ def _dispatch(args, eng) -> int:
         from .web import CatalogWeb, make_server
 
         server = make_server(CatalogWeb(eng.catalog.cache(), NOW), args.port)
+        print(f"# serving on http://127.0.0.1:{server.server_address[1]}")
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            server.shutdown()
+    elif args.cmd == "graphite_web":
+        # cli/command_graphite_web.py boots graphite-web with the
+        # biggraphite plugin; the Spark-first equivalent serves the tree
+        # browser + renderer endpoints straight off the engine
+        from .web import GraphiteWeb, make_graphite_server
+
+        server = make_graphite_server(GraphiteWeb(eng), args.port)
         print(f"# serving on http://127.0.0.1:{server.server_address[1]}")
         try:
             server.serve_forever()

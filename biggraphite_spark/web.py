@@ -146,3 +146,126 @@ def make_server(app: CatalogWeb, port: int = 0) -> ThreadingHTTPServer:
     serve_forever() — the CLI does so inline, tests in a daemon thread."""
     handler = type("BoundHandler", (_Handler,), {"app": app})
     return ThreadingHTTPServer(("127.0.0.1", port), handler)
+
+
+# ---------------------------------------------------------------------------
+# graphite-web read API
+# ---------------------------------------------------------------------------
+
+class GraphiteWeb:
+    """The graphite-web HTTP read surface served straight off the engine.
+
+    The reference's ``bgutil graphite_web`` boots a full graphite-web (django)
+    configured with the biggraphite storage plugin
+    (``cli/command_graphite_web.py``); the Spark-first equivalent serves the
+    two endpoints that plugin ultimately feeds — the metric tree browser and
+    the renderer — directly from :class:`biggraphite_spark.engine.Engine`:
+
+        GET /metrics/find?query=<glob>                      -> treejson nodes
+        GET /render?target=<glob>&from=<t>&until=<t>        -> render json
+
+    ``from``/``until`` accept unix epochs or the relative ``-NN[smhd]``
+    graphite shorthand.  Multiple ``target`` params render in one response.
+    """
+
+    def __init__(self, engine):
+        self.engine = engine
+
+    # -- /metrics/find ------------------------------------------------------
+    def find_nodes(self, query: str) -> list[dict]:
+        """treejson: branch nodes (directories) + leaf nodes (metrics),
+        branches first, each side sorted — graphite's browser contract."""
+        from .operators.find import find_directories
+
+        branches = [
+            r["directory"]
+            for r in find_directories(self.engine.catalog, query).collect()
+        ]
+        leaves = self.engine.glob_names(query)
+        out = []
+        for path in branches:
+            out.append(self._node(path, leaf=False))
+        for path in leaves:
+            out.append(self._node(path, leaf=True))
+        return out
+
+    @staticmethod
+    def _node(path: str, leaf: bool) -> dict:
+        return {
+            "text": path.rsplit(".", 1)[-1],
+            "id": path,
+            "leaf": int(leaf),
+            "expandable": int(not leaf),
+            "allowChildren": int(not leaf),
+        }
+
+    # -- /render ------------------------------------------------------------
+    def parse_time(self, value: str, default: int) -> int:
+        if not value:
+            return default
+        v = value.strip()
+        if v == "now":
+            return self.engine.now
+        if v.startswith("-"):
+            units = {"s": 1, "min": 60, "h": 3600, "d": 86400, "w": 604800}
+            for suffix in sorted(units, key=len, reverse=True):
+                if v.endswith(suffix):
+                    return self.engine.now - int(v[1 : -len(suffix)]) * units[suffix]
+            raise InvalidArgumentError(f"bad relative time {value!r}")
+        return int(v)
+
+    def render(self, targets: list[str], start: int, end: int) -> list[dict]:
+        """graphite ``format=json``: one series object per matched metric,
+        ``datapoints`` = [[value|null, ts], ...] over the dense aligned grid.
+
+        One engine.read per target glob (each is an aligned fetch + dense
+        grid); the collect is bounded by the 5000-metric glob cap times the
+        window's bucket count — the same bound graphite-web itself renders
+        under.
+        """
+        out = []
+        for target in targets:
+            rr = self.engine.read(target, start, end)
+            rows = rr.series.orderBy("name", "ts").collect()
+            series: dict[str, list] = {}
+            for r in rows:
+                series.setdefault(r["name"], []).append(
+                    [r["value"], int(r["ts"])]
+                )
+            for name in sorted(series):
+                out.append({"target": name, "datapoints": series[name]})
+        return out
+
+
+class _GraphiteHandler(BaseHTTPRequestHandler):
+    app: GraphiteWeb  # set by make_graphite_server
+
+    _send = _Handler._send
+    log_message = _Handler.log_message
+
+    def do_GET(self):
+        url = urlparse(self.path)
+        q = parse_qs(url.query)
+        try:
+            if url.path == "/metrics/find":
+                query = q.get("query", [""])[0]
+                return self._send(200, self.app.find_nodes(query))
+            if url.path == "/render":
+                targets = q.get("target", [])
+                if not targets:
+                    return self._send(400, {"message": "target required"})
+                now = self.app.engine.now
+                start = self.app.parse_time(q.get("from", [""])[0], now - 86400)
+                end = self.app.parse_time(q.get("until", [""])[0], now)
+                fmt = q.get("format", ["json"])[0]
+                if fmt != "json":
+                    return self._send(400, {"message": f"format {fmt!r} unsupported"})
+                return self._send(200, self.app.render(targets, start, end))
+        except (InvalidArgumentError, TooManyMetrics, ValueError) as ex:
+            return self._send(400, {"message": str(ex)})
+        return self._send(404, {"message": "unknown route"})
+
+
+def make_graphite_server(app: GraphiteWeb, port: int = 0) -> ThreadingHTTPServer:
+    handler = type("BoundGraphiteHandler", (_GraphiteHandler,), {"app": app})
+    return ThreadingHTTPServer(("127.0.0.1", port), handler)

@@ -97,3 +97,67 @@ def test_error_contract(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{server}/biggraphite/glob?pattern=bg.%7Ba,b")
     assert e.value.code == 400
+
+
+# ---------------------------------------------------------------------------
+# graphite-web read API (GraphiteWeb)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def graphite_server(spark):
+    from biggraphite_spark.cli import build_engine
+    from biggraphite_spark.web import GraphiteWeb, make_graphite_server
+
+    srv = make_graphite_server(GraphiteWeb(build_engine(spark, SF)), port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_metrics_find_returns_branches_then_leaves(graphite_server):
+    status, nodes = _get(f"{graphite_server}/metrics/find?query=bg.*")
+    assert status == 200 and nodes
+    # bg.* matches only branch nodes (bg.click, bg.error, ...) at this depth
+    assert all(n["leaf"] == 0 and n["expandable"] == 1 for n in nodes)
+    assert all(n["id"].startswith("bg.") and "." not in n["text"] for n in nodes)
+
+
+def test_metrics_find_leaf_nodes(graphite_server):
+    status, nodes = _get(f"{graphite_server}/metrics/find?query=bg.click.u*")
+    assert status == 200 and nodes
+    assert all(n["leaf"] == 1 and n["allowChildren"] == 0 for n in nodes)
+
+
+def test_render_json_shape_and_relative_times(graphite_server):
+    status, series = _get(
+        f"{graphite_server}/render?target=bg.click.u0&from=-2d&until=now"
+    )
+    assert status == 200 and len(series) == 1
+    s = series[0]
+    assert s["target"] == "bg.click.u0"
+    assert s["datapoints"], "dense grid must not be empty"
+    ts = [p[1] for p in s["datapoints"]]
+    assert ts == sorted(ts)
+    step = ts[1] - ts[0]
+    assert all(b - a == step for a, b in zip(ts, ts[1:])), "grid must be dense"
+
+
+def test_render_multiple_targets_and_glob(graphite_server):
+    status, series = _get(
+        f"{graphite_server}/render?target=bg.click.u0&target=bg.click.u1&from=-1d"
+    )
+    assert status == 200
+    assert [s["target"] for s in series] == ["bg.click.u0", "bg.click.u1"]
+
+
+def test_render_missing_target_is_400(graphite_server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(f"{graphite_server}/render")
+    assert ei.value.code == 400
+
+
+def test_render_bad_relative_time_is_400(graphite_server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(f"{graphite_server}/render?target=bg.click.u0&from=-2y")
+    assert ei.value.code == 400

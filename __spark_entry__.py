@@ -3103,6 +3103,73 @@ def doc_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KM_K = 8
+_KM_ITERS = 3
+_KM_DIM = 64
+
+
+def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _KM_DIM) -> str:
+    """Unrolled Lloyd iterations: each round re-derives assignments from the
+    previous round's ROUNDED centroids, exactly like the engine (sequential
+    list_sum distance fold, round-6 before argmin, lowest-index tie-break,
+    empty cluster keeps prior centroid via left join + coalesce)."""
+    dist = (
+        f"ROUND(list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> (v[i] - cv[i]) * (v[i] - cv[i]))), 6)"
+    )
+
+    def assign(src: str, cents: str) -> str:
+        return f"""(
+  SELECT vec_id, v, cidx, d FROM (
+    SELECT e.vec_id, e.v, c.cidx, {dist} AS d,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist}, c.cidx) AS rn
+    FROM {src} e CROSS JOIN {cents} c) WHERE rn = 1)"""
+
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for i in range(iters):
+        ctes.append(f"a{i + 1} AS {assign('e', f'c{i}')}")
+        ctes.append(
+            f"""m{i + 1} AS (
+  SELECT cidx, list(mv ORDER BY pos) AS cv FROM (
+    SELECT cidx, pos, ROUND(avg(val), 6) AS mv FROM (
+      SELECT cidx, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+      FROM a{i + 1})
+    GROUP BY cidx, pos)
+  GROUP BY cidx)"""
+        )
+        ctes.append(
+            f"""c{i + 1} AS (
+  SELECT c.cidx, COALESCE(m.cv, c.cv) AS cv
+  FROM c{i} c LEFT JOIN m{i + 1} m USING (cidx))"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body},
+fin AS {assign("e", f"c{iters}")}
+SELECT vec_id, cidx AS cluster, d AS dist FROM fin
+"""
+
+
+@_register("emb_kmeans", _kmeans_oracle())
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means refinement loop (k=8, 3 iterations) over the
+    embedding corpus: broadcast-centroid assignment scans + per-(cluster,
+    dim) mean reductions, nothing corpus-sized shuffled or collected —
+    the MLlib training shape, replayed bit-exactly by an unrolled DuckDB
+    CTE chain."""
+    _utc(spark)
+    from biggraphite_spark.operators.clustering import kmeans
+
+    return kmeans(
+        _load_parallel(spark, sf_dir, "embeddings"), k=_KM_K, iters=_KM_ITERS
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

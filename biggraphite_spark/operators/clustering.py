@@ -1,0 +1,121 @@
+"""Lloyd's k-means over an embedding column — the iterative-algorithm shape
+on DataFrames.
+
+The IVF / PQ codebooks in :mod:`similarity` use one-shot sampled centroids;
+this module supplies the proper refinement loop (the MLlib / faiss training
+shape) while keeping every arithmetic step portable so a DuckDB oracle can
+replay the iterations bit-for-bit:
+
+- **Broadcast centroids, never shuffle the corpus.** Each iteration embeds
+  the k x dim centroid table as plan literals (the codebook idiom of
+  ``similarity._cell_rank_structs``), assigns every vector in one scan with
+  a runtime ``transform`` loop, and reduces per-(cluster, dimension) means
+  with map-side partial aggregation.  Driver traffic per iteration is the
+  k x dim mean table — constant in corpus size, which is what makes the
+  loop viable at 100 TB (MLlib's KMeans does exactly this dance).
+- **Deterministic everywhere.** Init = the k lowest-id vectors; distance =
+  left-to-right sequential fold (matches DuckDB ``list_sum``), rounded to 6
+  digits BEFORE the argmin so both engines break ties identically (then by
+  lowest cluster index); new centroids rounded to 6 digits so iteration
+  i+1 starts from bit-identical doubles in both engines.
+- **Empty clusters keep their previous centroid** (the standard Lloyd
+  fallback), mirrored in the oracle with a left join + coalesce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import as_double_array
+
+
+def _sqdist_expr(vec: Column, cv: Column) -> Column:
+    """Sequential-fold squared euclidean distance (list_sum order)."""
+    return F.aggregate(
+        F.zip_with(vec, cv, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One assignment pass: nearest centroid per vector, ties to the lowest
+    cluster index.  Centroids ride as ONE literal array-of-structs looped
+    with ``transform`` (not an unrolled per-centroid expression — unrolled,
+    k x dim literals blow the generated method past the JIT's compilable
+    size; as runtime data the code is tiny and k-independent)."""
+    cb = F.array(
+        *[
+            F.struct(
+                F.lit(cidx).alias("cidx"),
+                F.array(*[F.lit(v) for v in cv]).alias("cv"),
+            )
+            for cidx, cv in centroids
+        ]
+    )
+    best = F.array_min(
+        F.transform(
+            cb,
+            lambda c: F.struct(
+                F.round(_sqdist_expr(F.col("v"), c.getField("cv")), 6).alias("d"),
+                c.getField("cidx").alias("cidx"),
+            ),
+        )
+    )
+    return embeddings.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("v")
+    ).select(
+        id_col,
+        "v",
+        best.getField("cidx").alias("cluster"),
+        best.getField("d").alias("dist"),
+    )
+
+
+def kmeans(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means: ``iters`` refinement rounds from the k lowest-id
+    vectors, returning the final assignment (id, cluster, dist).
+
+    Per iteration: one corpus scan (assignment with literal centroids) +
+    one (cluster, dimension)-keyed aggregation whose result — k x dim
+    rounded means — is collected to the driver and becomes the next
+    iteration's literals.  Nothing corpus-sized ever shuffles or collects.
+    """
+    init_rows = (
+        embeddings.select(id_col, as_double_array(F.col(vec_col)).alias("v"))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    centroids = [(i, list(r["v"])) for i, r in enumerate(init_rows)]
+    for _ in range(iters):
+        assigned = assign_clusters(embeddings, centroids, id_col, vec_col)
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("mv"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                    lambda s: s.getField("mv"),
+                ).alias("cv")
+            )
+            .collect()
+        )
+        new = {r["cluster"]: list(r["cv"]) for r in means}
+        # empty clusters keep their previous centroid
+        centroids = [(cidx, new.get(cidx, cv)) for cidx, cv in centroids]
+    return assign_clusters(embeddings, centroids, id_col, vec_col).drop("v")

@@ -1,0 +1,67 @@
+"""Lloyd's k-means: hand-computed convergence + determinism contracts."""
+
+from biggraphite_spark.operators.clustering import assign_clusters, kmeans
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_separates_two_obvious_blobs(spark):
+    df = _emb(
+        spark,
+        [
+            (1, [0.0, 0.0]),
+            (2, [0.1, 0.0]),
+            (3, [0.0, 0.1]),
+            (4, [10.0, 10.0]),
+            (5, [10.1, 10.0]),
+            (6, [10.0, 10.1]),
+        ],
+    )
+    out = {r["vec_id"]: r["cluster"] for r in kmeans(df, k=2, iters=3).collect()}
+    assert out[1] == out[2] == out[3]
+    assert out[4] == out[5] == out[6]
+    assert out[1] != out[4]
+
+
+def test_kmeans_assignment_tie_breaks_to_lowest_cluster(spark):
+    # both centroids equidistant from the probe
+    df = _emb(spark, [(1, [0.0]), (2, [2.0]), (3, [1.0])])
+    assigned = assign_clusters(
+        df, [(0, [0.0]), (1, [2.0])]
+    ).collect()
+    probe = next(r for r in assigned if r["vec_id"] == 3)
+    assert probe["cluster"] == 0 and probe["dist"] == 1.0
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    # k=2 over two identical points: init centroids are both [0,0]-ish and
+    # every point lands in cluster 0 — cluster 1 must survive with its
+    # original centroid instead of NaN-ing out
+    df = _emb(spark, [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [5.0, 5.0])])
+    out = kmeans(df, k=2, iters=2).collect()
+    assert {r["cluster"] for r in out} == {0, 1}
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    df = _emb(
+        spark,
+        [(i, [float(i % 7), float((3 * i) % 5)]) for i in range(1, 40)],
+    )
+    a = sorted((r["vec_id"], r["cluster"]) for r in kmeans(df, k=3, iters=2).collect())
+    b = sorted((r["vec_id"], r["cluster"]) for r in kmeans(df, k=3, iters=2).collect())
+    assert a == b
+
+
+def test_assignment_plan_has_no_join_or_shuffle(spark):
+    # centroids are plan literals: the assignment pass must be a pure
+    # projection over the scan — no join, no exchange
+    df = _emb(spark, [(1, [0.0, 0.0]), (2, [1.0, 1.0])])
+    plan = (
+        assign_clusters(df, [(0, [0.0, 0.0]), (1, [1.0, 1.0])])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "Exchange" not in plan

@@ -3155,6 +3155,46 @@ SELECT vec_id, cidx AS cluster, d AS dist FROM fin
 """
 
 
+_SEMD_T = 0.95
+
+
+def _semdedup_oracle(threshold: float = _SEMD_T) -> str:
+    """SemDeDup on top of the unrolled k-means chain: within-cluster pairs
+    (lower id side b), rounded cosine >= threshold drops the higher id."""
+    base = _kmeans_oracle().rsplit("SELECT vec_id", 1)[0]
+    cos = (
+        f"ROUND(list_sum(list_transform(generate_series(1, {_KM_DIM}), "
+        "i -> a.v[i] * b.v[i])) / "
+        f"(sqrt(list_sum(list_transform(a.v, x -> x * x))) * "
+        "sqrt(list_sum(list_transform(b.v, x -> x * x)))), 5)"
+    )
+    return f"""{base.rstrip()},
+dropped AS (
+  SELECT DISTINCT a.vec_id FROM fin a JOIN fin b
+    ON a.cidx = b.cidx AND b.vec_id < a.vec_id
+  WHERE {cos} >= {threshold})
+SELECT f.vec_id, f.cidx AS cluster, d.vec_id IS NULL AS keep
+FROM fin f LEFT JOIN dropped d ON f.vec_id = d.vec_id
+"""
+
+
+@_register("emb_semdedup", _semdedup_oracle())
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means cells bound the pair join;
+    inside each cell the lowest id of every >=0.95-cosine group survives.
+    The within-cell join is the only quadratic stage — cells keep it
+    controlled, which is the algorithm's entire scale story."""
+    _utc(spark)
+    from biggraphite_spark.operators.clustering import semantic_dedup
+
+    return semantic_dedup(
+        _load_parallel(spark, sf_dir, "embeddings"),
+        k=_KM_K,
+        iters=_KM_ITERS,
+        threshold=_SEMD_T,
+    )
+
+
 @_register("emb_kmeans", _kmeans_oracle())
 def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means refinement loop (k=8, 3 iterations) over the

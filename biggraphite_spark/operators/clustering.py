@@ -93,6 +93,68 @@ def kmeans(
     rounded means — is collected to the driver and becomes the next
     iteration's literals.  Nothing corpus-sized ever shuffles or collects.
     """
+    centroids = _fit_centroids(embeddings, k, iters, id_col, vec_col)
+    return assign_clusters(embeddings, centroids, id_col, vec_col).drop("v")
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the corpus, then inside each
+    cluster drop every vector whose cosine to a LOWER-id cluster-mate
+    reaches ``threshold`` — the lowest id in each semantic group survives.
+
+    Output: (id, cluster, keep).
+
+    Scale shape: the only quadratic stage is the within-cluster pair join,
+    and the clusters bound it — that is the entire point of SemDeDup's
+    design (pairs never cross cells, so fan-out is sum of cell^2 sizes,
+    tuned by k), and the join key (cluster) hash-partitions it evenly.
+    Cosines are rounded to 5 digits before the threshold compare so the
+    keep decision is engine-portable.
+    """
+    from .similarity import cosine_expr
+
+    assigned = assign_clusters(embeddings, _fit_centroids(
+        embeddings, k, iters, id_col, vec_col), id_col, vec_col)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+        )
+        .filter(
+            F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 5) >= threshold
+        )
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+def _fit_centroids(
+    embeddings: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """The centroid-refinement loop of :func:`kmeans`, returned as the
+    literal table (shared by kmeans and semantic_dedup)."""
     init_rows = (
         embeddings.select(id_col, as_double_array(F.col(vec_col)).alias("v"))
         .orderBy(id_col)
@@ -116,6 +178,5 @@ def kmeans(
             .collect()
         )
         new = {r["cluster"]: list(r["cv"]) for r in means}
-        # empty clusters keep their previous centroid
         centroids = [(cidx, new.get(cidx, cv)) for cidx, cv in centroids]
-    return assign_clusters(embeddings, centroids, id_col, vec_col).drop("v")
+    return centroids

@@ -65,3 +65,40 @@ def test_assignment_plan_has_no_join_or_shuffle(spark):
         .toString()
     )
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_semantic_dedup_drops_near_identical_keeps_lowest_id(spark):
+    from biggraphite_spark.operators.clustering import semantic_dedup
+
+    df = _emb(
+        spark,
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.999, 0.001]),   # ~same direction as 1 -> dropped
+            (3, [0.0, 1.0]),
+            (4, [10.0, 10.3]),
+            (5, [9.9, 10.2]),      # same cell as 4, ~same direction -> dropped
+        ],
+    )
+    out = {r["vec_id"]: r for r in semantic_dedup(df, k=2, iters=2, threshold=0.999).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False
+    assert out[3]["keep"] is True
+    # 4 and 5 share a cell and direction; the lower id (4) survives
+    assert out[4]["keep"] is True
+    assert out[5]["keep"] is False
+
+
+def test_semantic_dedup_pairs_never_cross_clusters(spark):
+    from biggraphite_spark.operators.clustering import semantic_dedup
+
+    # identical vectors forced into different clusters cannot dedup each
+    # other; k=2 with these two blobs puts each pair in its own cell
+    df = _emb(
+        spark,
+        [(1, [0.0, 1.0]), (2, [100.0, 1.0]), (3, [0.0, 2.0]), (4, [200.0, 2.0])],
+    )
+    out = semantic_dedup(df, k=2, iters=3, threshold=0.999).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    # 1/3 share a cell (same direction) -> 3 drops; 2/4 nearly same direction
+    assert by_id[1]["keep"] is True and by_id[3]["keep"] is False

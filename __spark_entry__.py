@@ -1207,6 +1207,133 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_ORACLE = f"""
+WITH e AS (SELECT user_id, event_type, {ORACLE_TS} AS sec FROM events),
+v AS (SELECT user_id, min(sec) AS t_view FROM e
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.sec) AS t_click FROM e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.sec > v.t_view GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.sec) AS t_purchase FROM e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.sec > c.t_click GROUP BY e.user_id)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+       CAST(1 + (CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS steps
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+@_register("events_funnel", _FUNNEL_ORACLE)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): each step is the
+    earliest qualifying event STRICTLY AFTER the previous step's time —
+    per-step conditional min-aggregations chained by equi-joins on
+    user_id, so every stage co-partitions on the same key and AQE reuses
+    the exchange; no window over the full event stream is needed."""
+    _utc(spark)
+    from biggraphite_spark.sources.events import event_ts_seconds, load_events
+
+    ev = load_events(spark, sf_dir)
+    e = ev.select("user_id", "event_type", event_ts_seconds(ev).alias("sec"))
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("sec") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("sec") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id", "t_view", "t_click", "t_purchase",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).cast("long").alias("steps"),
+        )
+    )
+
+
+_JSON_ORACLE = """
+SELECT CAST(CAST(props->>'$.k' AS BIGINT) % 10 AS BIGINT) AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(avg(value), 4) AS avg_value,
+       CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY 1
+"""
+
+
+@_register("events_json_props", _JSON_ORACLE)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props: JSON path extraction inside codegen
+    (get_json_object — no UDF, no parse-to-struct materialization),
+    bucketed aggregation over the extracted key."""
+    _utc(spark)
+    from biggraphite_spark.sources.events import load_events
+
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy((F.col("k") % 10).cast("long").alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_WEEK_S = 604800
+
+_COHORT_ORACLE = f"""
+WITH e AS (SELECT user_id, ({ORACLE_TS}) // {_WEEK_S} AS week FROM events),
+first AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id)
+SELECT f.cohort_week, e.week - f.cohort_week AS week_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM e JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@_register("events_cohort", _COHORT_ORACLE)
+def events_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: cohort = first-activity week,
+    counted distinct actives per (cohort, offset).  The first-week
+    relation is user-sized and re-joined on the same user_id key the
+    activity relation aggregates on — one co-partitioned join, two aggs."""
+    _utc(spark)
+    from biggraphite_spark.sources.events import event_ts_seconds, load_events
+
+    ev = load_events(spark, sf_dir)
+    e = ev.select(
+        "user_id", F.floor(event_ts_seconds(ev) / _WEEK_S).alias("week")
+    )
+    first = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        e.join(first, "user_id")
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
 _Q7_ORACLE = """
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        CAST(year(l_shipdate) AS BIGINT) AS l_year,

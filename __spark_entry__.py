@@ -1334,6 +1334,84 @@ def events_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROLLUP_ORACLE = f"""
+SELECT event_type,
+       CAST(({ORACLE_TS}) // {_WEEK_S} AS BIGINT) AS week,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(sum(value), 4) AS total
+FROM events
+GROUP BY ROLLUP (event_type, (({ORACLE_TS}) // {_WEEK_S}))
+"""
+
+
+@_register("events_rollup", _ROLLUP_ORACLE)
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity aggregation in ONE pass: ROLLUP(event_type, week)
+    yields per-(type,week), per-type, and grand-total rows from a single
+    Expand+HashAggregate — the grouping-sets shape that replaces N
+    separate scans with one."""
+    _utc(spark)
+    from biggraphite_spark.sources.events import event_ts_seconds, load_events
+
+    ev = load_events(spark, sf_dir)
+    e = ev.select(
+        "event_type",
+        F.floor(event_ts_seconds(ev) / _WEEK_S).alias("week"),
+        "value",
+    )
+    return e.rollup("event_type", "week").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total")
+    )
+
+
+_Q22_ORACLE = """
+WITH rich AS (
+  SELECT c_custkey, c_acctbal FROM customer
+  WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+)
+SELECT CAST(c_custkey % 10 AS BIGINT) AS cust_group,
+       CAST(count(*) AS BIGINT) AS numcust,
+       ROUND(sum(c_acctbal), 2) AS totacctbal
+FROM rich
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+"""
+
+
+@_register("tpch_q22", _Q22_ORACLE)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-sales-opportunity (TPC-H Q22's shape, "lapsed" variant):
+    scalar-subquery threshold (single-row broadcast) + NOT EXISTS as a
+    left-anti join against the customers ordering since 2000 — rich
+    customers with no recent order, grouped for the sales report."""
+    _utc(spark)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    )
+    rich = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .select("c_custkey", "c_acctbal")
+    )
+    return (
+        rich.join(
+            o.filter(F.col("o_orderdate") >= F.lit("2000-01-01")).select(
+                F.col("o_custkey").alias("c_custkey")
+            ),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy((F.col("c_custkey") % 10).cast("long").alias("cust_group"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 _Q7_ORACLE = """
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        CAST(year(l_shipdate) AS BIGINT) AS l_year,

@@ -267,9 +267,12 @@ def substring_runs(
         "doc_id", F.posexplode(grams).alias("pos", "gram")
     ).withColumn("h", F.md5("gram")).drop("gram")
     df = anchors.groupBy("h").agg(F.count_distinct("doc_id").alias("gdf"))
+    # the pruned posting list feeds BOTH sides of the self-join: cached, the
+    # token-gram explode + df-join run once instead of four times (anchors
+    # appears in df's subtree and in each join side)
     pruned = anchors.join(
         df.filter(F.col("gdf") <= max_gram_doc_freq), "h"
-    )
+    ).cache()
     a, b = pruned.alias("a"), pruned.alias("b")
     matches = a.join(
         b,

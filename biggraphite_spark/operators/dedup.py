@@ -270,12 +270,21 @@ def dup_clusters(
     if pairs is None:
         pairs = lsh_near_dups(docs, threshold=threshold, k=k, bands=bands, n=n)
     pair_ids = pairs.select("doc_a", "doc_b").cache()
-    n_edges = pair_ids.count()
+    # stream the edge list straight off the (now materializing) cache — no
+    # separate count() job; the cap decision falls out of how far the
+    # iterator got.  Near-dup edge lists are minuscule next to the corpus,
+    # so the driver path is the overwhelmingly common case and saving its
+    # extra action is one whole LSH-pipeline materialization fewer.
+    head: list[tuple[int, int]] = []
+    overflow = False
+    for r in pair_ids.toLocalIterator():
+        head.append((r["doc_a"], r["doc_b"]))
+        if len(head) > driver_max_edges:
+            overflow = True
+            break
 
-    if n_edges <= driver_max_edges:
-        mapping = _union_find(
-            (r["doc_a"], r["doc_b"]) for r in pair_ids.toLocalIterator()
-        )
+    if not overflow:
+        mapping = _union_find(iter(head))
         pair_ids.unpersist()
         spark = docs.sparkSession
         if mapping:

@@ -124,3 +124,45 @@ def test_chunk_dedup_single_wide_shuffle_pair(spark):
     df = _docs(spark, [(1, "a b c d"), (2, "a b x y")])
     plan = chunk_dedup(df, chunk=2)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_dedup_identity_and_python_twin_on_seeded_corpus(spark):
+    # seeded pseudo-corpus; twin-checks chunking + frequency logic in plain
+    # Python, and the identity: with an infinite doc-freq cap nothing drops
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 37))))
+        for i in range(1, 26)
+    ]
+    # force shared boilerplate spans across some docs
+    boiler = "b1 b2 b3 b4"
+    docs = [
+        (i, f"{boiler} {t}" if i % 5 == 0 else t) for i, t in docs
+    ]
+    df = _docs(spark, docs)
+
+    # identity: cap larger than corpus -> everything kept, text reassembles
+    ident = {r["doc_id"]: r for r in chunk_dedup(df, chunk=4, max_doc_freq=10**6).collect()}
+    for i, t in docs:
+        assert ident[i]["cleaned_text"] == t
+        assert ident[i]["n_kept"] == ident[i]["n_chunks"]
+
+    # twin: python reimplementation of chunk hashing + doc-freq filter
+    def chunks(t, c=4):
+        toks = t.split(" ")
+        return [" ".join(toks[j : j + c]) for j in range(0, len(toks), c)]
+
+    from collections import defaultdict
+
+    freq = defaultdict(set)
+    for i, t in docs:
+        for ch in set(chunks(t)):
+            freq[ch].add(i)
+    expected = {
+        i: " ".join(ch for ch in chunks(t) if len(freq[ch]) <= 1) for i, t in docs
+    }
+    got = {r["doc_id"]: r["cleaned_text"] for r in chunk_dedup(df, chunk=4, max_doc_freq=1).collect()}
+    assert got == expected

@@ -3661,6 +3661,68 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curate_oracle() -> str:
+    """Composed decision table: each stage's oracle fragment (quality gate,
+    content-hash window dedup, broadcast decontamination, md5-threshold
+    sampling) joined on doc_id — the per-stage semantics are bit-identical
+    to their standalone queries by construction."""
+    from biggraphite_spark.operators.sampling import (
+        DEFAULT_RATES,
+        rate_to_hex_threshold,
+    )
+    from biggraphite_spark.operators.text import STOPWORDS
+
+    stops = _sql_word_list(STOPWORDS)
+    sample_cond = " OR ".join(
+        f"(lang = '{lang}' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+        f" < '{rate_to_hex_threshold(rate)}')"
+        for lang, rate in DEFAULT_RATES.items()
+    )
+    return f"""
+WITH t AS (SELECT doc_id, text, lang, string_split(text, ' ') AS toks FROM documents),
+q AS (SELECT doc_id,
+        (len(toks) >= 20 AND len(toks) <= 100000
+         AND (length(text) - (len(toks) - 1)) * 1.0 / len(toks) >= 3.0
+         AND (length(text) - (len(toks) - 1)) * 1.0 / len(toks) <= 10.0
+         AND list_max(list_transform(toks, t -> length(t))) <= 20
+         AND len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) * 1.0
+             / len(toks) >= 0.8
+         AND len(list_filter(toks, t -> t IN ({stops}))) >= 2) AS passed_quality
+      FROM t),
+d AS (SELECT doc_id,
+        doc_id > min(doc_id) OVER (PARTITION BY md5(text)) AS is_exact_dup
+      FROM documents),
+g AS ({_CONTAM_GRAMS}),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_BENCH_MOD} = 0),
+c AS (SELECT g.doc_id,
+        sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) >= 1 AS contaminated
+      FROM g LEFT JOIN b ON g.gram = b.gram GROUP BY g.doc_id),
+smp AS (SELECT doc_id, ({sample_cond}) AS sampled FROM documents)
+SELECT q.doc_id, q.passed_quality, d.is_exact_dup, c.contaminated, smp.sampled,
+       (q.passed_quality AND NOT d.is_exact_dup AND NOT c.contaminated
+        AND smp.sampled) AS keep
+FROM q JOIN d ON q.doc_id = d.doc_id
+       JOIN c ON q.doc_id = c.doc_id
+       JOIN smp ON q.doc_id = smp.doc_id
+"""
+
+
+@_register("doc_curate", _curate_oracle())
+def doc_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation decision table: Gopher quality gate + exact
+    dedup (content-hash window) + benchmark decontamination (broadcast)
+    + deterministic stratified sampling, one boolean per stage and the
+    final keep conjunction — the audit artifact a pipeline reads before
+    committing to a cut."""
+    _utc(spark)
+    from biggraphite_spark.operators.curation import curate
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    return curate(docs, benchmark, contam_n=_CONTAM_N)
+
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

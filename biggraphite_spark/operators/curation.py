@@ -302,3 +302,74 @@ def substring_runs(
         )
         .filter(F.col("longest_run") >= min_run_tokens)
     )
+
+
+def curate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    contam_n: int = 5,
+    sample_rates=None,
+) -> DataFrame:
+    """The end-to-end curation decision table: every pipeline stage as a
+    boolean column plus the final ``keep`` conjunction.
+
+    Stages (each reusing its standalone operator's exact semantics):
+    Gopher quality gate -> exact dedup (lowest doc_id per content hash
+    survives) -> benchmark decontamination -> deterministic stratified
+    sampling.  Emitting the DECISION TABLE rather than the filtered corpus
+    is deliberate: pipelines audit per-stage loss rates before committing
+    to a cut, and the table is one filter away from the final corpus.
+
+    Output: doc_id, passed_quality, is_exact_dup, contaminated, sampled,
+    keep.
+
+    Scale shape: quality and sampling are pure projections over the scan;
+    dedup is one window over the content-hash partition; contamination is
+    the broadcast semi-join of :func:`contamination`.  The four flag
+    relations join back on doc_id — co-partitioned equi-joins, nothing
+    quadratic, nothing collected.
+    """
+    from pyspark.sql import Window
+
+    from .sampling import DEFAULT_RATES, rate_to_hex_threshold
+    from .text import quality_rules
+
+    quality = quality_rules(docs, text_col=text_col).select(
+        "doc_id", F.col("keep").alias("passed_quality")
+    )
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    dup = docs.select(
+        "doc_id",
+        (F.col("doc_id") > F.min("doc_id").over(w)).alias("is_exact_dup"),
+    )
+    contam = contamination(docs, benchmark, text_col=text_col, n=contam_n).select(
+        "doc_id", "contaminated"
+    )
+    rates = DEFAULT_RATES if sample_rates is None else dict(sample_rates)
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    sampled = None
+    for stratum, rate in rates.items():
+        cond = (F.col("lang") == stratum) & (key < rate_to_hex_threshold(rate))
+        sampled = cond if sampled is None else sampled | cond
+    samp = docs.select(
+        "doc_id", (F.lit(False) if sampled is None else sampled).alias("sampled")
+    )
+    return (
+        quality.join(dup, "doc_id")
+        .join(contam, "doc_id")
+        .join(samp, "doc_id")
+        .select(
+            "doc_id",
+            "passed_quality",
+            "is_exact_dup",
+            "contaminated",
+            "sampled",
+            (
+                F.col("passed_quality")
+                & ~F.col("is_exact_dup")
+                & ~F.col("contaminated")
+                & F.col("sampled")
+            ).alias("keep"),
+        )
+    )

@@ -166,3 +166,27 @@ def test_chunk_dedup_identity_and_python_twin_on_seeded_corpus(spark):
     }
     got = {r["doc_id"]: r["cleaned_text"] for r in chunk_dedup(df, chunk=4, max_doc_freq=1).collect()}
     assert got == expected
+
+
+def test_curate_decision_table_stage_semantics(spark):
+    from biggraphite_spark.operators.curation import curate
+
+    good = ("the cat and the dog walk in the park with a friend and see "
+            "many other animals along the way every single morning")
+    docs = _docs(
+        spark,
+        [
+            (1, good),                 # passes quality, unique
+            (2, good),                 # exact dup of 1
+            (3, "x y z"),              # fails quality
+        ],
+    ).withColumn("lang", F.lit("en"))
+    bench = _docs(spark, [(100, good)]).withColumn("lang", F.lit("en"))
+    out = {r["doc_id"]: r for r in curate(docs, bench, contam_n=3).collect()}
+    assert out[1]["passed_quality"] is True and out[3]["passed_quality"] is False
+    assert out[1]["is_exact_dup"] is False and out[2]["is_exact_dup"] is True
+    # doc 1/2 share grams with the benchmark -> contaminated
+    assert out[1]["contaminated"] is True
+    assert out[3]["contaminated"] is False
+    # contaminated docs never survive, regardless of other flags
+    assert out[1]["keep"] is False and out[2]["keep"] is False

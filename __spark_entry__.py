@@ -3722,6 +3722,186 @@ def doc_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate(docs, benchmark, contam_n=_CONTAM_N)
 
 
+_ASOF_ORACLE = f"""
+WITH e AS (SELECT user_id, event_id, {ORACLE_TS} AS sec, value, event_type
+           FROM events),
+l AS (SELECT user_id, event_id, sec, value FROM e WHERE event_type = 'error'),
+r AS (SELECT user_id, sec, max(value) AS rvalue
+      FROM e WHERE event_type = 'signup' GROUP BY 1, 2)
+SELECT l.user_id, l.event_id, l.sec, ROUND(l.value, 4) AS value,
+       r.sec AS signup_sec, ROUND(r.rvalue, 4) AS signup_value,
+       l.sec - r.sec AS gap_sec
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.sec >= r.sec
+"""
+
+
+@_register("events_asof_join", _ASOF_ORACLE)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (beyond-reference temporal join): every error event
+    gains the user's most recent at-or-before signup event.  The engine
+    spelling is the linear union+window carry-forward of
+    :func:`biggraphite_spark.operators.joins.asof_join` — one shuffle on
+    user_id, no inequality join; the oracle is DuckDB's native ASOF LEFT
+    JOIN, a fully independent implementation of the same semantics."""
+    _utc(spark)
+    from biggraphite_spark.operators.joins import asof_join
+    from biggraphite_spark.sources.events import event_ts_seconds, load_events
+
+    ev = load_events(spark, sf_dir)
+    e = ev.select(
+        "user_id", "event_id", event_ts_seconds(ev).alias("sec"), "value", "event_type"
+    )
+    left = e.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "sec", "value"
+    )
+    right = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "sec")
+        .agg(F.max("value").alias("rvalue"))
+    )
+    out = asof_join(left, right, on=["user_id"], left_ts="sec", right_ts="sec",
+                    suffix="_r")
+    return out.select(
+        "user_id",
+        "event_id",
+        "sec",
+        F.round("value", 4).alias("value"),
+        F.col("sec_r").alias("signup_sec"),
+        F.round("rvalue_r", 4).alias("signup_value"),
+        (F.col("sec") - F.col("sec_r")).alias("gap_sec"),
+    )
+
+
+_RANGE_JOIN_ORACLE = f"""
+WITH e AS (SELECT event_id, event_type, {ORACLE_TS} AS sec, value FROM events),
+iv AS (SELECT event_id AS window_id, sec - 300 AS start_sec, sec + 300 AS end_sec
+       FROM e WHERE event_type = 'error' AND event_id % 20 = 0)
+SELECT iv.window_id, iv.start_sec, iv.end_sec,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(sum(p.value), 4) AS sum_value
+FROM iv JOIN e p ON p.sec BETWEEN iv.start_sec AND iv.end_sec
+GROUP BY 1, 2, 3
+"""
+
+
+@_register("events_range_join", _RANGE_JOIN_ORACLE)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (beyond-reference interval join): count/sum the events
+    inside each +-5-minute incident window around sampled error events.
+    The engine buckets time so the non-equi containment becomes an
+    equi-join (:func:`biggraphite_spark.operators.joins.range_join`); the
+    oracle is DuckDB's plain inequality join over the same windows."""
+    _utc(spark)
+    from biggraphite_spark.operators.joins import range_join
+    from biggraphite_spark.sources.events import event_ts_seconds, load_events
+
+    ev = load_events(spark, sf_dir)
+    e = ev.select(
+        "event_id", "event_type", event_ts_seconds(ev).alias("sec"), "value"
+    )
+    iv = e.filter(
+        (F.col("event_type") == "error") & (F.col("event_id") % 20 == 0)
+    ).select(
+        F.col("event_id").alias("window_id"),
+        (F.col("sec") - 300).alias("start_sec"),
+        (F.col("sec") + 300).alias("end_sec"),
+    )
+    pts = e.select("sec", "value")
+    return (
+        range_join(pts, iv, point_ts="sec", start="start_sec", end="end_sec",
+                   bucket=600)
+        .groupBy("window_id", "start_sec", "end_sec")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+_KMV_K = 32
+
+_KMV_ORACLE = f"""
+WITH h AS (SELECT DISTINCT event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           AS hv
+       FROM events),
+r AS (SELECT event_type, hv,
+        CAST(row_number() OVER (PARTITION BY event_type ORDER BY hv) AS BIGINT)
+          AS rn
+      FROM h)
+SELECT event_type,
+  COALESCE(max(CASE WHEN rn = {_KMV_K} THEN hv END), -1) AS kth_hash,
+  ROUND(CASE WHEN max(rn) < {_KMV_K} THEN CAST(max(rn) AS DOUBLE)
+        ELSE {float(_KMV_K - 1)} /
+             (max(CASE WHEN rn = {_KMV_K} THEN hv END) / 4294967296.0)
+        END, 4) AS est_distinct
+FROM r WHERE rn <= {_KMV_K}
+GROUP BY 1
+"""
+
+
+@_register("events_distinct_kmv", _KMV_ORACLE)
+def events_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (beyond-reference): per-event-type
+    distinct-user estimate from the k=32 minimum md5 hashes.  Unlike
+    HyperLogLog, the synopsis is engine-portable, so the ESTIMATE itself
+    is oracle-checked bit-for-bit, not just smoke-tested."""
+    _utc(spark)
+    from biggraphite_spark.operators.sketches import kmv_distinct
+    from biggraphite_spark.sources.events import load_events
+
+    ev = load_events(spark, sf_dir)
+    return kmv_distinct(
+        ev.select("event_type", "user_id"), "user_id", ("event_type",), k=_KMV_K
+    )
+
+
+_CM_ORACLE = f"""
+WITH it AS (SELECT CAST(user_id AS VARCHAR) AS user_key,
+         CAST(count(*) AS BIGINT) AS exact_count
+       FROM events GROUP BY 1),
+d AS (SELECT unnest(range(4)) AS dd),
+cells AS (
+  SELECT dd,
+    CAST(concat('0x', substr(md5(concat(CAST(dd AS VARCHAR), ':',
+                                        CAST(user_id AS VARCHAR))), 1, 8))
+         AS BIGINT) % 256 AS bb,
+    CAST(count(*) AS BIGINT) AS cell
+  FROM events, d GROUP BY 1, 2
+),
+probe AS (
+  SELECT it.user_key, it.exact_count, dd,
+    CAST(concat('0x', substr(md5(concat(CAST(dd AS VARCHAR), ':', it.user_key)),
+                             1, 8)) AS BIGINT) % 256 AS bb
+  FROM it, d
+)
+SELECT probe.user_key, min(cells.cell) AS cm_estimate,
+       probe.exact_count
+FROM probe JOIN cells USING (dd, bb)
+GROUP BY probe.user_key, probe.exact_count
+"""
+
+
+@_register("events_heavy_hitters", _CM_ORACLE)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy-hitter sketch (beyond-reference): per-user event
+    counts estimated from a 4x256 md5-hashed counter grid, exact count
+    alongside so the overestimate bias is visible.  The raw data feeds
+    only the metadata-sized cell aggregation; the probe runs over
+    distinct items — the 100 TB shape.  Deterministic hashing makes the
+    DuckDB oracle replay the estimates exactly."""
+    _utc(spark)
+    from biggraphite_spark.operators.sketches import cm_heavy_hitters
+    from biggraphite_spark.sources.events import load_events
+
+    ev = load_events(spark, sf_dir)
+    return cm_heavy_hitters(
+        ev.select(F.col("user_id").cast("string").alias("user_key")),
+        "user_key",
+        depth=4,
+        width=256,
+    )
+
 
 # ---------------------------------------------------------------------------
 # Contract functions

@@ -1,0 +1,153 @@
+"""Deterministic streaming-style sketches: KMV distinct count, count-min
+heavy hitters.
+
+Sketches are how a 100 TB pipeline answers cardinality / frequency
+questions without a full shuffle of the raw key space.  Spark ships
+HyperLogLog (``approx_count_distinct``), but its register layout is
+engine-private — no external oracle can replay it.  These two sketches
+are built on md5, which every engine computes identically, so the DuckDB
+correctness harness reproduces them bit for bit: the *estimates
+themselves* are oracle-checked, not just smoke-tested.
+
+- KMV (k minimum values), Bar-Yossef et al. 2002 "Counting distinct
+  elements in a data stream": keep the k smallest uniform hashes of a
+  set; the k-th smallest hash, as a fraction U of the hash space,
+  estimates the cardinality as (k-1)/U.
+- Count-min, Cormode & Muthukrishnan 2005: d independent hash rows of w
+  counters; an item's estimate is the MIN of its d counters —
+  overestimates only, which makes it a sound heavy-hitter screen.
+
+Both are algebraic aggregations (groupBy over hashed keys): partial
+aggregation map-side, one small shuffle, mergeable across partitions /
+days / streaming micro-batches — the property that makes them sketches
+and not just aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["kmv_distinct", "cm_heavy_hitters", "HASH_SPACE"]
+
+#: 8 hex digits = 32-bit hash space; plenty below md5 collision concerns
+#: for the 2^16-ish cardinalities a single sketch group holds, and small
+#: enough that both engines read it back with exact integer math.
+HASH_SPACE = float(1 << 32)
+
+
+def _h32(col: Column, salt: str = "") -> Column:
+    """First 32 bits of md5(salt || value) as a long — the shared uniform
+    hash.  DuckDB twin: ``CAST(concat('0x', substr(md5(...), 1, 8)) AS
+    BIGINT)``."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 64,
+) -> DataFrame:
+    """KMV distinct-count estimate of ``value_col`` per ``group_cols``.
+
+    Output per group: ``kth_hash`` (the sketch's synopsis value),
+    ``est_distinct`` = (k-1) / (kth_hash / 2^32) rounded to 4 decimals,
+    or the exact count when the group holds fewer than ``k`` distinct
+    hashes (the standard small-set escape: the sketch IS the exhaustive
+    set below k).
+
+    Shape: distinct-hash reduction, then one per-group k-th order
+    statistic via a capped sort window — the sort input is the distinct
+    hash set, already far smaller than the data.  Mergeable: the union of
+    two groups' k-minima contains the union's k minima.
+    """
+    hashes = df.select(
+        *group_cols, _h32(F.col(value_col)).alias("__h")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    ranked = hashes.select(
+        *group_cols, "__h", F.row_number().over(w).alias("__r")
+    ).filter(F.col("__r") <= k)
+    n = F.max("__r")
+    kth = F.max(F.when(F.col("__r") == k, F.col("__h")))
+    return ranked.groupBy(*group_cols).agg(
+        F.coalesce(kth, F.lit(-1)).alias("kth_hash"),
+        F.round(
+            F.when(n < k, n.cast("double")).otherwise(
+                F.lit(float(k - 1)) / (kth / F.lit(HASH_SPACE))
+            ),
+            4,
+        ).alias("est_distinct"),
+    )
+
+
+def cm_heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+    min_count: int = 1,
+) -> DataFrame:
+    """Count-min heavy hitters: items whose count-min estimate reaches
+    ``min_count``, with the estimate alongside the exact count so the
+    overestimate bias is visible.
+
+    Two aggregations, both algebraic:
+
+    1. the sketch — counts per (hash row d, bucket) where bucket =
+       h32(d || item) % width: ``depth * width`` cells total, broadcast
+       back for the probe;
+    2. the per-item probe — each distinct item reads its ``depth``
+       cells and takes the min.
+
+    At 100 TB only step 1 sees the raw data (map-side partial sums into
+    <= d*w cells — effectively a metadata-sized shuffle); the probe runs
+    over distinct items.  ``estimate >= exact`` always (count-min never
+    undercounts), asserted in tests.
+    """
+    d_rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("__d")
+    cells = (
+        df.select(F.col(item_col).alias("__item"))
+        .select("__item", d_rows)
+        .select(
+            "__d",
+            (_h32_salted(F.col("__item"), F.col("__d")) % width).alias("__b"),
+        )
+        .groupBy("__d", "__b")
+        .agg(F.count(F.lit(1)).alias("__cell"))
+    )
+    items = (
+        df.groupBy(F.col(item_col).alias("__item"))
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .select("__item", "exact_count", d_rows)
+        .select(
+            "__item",
+            "exact_count",
+            "__d",
+            (_h32_salted(F.col("__item"), F.col("__d")) % width).alias("__b"),
+        )
+    )
+    return (
+        items.join(F.broadcast(cells), ["__d", "__b"])
+        .groupBy("__item", "exact_count")
+        .agg(F.min("__cell").alias("cm_estimate"))
+        .filter(F.col("cm_estimate") >= min_count)
+        .select(
+            F.col("__item").alias(item_col), "cm_estimate", "exact_count"
+        )
+    )
+
+
+def _h32_salted(item: Column, d: Column) -> Column:
+    """Row-d hash: first 32 bits of md5(d || ':' || item).  DuckDB twin
+    uses the identical concatenation."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(d.cast("string"), F.lit(":"), item.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")

@@ -1,0 +1,162 @@
+"""As-of join, range join, and deterministic sketch edge cases.
+
+The contract queries (events_asof_join / events_range_join /
+events_distinct_kmv / events_heavy_hitters) pin these operators against
+DuckDB at sf0.01; this file pins the edges the fixtures don't hit:
+tolerance voiding, tie timestamps, bucket-boundary containment, the
+small-set KMV escape, and count-min's never-undercount invariant.
+"""
+
+from pyspark.sql import functions as F
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# asof_join
+# ---------------------------------------------------------------------------
+
+def test_asof_basic_and_unmatched(spark):
+    from biggraphite_spark.operators.joins import asof_join
+
+    left = _df(spark, [(1, 10, "a"), (1, 4, "b"), (2, 7, "c")], "k int, ts int, p string")
+    right = _df(spark, [(1, 8, 80.0), (1, 2, 20.0), (2, 9, 90.0)], "k int, ts int, v double")
+    out = {
+        (r["k"], r["ts"]): (r["ts_right"], r["v_right"])
+        for r in asof_join(left, right, on=["k"]).collect()
+    }
+    assert out[(1, 10)] == (8, 80.0)
+    assert out[(1, 4)] == (2, 20.0)
+    assert out[(2, 7)] == (None, None)  # only future right rows -> left-join nulls
+
+
+def test_asof_equal_ts_matches_and_payload_tiebreak(spark):
+    from biggraphite_spark.operators.joins import asof_join
+
+    left = _df(spark, [(1, 5, "x")], "k int, ts int, p string")
+    # two right rows at the exact left timestamp: >= includes them, and the
+    # highest-sorting payload wins deterministically
+    right = _df(spark, [(1, 5, 1.0), (1, 5, 3.0), (1, 4, 9.0)], "k int, ts int, v double")
+    row = asof_join(left, right, on=["k"]).collect()[0]
+    assert (row["ts_right"], row["v_right"]) == (5, 3.0)
+
+
+def test_asof_tolerance_voids_stale_matches(spark):
+    from biggraphite_spark.operators.joins import asof_join
+
+    left = _df(spark, [(1, 100, "a"), (1, 200, "b")], "k int, ts int, p string")
+    right = _df(spark, [(1, 95, 1.0)], "k int, ts int, v double")
+    out = {
+        r["ts"]: r["v_right"]
+        for r in asof_join(left, right, on=["k"], tolerance=10).collect()
+    }
+    assert out[100] == 1.0       # 5s old: inside tolerance
+    assert out[200] is None      # 105s old: voided
+
+
+def test_asof_plan_has_no_join(spark):
+    """The union+window spelling must not degenerate into a join node —
+    that is the whole point vs the quadratic inequality-join spelling."""
+    from biggraphite_spark.operators.joins import asof_join
+
+    left = _df(spark, [(1, 10, "a")], "k int, ts int, p string")
+    right = _df(spark, [(1, 8, 80.0)], "k int, ts int, v double")
+    plan = asof_join(left, right, on=["k"])._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+# ---------------------------------------------------------------------------
+# range_join
+# ---------------------------------------------------------------------------
+
+def test_range_join_boundaries_inclusive_and_no_dups(spark):
+    from biggraphite_spark.operators.joins import range_join
+
+    pts = _df(spark, [(100,), (150,), (200,), (201,), (99,)], "ts int")
+    iv = _df(spark, [(1, 100, 200)], "iid int, start int, end int")
+    got = sorted(r["ts"] for r in range_join(pts, iv, bucket=50).collect())
+    assert got == [100, 150, 200]  # both endpoints in, outside rows out, no dups
+
+
+def test_range_join_interval_spanning_many_buckets(spark):
+    from biggraphite_spark.operators.joins import range_join
+
+    pts = _df(spark, [(i,) for i in range(0, 1000, 100)], "ts int")
+    iv = _df(spark, [(1, 50, 949)], "iid int, start int, end int")
+    got = sorted(r["ts"] for r in range_join(pts, iv, bucket=10).collect())
+    assert got == [100, 200, 300, 400, 500, 600, 700, 800, 900]
+
+
+def test_range_join_with_equi_key(spark):
+    from biggraphite_spark.operators.joins import range_join
+
+    pts = _df(spark, [("a", 10), ("b", 10)], "k string, ts int")
+    iv = _df(spark, [("a", 0, 20, 1)], "k string, start int, end int, iid int")
+    got = range_join(pts, iv, on=["k"], bucket=5).collect()
+    assert [(r["k"], r["ts"], r["iid"]) for r in got] == [("a", 10, 1)]
+
+
+def test_range_join_overlapping_intervals_each_match(spark):
+    from biggraphite_spark.operators.joins import range_join
+
+    pts = _df(spark, [(15,)], "ts int")
+    iv = _df(spark, [(1, 10, 20), (2, 12, 16)], "iid int, start int, end int")
+    got = sorted(r["iid"] for r in range_join(pts, iv, bucket=4).collect())
+    assert got == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# sketches
+# ---------------------------------------------------------------------------
+
+def test_kmv_small_set_is_exact(spark):
+    from biggraphite_spark.operators.sketches import kmv_distinct
+
+    df = _df(spark, [("g", i % 5) for i in range(50)], "g string, v int")
+    row = kmv_distinct(df, "v", ("g",), k=64).collect()[0]
+    assert row["est_distinct"] == 5.0
+    assert row["kth_hash"] == -1  # below k: no k-th order statistic exists
+
+
+def test_kmv_estimate_tracks_cardinality(spark):
+    from biggraphite_spark.operators.sketches import kmv_distinct
+
+    df = _df(spark, [("g", i) for i in range(2000)], "g string, v int")
+    row = kmv_distinct(df, "v", ("g",), k=64).collect()[0]
+    # KMV with k=64 has ~1/sqrt(62) ~ 13% relative error; allow 3 sigma
+    assert 2000 * 0.6 < row["est_distinct"] < 2000 * 1.5
+
+
+def test_cm_never_undercounts_and_exact_on_wide_sketch(spark):
+    from biggraphite_spark.operators.sketches import cm_heavy_hitters
+
+    rows = [("a",)] * 10 + [("b",)] * 3 + [("c",)] * 1
+    df = _df(spark, rows, "item string")
+    got = {r["item"]: r for r in cm_heavy_hitters(df, "item", depth=4, width=256).collect()}
+    for item, exact in (("a", 10), ("b", 3), ("c", 1)):
+        assert got[item]["exact_count"] == exact
+        assert got[item]["cm_estimate"] >= exact
+    # 3 items in a 4x256 grid: collisions are practically impossible
+    assert all(r["cm_estimate"] == r["exact_count"] for r in got.values())
+
+
+def test_cm_narrow_sketch_overestimates_under_collisions(spark):
+    from biggraphite_spark.operators.sketches import cm_heavy_hitters
+
+    df = _df(spark, [(str(i),) for i in range(40)], "item string")
+    got = cm_heavy_hitters(df, "item", depth=2, width=4).collect()
+    assert len(got) == 40
+    assert all(r["cm_estimate"] >= r["exact_count"] for r in got)
+    assert any(r["cm_estimate"] > r["exact_count"] for r in got)  # w=4 must collide
+
+
+def test_cm_min_count_filters(spark):
+    from biggraphite_spark.operators.sketches import cm_heavy_hitters
+
+    rows = [("hot",)] * 20 + [("cold",)]
+    df = _df(spark, rows, "item string")
+    got = cm_heavy_hitters(df, "item", depth=4, width=256, min_count=10).collect()
+    assert [r["item"] for r in got] == ["hot"]

@@ -50,10 +50,12 @@ ORACLE_AGG = (
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read events.parquet, tolerating its TIMESTAMP(NANOS) physical type.
 
-    Spark's parquet reader rejects nano timestamps unless
-    ``spark.sql.legacy.parquet.nanosAsLong`` is set; we set it defensively at
-    runtime (a session-level conf) so the engine also works under sessions we
-    didn't build.  The ``ts`` column is then int64 nanoseconds.
+    What ``ts`` lands as is version-dependent: Spark 4.1.2 ignores the
+    ``nanosAsLong`` legacy conf entirely and reads nano parquet as
+    TIMESTAMP_NTZ (micro-truncated — lossless for this data, every stamp is
+    whole micros); older readers honor the conf and yield int64 nanos.  We
+    still set the conf defensively, but NO consumer may assume a dtype:
+    always go through the ``event_ts_*`` dispatchers below.
     """
     import os
 
@@ -75,6 +77,35 @@ def event_ts_seconds(events: DataFrame) -> F.Column:
     if dict(events.dtypes)["ts"] in ("bigint", "long"):
         return F.expr("ts div 1000000000")
     return F.unix_timestamp("ts")
+
+
+def event_ts_nanos(events: DataFrame) -> F.Column:
+    """Event time as int64 unix NANOseconds, whatever type ``ts`` landed as.
+
+    Parity contract with the DuckDB oracle's ``epoch_ns(ts)``: the driver's
+    parquet stamps are whole microseconds (verified: ``epoch_ns % 1000 == 0``
+    for every row), so the TIMESTAMP_NTZ branch (micros * 1000) reconstructs
+    the oracle's value exactly; nothing is lost to the NTZ read's
+    micro-truncation.  The cast to ``timestamp`` is identity under the UTC
+    session timezone every query pins (``_utc``).
+    """
+    if dict(events.dtypes)["ts"] in ("bigint", "long"):
+        return F.col("ts")
+    return F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+
+
+def event_ts_timestamp(events: DataFrame) -> F.Column:
+    """Event time as a (session-tz) TIMESTAMP for streaming windows/watermarks.
+
+    Structured Streaming's file source resolves the nano parquet to
+    TIMESTAMP_NTZ regardless of any legacy conf, while a hypothetical int64
+    feed needs the div-and-cast; dispatching here keeps callers (tests, the
+    streaming ingest examples) independent of which physical type the source
+    yields.
+    """
+    if dict(events.dtypes)["ts"] in ("bigint", "long"):
+        return F.expr("ts div 1000000000").cast("timestamp")
+    return F.col("ts").cast("timestamp")
 
 
 def metric_name_col() -> F.Column:

@@ -26,12 +26,15 @@ _SERIES_B = {
 
 def _make_server(series, fail_targets=(), garbage_targets=()):
     class Handler(BaseHTTPRequestHandler):
+        seen_auth = None
+
         def log_message(self, *args):
             pass
 
         def do_GET(self):
             u = urlparse(self.path)
             assert u.path == "/render/"
+            Handler.seen_auth = self.headers.get("Authorization")
             q = parse_qs(u.query)
             target = q["target"][0]
             if target in fail_targets:
@@ -51,19 +54,19 @@ def _make_server(series, fail_targets=(), garbage_targets=()):
 
     srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
-    return srv
+    return srv, Handler
 
 
 @pytest.fixture(scope="module")
 def cluster_a():
-    srv = _make_server(_SERIES_A, fail_targets=("sys.down",), garbage_targets=("sys.bad",))
+    srv, _ = _make_server(_SERIES_A, fail_targets=("sys.down",), garbage_targets=("sys.bad",))
     yield "127.0.0.1:%d" % srv.server_address[1]
     srv.shutdown()
 
 
 @pytest.fixture(scope="module")
 def cluster_b():
-    srv = _make_server(_SERIES_B)
+    srv, _ = _make_server(_SERIES_B)
     yield "127.0.0.1:%d" % srv.server_address[1]
     srv.shutdown()
 
@@ -104,6 +107,25 @@ def test_render_source_points_nulls_and_errors(spark, cluster_a):
     assert len(down) == 1 and down[0]["name"] is None and down[0]["error"]
     # garbage JSON -> tolerant parse, no rows at all for that target
     assert "sys.bad" not in by_target
+
+
+def test_render_source_basic_auth(spark):
+    """Basic auth reaches the server as the reference sends it: a
+    pre-encoded credential in the Authorization header
+    (cli/clusters_diff.py:48-101)."""
+    from biggraphite_spark.sources.render_http import render_source
+
+    srv, handler = _make_server(_SERIES_A)
+    addr = "127.0.0.1:%d" % srv.server_address[1]
+    try:
+        rows = render_source(
+            spark, addr, ["sys.cpu"],
+            from_param="100", until_param="220", auth_key="c2VjcmV0",
+        ).collect()
+        assert len(rows) == 3
+        assert handler.seen_auth == "Basic c2VjcmV0"
+    finally:
+        srv.shutdown()
 
 
 def test_diff_clusters_http_end_to_end(spark, cluster_a, cluster_b):

@@ -56,7 +56,12 @@ def test_pointstore_expiry(spark, tmpdir):
 def test_streaming_downsample_matches_batch(spark, tmpdir):
     """Drive the streaming rollup over the sf0.001 events with a file source
     and compare the generic partials against the batch downsampler."""
-    from biggraphite_spark.sources.events import load_events, event_ts_seconds, metric_name_col
+    from biggraphite_spark.sources.events import (
+        event_ts_seconds,
+        event_ts_timestamp,
+        load_events,
+        metric_name_col,
+    )
     from biggraphite_spark.streaming.ingest import generic_partials
 
     sf_dir = "/root/testdata/sf0.001"
@@ -69,7 +74,7 @@ def test_streaming_downsample_matches_batch(spark, tmpdir):
     )
     pts = stream.select(
         metric_name_col().alias("name"),
-        F.expr("ts div 1000000000").cast("timestamp").alias("ts"),
+        event_ts_timestamp(stream).alias("ts"),
         "value",
     )
     partials = generic_partials(pts, STAGE1)

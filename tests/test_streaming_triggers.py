@@ -113,10 +113,15 @@ def test_restart_no_loss_and_cadence(spark, dirs):
 
     # cadence: with maxFilesPerTrigger=1 the restarted run took >= 2
     # non-empty micro-batches; consecutive data batches honor the 2s trigger
-    stamps = [
-        datetime.fromisoformat(p["timestamp"].rstrip("Z"))
-        for p in progress if p["numInputRows"] > 0
-    ]
-    assert len(stamps) >= 2
-    gaps = [(b2 - b1).total_seconds() for b1, b2 in zip(stamps, stamps[1:])]
-    assert all(g >= 1.0 for g in gaps), gaps  # 2s trigger, generous margin
+    # UNLESS the earlier batch overran the interval — Spark then fires the
+    # next trigger immediately ("Current batch is falling behind"), which is
+    # correct engine behavior, not a cadence violation.
+    data = [p for p in progress if p["numInputRows"] > 0]
+    assert len(data) >= 2
+    for prev, cur in zip(data, data[1:]):
+        gap = (
+            datetime.fromisoformat(cur["timestamp"].rstrip("Z"))
+            - datetime.fromisoformat(prev["timestamp"].rstrip("Z"))
+        ).total_seconds()
+        prev_run_s = prev["durationMs"].get("triggerExecution", 0) / 1000.0
+        assert gap >= 1.0 or prev_run_s >= 2.0, (gap, prev_run_s)

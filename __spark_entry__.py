@@ -2282,6 +2282,29 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synthesize_media(docs))
 
 
+@_register("mm_decode")  # rows-only: pure-Python BMP codec over binary, not SQL-expressible
+def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode end to end: synthesize deterministic BMP payloads
+    from the documents corpus, decode them executor-side
+    (operators/multimodal.py pure-Python 24bpp codec), and reduce each
+    pixel array to stable scalars with built-in higher-order functions.
+    Pinned by an independent md5-stream golden in
+    tests/test_multimodal_codecs.py; driver records rows-only."""
+    _utc(spark)
+    from biggraphite_spark.operators.multimodal import decode_image, synthesize_bmp_media
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    decoded = decode_image(synthesize_bmp_media(docs))
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        F.size("pixels").alias("n_px"),
+        F.expr("aggregate(pixels, 0L, (a, x) -> a + x)").alias("px_sum"),
+        "error",
+    )
+
+
 _ND_HYPERPLANES = _rh(4, 64, seed=11)
 _ND_THRESHOLD = 0.35
 

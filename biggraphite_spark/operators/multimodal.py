@@ -4,11 +4,12 @@ through Arrow-batched pandas stages.
 Beyond-reference operators.  Images/audio/video are carried as
 ``binary`` columns with a typed metadata struct; all per-item compute runs
 in ``mapInPandas`` (one Arrow batch per call, vectorized across the batch).
-The actual codec work (JPEG decode, resampling, frame extraction) needs
-libraries this container doesn't ship, so those steps are STUBBED behind
-``NotImplementedError`` with the Spark-side plumbing — schema, batch
-iteration, partition sizing — real and tested; ``extract_features`` runs a
-deterministic byte-level featurizer end-to-end as the working example.
+``decode_image`` really decodes (pure-Python 24bpp BMP + P6 PPM codecs —
+formats simple enough to need no external library); ``frame_sample`` really
+demuxes a deterministic length-prefixed frame container (BGSV).  Compressed
+formats (JPEG/PNG, mp4) would slot into the same per-format dispatch with a
+library import; the Spark-side shape — schema, batch iteration, error rows,
+partition sizing — is identical and fully tested here.
 
 Scale notes: binary payloads dominate row size — keep
 ``spark.sql.files.maxPartitionBytes`` at the default 128 MB so a scan task
@@ -102,22 +103,298 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(featurize, FEATURE_SCHEMA)
 
 
-def decode_image(media: DataFrame) -> DataFrame:
-    """STUB: real pixel decode needs an imaging library not present in this
-    container.  The contract when implemented: input MEDIA_SCHEMA rows,
-    output (media_id, pixels array<int>, width, height) via a mapInPandas
-    stage exactly shaped like :func:`extract_features`."""
-    raise NotImplementedError(
-        "image decode requires an imaging library (e.g. PIL) not shipped in "
-        "this environment; plumbing contract documented here and exercised "
-        "via extract_features"
+# ---------------------------------------------------------------------------
+# Pure-Python codecs: 24-bit uncompressed BMP + binary PPM (P6).
+#
+# These two formats are fully specified by public documentation and simple
+# enough to decode with the stdlib, which makes ``decode_image`` a REAL
+# operator in this container (no imaging library needed).  Compressed formats
+# (JPEG/PNG) would slot into the same dispatch with a library import — the
+# Spark-side shape does not change.
+# ---------------------------------------------------------------------------
+
+import struct
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal 24bpp bottom-up BMP writer (BITMAPINFOHEADER).  ``rgb`` is
+    row-major top-down R,G,B triplets — exactly what :func:`_decode_bmp`
+    returns — so encode->decode round-trips bit-exactly."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    pad = (-(width * 3)) % 4
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(width):
+            i = (y * width + x) * 3
+            row += bytes((rgb[i + 2], rgb[i + 1], rgb[i]))  # BGR on disk
+        rows.append(bytes(row) + b"\x00" * pad)
+    pixel_data = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
     )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixel_data), 0, 0, 14 + 40)
+    return header + info + pixel_data
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """(width, height, top-down RGB bytes) from a 24bpp uncompressed BMP."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+    bottom_up = height > 0
+    height = abs(height)
+    pad = (-(width * 3)) % 4
+    stride = width * 3 + pad
+    out = bytearray(width * height * 3)
+    for row in range(height):
+        y = (height - 1 - row) if bottom_up else row
+        src = offset + row * stride
+        for x in range(width):
+            b, g, r = payload[src + x * 3 : src + x * 3 + 3]
+            dst = (y * width + x) * 3
+            out[dst], out[dst + 1], out[dst + 2] = r, g, b
+    return width, height, bytes(out)
+
+
+def _decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """(width, height, RGB bytes) from a binary PPM (P6, maxval 255)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header: P6, whitespace-separated width/height/maxval, comments allowed
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError("only maxval=255 PPM supported")
+    rgb = payload[i : i + width * height * 3]
+    if len(rgb) != width * height * 3:
+        raise ValueError("truncated PPM payload")
+    return width, height, rgb
+
+
+_IMAGE_DECODERS = {"bmp": _decode_bmp, "ppm": _decode_ppm}
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixels", T.ArrayType(T.IntegerType())),  # top-down RGB triplets
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def decode_image(media: DataFrame) -> DataFrame:
+    """Decode BMP/PPM payloads to pixel arrays in an Arrow-batched stage.
+
+    Input MEDIA_SCHEMA rows; output one row per item: (media_id, width,
+    height, pixels as row-major top-down RGB ints, error).  Undecodable
+    payloads (unknown format, corrupt bytes) yield an error row instead of
+    failing the stage — at 100 TB a sweep must survive bad items.  Pure
+    per-row transform: no shuffle, binary never leaves the executor.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content, fmt in zip(
+                pdf["media_id"], pdf["content"], pdf["meta"].map(lambda m: m["format"])
+            ):
+                decoder = _IMAGE_DECODERS.get(str(fmt).lower())
+                if decoder is None:
+                    rows.append((mid, None, None, None, f"unsupported format: {fmt}"))
+                    continue
+                try:
+                    w, h, rgb = decoder(bytes(content))
+                    rows.append((mid, w, h, list(rgb), None))
+                except (ValueError, IndexError, struct.error) as e:
+                    rows.append((mid, None, None, None, str(e)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "pixels", "error"]
+            )
+
+    return media.mapInPandas(decode, DECODE_SCHEMA)
+
+
+def synthesize_bmp_media(docs: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Deterministic real-BMP media table from the documents corpus: each
+    doc's md5 stream seeds the pixel bytes, encoded through
+    :func:`encode_bmp` — so ``decode_image`` exercises the full
+    encode->decode path on driver-provided data with zero external deps."""
+    n = width * height * 3
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = str(text).encode()
+                buf = bytearray()
+                counter = 0
+                while len(buf) < n:
+                    buf += hashlib.md5(seed + counter.to_bytes(4, "little")).digest()
+                    counter += 1
+                rows.append((doc_id, encode_bmp(width, height, bytes(buf[:n]))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    payloads = docs.select("doc_id", "text").mapInPandas(
+        build, "media_id long, content binary"
+    )
+    return payloads.select(
+        "media_id",
+        "content",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("bmp").alias("format"),
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video: a deterministic length-prefixed frame container ("BGSV").
+#
+# Real containers (mp4/mkv) need codec libraries; the container below is the
+# same *shape* — header + per-frame (duration, payload) records — so the
+# sampling operator's plumbing (parse on executor, explode to one row per
+# sampled frame) is the production shape, with the demux swapped out.
+# ---------------------------------------------------------------------------
+
+VIDEO_MAGIC = b"BGSV"
+
+
+def encode_video(frames: list[tuple[int, bytes]]) -> bytes:
+    """Pack (duration_ms, payload) frames: magic, frame count, then
+    length-prefixed records."""
+    out = [VIDEO_MAGIC, struct.pack("<I", len(frames))]
+    for dur_ms, payload in frames:
+        out.append(struct.pack("<II", dur_ms, len(payload)))
+        out.append(payload)
+    return b"".join(out)
+
+
+def _demux_video(payload: bytes) -> list[tuple[int, int, bytes]]:
+    """[(frame_idx, start_ms, frame_payload)] from a BGSV container."""
+    if payload[:4] != VIDEO_MAGIC:
+        raise ValueError("not a BGSV container")
+    (n,) = struct.unpack_from("<I", payload, 4)
+    frames = []
+    pos, t = 8, 0
+    for idx in range(n):
+        dur_ms, size = struct.unpack_from("<II", payload, pos)
+        pos += 8
+        frames.append((idx, t, payload[pos : pos + size]))
+        if len(frames[-1][2]) != size:
+            raise ValueError("truncated frame")
+        pos += size
+        t += dur_ms
+    return frames
+
+
+def synthesize_video_media(
+    docs: DataFrame,
+    n_frames: int = 4,
+    frame_ms: int = 250,
+    width: int = 4,
+    height: int = 4,
+) -> DataFrame:
+    """Deterministic BGSV video table: each doc becomes ``n_frames`` BMP
+    frames (md5-seeded like :func:`synthesize_bmp_media`, frame index mixed
+    into the seed) at a fixed per-frame duration."""
+    n = width * height * 3
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                frames = []
+                for f in range(n_frames):
+                    seed = str(text).encode() + b"|frame|" + f.to_bytes(4, "little")
+                    buf = bytearray()
+                    counter = 0
+                    while len(buf) < n:
+                        buf += hashlib.md5(seed + counter.to_bytes(4, "little")).digest()
+                        counter += 1
+                    frames.append((frame_ms, encode_bmp(width, height, bytes(buf[:n]))))
+                rows.append((doc_id, encode_video(frames)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    payloads = docs.select("doc_id", "text").mapInPandas(
+        build, "media_id long, content binary"
+    )
+    return payloads.select(
+        "media_id",
+        "content",
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit("bgsv").alias("format"),
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.lit(n_frames * frame_ms).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("t_ms", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
 
 
 def frame_sample(media: DataFrame, every_ms: int) -> DataFrame:
-    """STUB: video frame sampling — same contract as decode_image, one
-    output row per sampled frame ((media_id, frame_idx, content))."""
-    raise NotImplementedError(
-        "video frame sampling requires a codec library not shipped in this "
-        "environment"
-    )
+    """Sample one frame per ``every_ms`` window from BGSV video payloads.
+
+    One output row per kept frame (the first frame at-or-after each sample
+    point), carrying the frame payload so :func:`decode_image` can run
+    directly on the result.  Bad containers yield an error row.  The fan-out
+    happens executor-side inside mapInPandas — the container is parsed once
+    per item and never shipped to the driver.
+    """
+    if every_ms <= 0:
+        raise ValueError("every_ms must be positive")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    frames = _demux_video(bytes(content))
+                except (ValueError, IndexError, struct.error) as e:
+                    rows.append((mid, None, None, None, str(e)))
+                    continue
+                next_sample = 0
+                for idx, t, payload in frames:
+                    if t >= next_sample:
+                        rows.append((mid, idx, t, payload, None))
+                        next_sample = t - (t % every_ms) + every_ms
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "t_ms", "content", "error"]
+            )
+
+    return media.mapInPandas(sample, FRAME_SCHEMA)

@@ -156,9 +156,10 @@ def test_multimodal_feature_pipeline(spark):
     # determinism: same input -> same features
     again = extract_features(media).orderBy("media_id").limit(5).collect()
     assert [r["crc32"] for r in rows] == [r["crc32"] for r in again]
-    # stubbed decode is gated, not silently fake
-    with pytest.raises(NotImplementedError):
-        decode_image(media)
+    # fake-jpeg payloads aren't decodable: decode yields error rows, not
+    # failures (full decode coverage lives in test_multimodal_codecs.py)
+    err = decode_image(media).limit(3).collect()
+    assert all("unsupported format" in r["error"] for r in err)
 
 
 def test_carbon_socket_stream_end_to_end(spark, tmpdir):

@@ -27,7 +27,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .model import OUT_OF_ORDER_S, Retention, Stage
@@ -152,3 +152,61 @@ class PointStore:
         per-stage directory skeleton."""
         for stage in retention.stages:
             os.makedirs(self.stage_path(stage), exist_ok=True)
+
+    # -- upsert finalization (T3) -------------------------------------------
+    def compact(self, spark: SparkSession, stage: Stage,
+                days: list[int] | None = None) -> list[int]:
+        """Fold epoch-stamped streaming appends down to one row per
+        (name, ts) — the parquet-tree equivalent of the reference's in-place
+        ring-buffer overwrite (drivers/_downsampling.py:128-189) or a
+        lakehouse MERGE.  Write-side twin of
+        :func:`..streaming.ingest.latest_partials`: the read-time
+        last-write-wins stays correct before, during, and after, this just
+        collapses the append history so steady-state reads stop paying the
+        LWW window over re-emitted buckets.
+
+        Per (name, ts) the row with the highest ``epoch`` wins (ties —
+        replayed batches appending identical rows — collapse to one row, so
+        compaction is also the dedup for crash-replay appends).  The winning
+        row KEEPS its epoch: the column stays in the schema, so files
+        appended by the streaming sink afterwards merge cleanly and newer
+        epochs keep winning.
+
+        Scale shape: only the selected (default: all present) day partitions
+        are read and rewritten — one (name, ts)-keyed exchange scoped to
+        those days, not the whole store.  The swap is a per-``pday``
+        directory rename via a side tree (Spark refuses to overwrite a path
+        it is reading), so a crash mid-compact leaves each day either fully
+        old or fully new, never mixed.  Returns the rewritten day numbers.
+        """
+        path = self.stage_path(stage)
+        df = self.read(spark, stage)
+        if "epoch" not in df.columns:
+            return []
+        present = sorted(
+            int(e.split("=", 1)[1])
+            for e in os.listdir(path)
+            if e.startswith("pday=")
+        )
+        target = present if days is None else sorted(set(days) & set(present))
+        if not target:
+            return []
+        w = Window.partitionBy("name", "ts").orderBy(F.desc("epoch"))
+        resolved = (
+            df.filter(F.col("pday").isin(target))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        tmp = path + "_compacting"
+        shutil.rmtree(tmp, ignore_errors=True)
+        resolved.write.partitionBy("pday").mode("overwrite").parquet(tmp)
+        for day in target:
+            new_dir = os.path.join(tmp, f"pday={day}")
+            if not os.path.isdir(new_dir):  # day emptied (shouldn't happen)
+                continue
+            old_dir = os.path.join(path, f"pday={day}")
+            shutil.rmtree(old_dir, ignore_errors=True)
+            shutil.move(new_dir, old_dir)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return target

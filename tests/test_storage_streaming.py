@@ -121,6 +121,59 @@ def test_streaming_downsample_matches_batch(spark, tmpdir):
         assert glast == pytest.approx(elast)
 
 
+def test_compact_resolves_epoch_appends(spark, tmpdir):
+    """T3 upsert finalization: compaction collapses the epoch-append history
+    to one row per (name, ts) without changing what latest_partials reads,
+    dedups crash-replay duplicates, and keeps the schema append-compatible
+    for the streaming sink afterwards."""
+    from biggraphite_spark.streaming.ingest import latest_partials
+
+    store = PointStore(tmpdir)
+    schema = "name string, ts long, value double, epoch long"
+    # epoch 0: two days of buckets; epoch 1 re-emits one bucket per day
+    # (late data) and is appended twice (a replayed batch after a crash)
+    e0 = spark.createDataFrame(
+        [("m1", 100, 1.0, 0), ("m1", 86500, 2.0, 0), ("m2", 100, 5.0, 0)], schema
+    )
+    e1 = spark.createDataFrame([("m1", 100, 9.0, 1), ("m1", 86500, 8.0, 1)], schema)
+    store.write(e0, STAGE1, mode="append")
+    store.write(e1, STAGE1, mode="append")
+    store.write(e1, STAGE1, mode="append")  # replay
+
+    before = {
+        (r["name"], r["ts"]): r["value"]
+        for r in latest_partials(store, spark, STAGE1).collect()
+    }
+    rewritten = store.compact(spark, STAGE1)
+    assert rewritten == [0, 1]
+
+    # physical layout collapsed: one row per key, epoch column retained
+    raw = store.read(spark, STAGE1)
+    assert raw.count() == 3
+    assert "epoch" in raw.columns
+    after = {
+        (r["name"], r["ts"]): r["value"]
+        for r in latest_partials(store, spark, STAGE1).collect()
+    }
+    assert after == before == {("m1", 100): 9.0, ("m1", 86500): 8.0, ("m2", 100): 5.0}
+
+    # the streaming sink keeps appending after compaction; newer epochs win
+    e2 = spark.createDataFrame([("m2", 100, 7.0, 2)], schema)
+    store.write(e2, STAGE1, mode="append")
+    final = {
+        (r["name"], r["ts"]): r["value"]
+        for r in latest_partials(store, spark, STAGE1).collect()
+    }
+    assert final[("m2", 100)] == 7.0 and final[("m1", 100)] == 9.0
+
+    # selective compaction touches only the requested day
+    assert store.compact(spark, STAGE1, days=[0]) == [0]
+    # plain (non-epoch) stores are a no-op
+    plain = PointStore(os.path.join(tmpdir, "plain"))
+    plain.write(spark.createDataFrame([("m", 1, 1.0)], "name string, ts long, value double"), STAGE1)
+    assert plain.compact(spark, STAGE1) == []
+
+
 def test_fan_out_sink_writes_all_sinks(spark, tmpdir):
     from biggraphite_spark.streaming.ingest import fan_out_sink
 

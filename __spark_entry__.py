@@ -1659,6 +1659,541 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- TPC-H completion: the remaining query shapes, adapted to the reduced
+#    schema (no partsupp table, no commit/receipt dates, no comment columns;
+#    each docstring states the stand-in predicate).  The plan SHAPES are the
+#    point: min-per-group join (q2), two-role dimension (q8), LIKE-filtered
+#    profit rollup (q9), scalar-threshold group filter (q11), left-join
+#    count distribution (q13), argmax-by-scalar (q15), anti-join distinct
+#    count (q16), correlated-average filter (q17), dominance semi-join
+#    (q20), exists/not-exists wait analysis (q21). --------------------------
+
+_Q2_ORACLE = """
+WITH cost AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+),
+eligible AS (
+  SELECT c.partkey, c.suppkey, c.unit_cost
+  FROM cost c
+  JOIN supplier ON s_suppkey = c.suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+best AS (SELECT partkey, min(unit_cost) AS min_cost FROM eligible GROUP BY 1)
+SELECT s_acctbal, s_name, n_name, p_partkey, ROUND(e.unit_cost, 6) AS unit_cost
+FROM eligible e
+JOIN best ON e.partkey = best.partkey AND e.unit_cost = best.min_cost
+JOIN part ON p_partkey = e.partkey
+JOIN supplier ON s_suppkey = e.suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = 'STANDARD' AND p_size <= 10
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 20
+"""
+
+
+@_register("tpch_q2", _Q2_ORACLE)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 minimum-cost-supplier, adapted: unit cost = min observed
+    lineitem price/qty per (part, supplier) stands in for ps_supplycost.
+    Shape: aggregate -> min-per-group -> equality join back (the classic
+    argmin join), dimensions broadcast."""
+    _utc(spark)
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    l, s, n, r, p = (rd(t) for t in ("lineitem", "supplier", "nation", "region", "part"))
+    cost = l.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    eligible = (
+        cost.join(F.broadcast(s), F.col("suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("partkey", "suppkey", "unit_cost", "s_acctbal", "s_name", "n_name")
+    )
+    best = eligible.groupBy("partkey").agg(F.min("unit_cost").alias("min_cost"))
+    return (
+        eligible.join(
+            best,
+            (eligible.partkey == best.partkey)
+            & (eligible.unit_cost == best.min_cost),
+        )
+        .drop(best.partkey)
+        .join(
+            F.broadcast(
+                p.filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10))
+            ),
+            F.col("partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+_Q8_ORACLE = """
+SELECT o_year,
+       ROUND(sum(CASE WHEN nation = 'NATION_0' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@_register("tpch_q8", _Q8_ORACLE)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 national market share: the nation dimension plays TWO roles
+    (customer's region gate, supplier's nation label) — two broadcast
+    copies, zero extra shuffles; share = conditional-sum / sum in one
+    aggregation."""
+    _utc(spark)
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    l, p, s, o, c, n, r = (
+        rd(t) for t in ("lineitem", "part", "supplier", "orders", "customer", "nation", "region")
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("nation")
+    )
+    j = (
+        l.join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY")),
+               F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("c_rkey") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_0", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+_Q9_ORACLE = """
+SELECT nation, o_year,
+       CAST(ROUND(sum(amount), 2) AS DOUBLE) AS sum_profit
+FROM (
+  -- exact DECIMAL arithmetic: these group sums are large enough that raw
+  -- double accumulation order flips the cent digit between engines; price
+  -- and discount are true 2-decimal values, so decimal cast/multiply/sum
+  -- is exact and both engines round the identical quantity
+  SELECT n_name AS nation,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS amount
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%gear%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@_register("tpch_q9", _Q9_ORACLE)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 product-type profit, adapted: amount drops the ps_supplycost term
+    (no partsupp table).  The LIKE filter prunes part BEFORE the broadcast,
+    so the fact scan only keeps matching partkeys."""
+    _utc(spark)
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    l, p, s, o, n = (rd(t) for t in ("lineitem", "part", "supplier", "orders", "nation"))
+    return (
+        l.join(
+            F.broadcast(p.filter(F.col("p_name").like("%gear%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.expr(
+                        "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+                        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_profit")
+        )
+    )
+
+
+_Q11_ORACLE = """
+WITH partval AS (
+  SELECT l_partkey AS partkey,
+         sum(l_extendedprice * (1 - l_discount)) AS value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY 1
+)
+SELECT partkey, ROUND(value, 2) AS value
+FROM partval
+WHERE value > (SELECT 2.0 * avg(value) FROM partval)
+"""
+
+
+@_register("tpch_q11", _Q11_ORACLE)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 important stock, adapted: per-part revenue from one nation's
+    suppliers stands in for availqty*supplycost.  The global threshold is a
+    single-row broadcast (scalar-subquery shape, like q22) — no second scan
+    of the fact table."""
+    _utc(spark)
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    l, s, n = (rd(t) for t in ("lineitem", "supplier", "nation"))
+    partval = (
+        l.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            F.broadcast(n.filter(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+    )
+    threshold = partval.agg((F.avg("value") * 2.0).alias("threshold"))
+    return (
+        partval.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("partkey", F.round("value", 2).alias("value"))
+    )
+
+
+_Q13_ORACLE = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@_register("tpch_q13", _Q13_ORACLE)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 customer order-count distribution: LEFT join keeps zero-order
+    customers (count(o_orderkey) skips their nulls), then a second
+    aggregation histograms the counts.  The priority filter stands in for
+    the reference's o_comment NOT LIKE (no comment column)."""
+    _utc(spark)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+_Q15_ORACLE = """
+WITH revenue0 AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)
+"""
+
+
+@_register("tpch_q15", _Q15_ORACLE)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 top supplier: quarterly revenue per supplier, keep the argmax
+    row(s).  max-threshold is a single-row broadcast against the (tiny)
+    aggregated frame — the revenue view is computed once."""
+    _utc(spark)
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    revenue0 = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = revenue0.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue0.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+@_register("tpch_q16", _Q16_ORACLE)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 parts/supplier relationship, adapted: lineitem stands in for
+    partsupp as the part<->supplier relation and the negative-balance
+    exclusion stands in for the complaints-comment filter.  Shape: broadcast
+    anti-join (the NOT IN) + distinct-count aggregation."""
+    _utc(spark)
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        l.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q17_ORACLE = """
+SELECT ROUND(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+@_register("tpch_q17", _Q17_ORACLE)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 small-quantity revenue: the correlated per-part average becomes
+    one aggregation broadcast back onto the fact scan — the decorrelated
+    plan Catalyst would also pick, written explicitly so the avg frame is
+    computed once and stays broadcast-sized (one row per part)."""
+    _utc(spark)
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").filter(F.col("p_brand") == "Brand#3")
+    avgq = l.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cap")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(avgq), F.col("ap_key") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+_Q20_ORACLE = """
+WITH shipped AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey, sum(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+),
+tot AS (SELECT partkey, sum(qty) AS total_qty FROM shipped GROUP BY 1),
+dominant AS (
+  SELECT DISTINCT s.suppkey
+  FROM shipped s
+  JOIN tot ON s.partkey = tot.partkey
+  JOIN part ON p_partkey = s.partkey
+  WHERE p_name LIKE '%bolt%' AND s.qty > 0.3 * tot.total_qty
+)
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT suppkey FROM dominant)
+  AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+"""
+
+
+@_register("tpch_q20", _Q20_ORACLE)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 part promotion, adapted: a supplier qualifies when it shipped
+    >30% of a bolt-part's yearly quantity (stands in for availqty >
+    half-year demand).  Shape: two-level aggregation + dominance filter +
+    LEFT SEMI join into the supplier dimension."""
+    _utc(spark)
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    l, p, s, n = (rd(t) for t in ("lineitem", "part", "supplier", "nation"))
+    shipped = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+        )
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    tot = shipped.groupBy("partkey").agg(F.sum("qty").alias("total_qty"))
+    dominant = (
+        shipped.join(tot, "partkey")
+        .join(
+            F.broadcast(p.filter(F.col("p_name").like("%bolt%"))),
+            F.col("p_partkey") == F.col("partkey"),
+        )
+        .filter(F.col("qty") > 0.3 * F.col("total_qty"))
+        .select("suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(dominant), F.col("s_suppkey") == F.col("suppkey"), "left_semi")
+        .join(
+            F.broadcast(n.filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_name", "n_name")
+    )
+
+
+_Q21_ORACLE = """
+WITH fl AS (
+  SELECT l_orderkey, l_suppkey, l_returnflag
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM (
+  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+  FROM fl l1
+  WHERE l1.l_returnflag = 'R'
+    AND EXISTS (
+      SELECT 1 FROM fl l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM fl l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_returnflag = 'R'
+    )
+) waiting
+JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+@_register("tpch_q21", _Q21_ORACLE)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 suppliers-kept-waiting, adapted: 'R' return lines on finished
+    multi-supplier orders stand in for late receipts.  The oracle keeps the
+    spec's EXISTS / NOT EXISTS form; the Spark plan decorrelates both into
+    ONE per-order aggregate (supplier count, R-supplier count) joined back
+    — same rows, one shuffle instead of two self-joins."""
+    _utc(spark)
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    fl = l.join(o, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_order = fl.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supps"),
+    )
+    waiting = (
+        fl.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter((F.col("n_supps") >= 2) & (F.col("n_r_supps") == 1)),
+            "l_orderkey",
+            "left_semi",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: text analysis / dedup / similarity search
 # ---------------------------------------------------------------------------

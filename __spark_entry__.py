@@ -2932,6 +2932,73 @@ def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb, emb.filter(F.col("vec_id") < 5), nprobe=2, k=5)
 
 
+def _ann_ivfpq_oracle(nprobe: int = 2, k: int = 5) -> str:
+    """IVF cell assignment/probing composed with PQ encode/decode, candidate
+    similarity scored asymmetrically (full query x reconstruction)."""
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (
+  SELECT label, list(mean_val ORDER BY i) AS cv FROM (
+    SELECT label, i, ROUND(avg(v[i]), 6) AS mean_val
+    FROM e, unnest(generate_series(1, 64)) t(i)
+    GROUP BY label, i)
+  GROUP BY label
+),
+cn AS (SELECT label, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm FROM cent),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+scored AS (
+  SELECT n.vec_id, n.v, n.nrm, cn.label,
+         ROUND({_DOT64.format(a='n.v', b='cn.cv')} / (n.nrm * cn.cnrm), 5) AS csim
+  FROM n, cn
+),
+assigned AS (
+  SELECT vec_id, v, label AS cell FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, label) = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, label AS cell
+  FROM scored WHERE vec_id < 5
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, label) <= {nprobe}
+),
+cb AS (SELECT list(v ORDER BY vec_id) AS cents FROM e WHERE vec_id < 16),
+dm AS (SELECT vec_id, v,
+              list_transform(generate_series(1, 8), j -> {_PQ_DIST}) AS dmat
+       FROM e, cb),
+cd AS (SELECT vec_id,
+              list_transform(dmat, d -> CAST(list_position(d, list_min(d)) AS INT) - 1) AS codes
+       FROM dm),
+rec AS (SELECT vec_id, codes,
+               list_transform(generate_series(1, 64),
+                 i -> cents[codes[CAST(floor((i - 1) / 8) AS INT) + 1] + 1][i]) AS rv
+        FROM cd, cb),
+rn AS (SELECT vec_id, rv, sqrt(list_sum(list_transform(rv, x -> x * x))) AS rnrm FROM rec),
+sims AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND({_DOT64.format(a='p.qv', b='rn.rv')} / (p.qnrm * rn.rnrm), 5) AS sim
+  FROM assigned a
+  JOIN probes p ON a.cell = p.cell AND a.vec_id != p.query_id
+  JOIN rn ON rn.vec_id = a.vec_id
+)
+SELECT query_id, neighbor_id, sim,
+       CAST(row_number() OVER w AS BIGINT) AS rank
+FROM sims
+WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+QUALIFY row_number() OVER w <= {k}
+"""
+
+
+@_register("emb_ann_ivfpq", _ann_ivfpq_oracle())
+def emb_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ combined ANN (coarse cells prune, PQ codes compress,
+    asymmetric-distance scoring) — the billion-scale index layout, all as
+    literal-codebook projections with one top-k shuffle."""
+    _utc(spark)
+    from biggraphite_spark.operators.similarity import ann_ivfpq_topk
+
+    emb = _load_parallel(spark, sf_dir, "embeddings")
+    return ann_ivfpq_topk(emb, emb.filter(F.col("vec_id") < 5), nprobe=2, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Graphite render-function layer (functions/series.py)
 # ---------------------------------------------------------------------------

@@ -371,6 +371,68 @@ def ann_ivf_topk_partitioned(
     return _probe_topk(assigned, probed, k)
 
 
+def ann_ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    nprobe: int = 2,
+    k: int = 5,
+    m: int = 8,
+    pq_k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: coarse cells prune the corpus, PQ codes compress what's left,
+    queries score candidates by ASYMMETRIC distance — full-precision query
+    against each candidate's PQ reconstruction (Jégou et al. 2011, the
+    billion-scale ANN layout).
+
+    Composition of the two existing quantizers, both as literal-codebook
+    projections: the corpus side carries only (id, cell, code word) — at
+    100 TB that is the index you persist (``partitionBy(cell)``, dim/m
+    bytes a vector, originals cold); probes read nprobe partitions and the
+    only shuffle is the per-query top-k.  The reconstruction is decoded
+    inside the scan projection, never materialized corpus-wide.
+    """
+    ivf_cb = [
+        (r["label"], list(r["cv"]))
+        for r in centroid_vectors(embeddings, id_col, vec_col).collect()
+    ]
+    pq_cb = pq_codebook(embeddings, m=m, k=pq_k, vec_col=vec_col, id_col=id_col)
+    corpus = assign_cells(embeddings, ivf_cb, id_col, vec_col).select(
+        "neighbor_id", "cell", pq_code_expr(F.col("cv"), pq_cb, m).alias("code_arr")
+    )
+    # Exchange barrier between encode and decode: without it CollapseProject
+    # inlines the full per-subspace distance computation into every one of
+    # the reconstruction's 64 element lookups (codes re-derived ~65x per
+    # row — measured 16s vs 1s at sf0.1).  The repartition ships only
+    # (id, cell, m int8 codes) — the persisted-index row — and clusters by
+    # cell, which IS the partitionBy(cell) layout the index is written in
+    # at scale, so the barrier costs nothing the design didn't already pay.
+    corpus = corpus.repartition(F.col("cell"))
+    # decode + norm in the candidate projection: the index itself stays codes
+    recon = pq_recon_expr(F.col("code_arr"), pq_cb, m)
+    candidates = corpus.select(
+        "neighbor_id", "cell", recon.alias("rv")
+    ).withColumn("rn", norm_expr(F.col("rv")))
+    probed = probe_cells(queries, ivf_cb, nprobe, id_col, vec_col)
+    sims = (
+        candidates.join(F.broadcast(probed), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot_expr(F.col("qv"), F.col("rv")) / (F.col("qn") * F.col("rn")), 5
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def label_centroids(
     embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -496,6 +558,57 @@ def pq_codebook(
     return [list(r["v"]) for r in sorted(rows, key=lambda r: r[id_col])]
 
 
+def _pq_cents_lit(codebook: list[list[float]]) -> Column:
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in codebook])
+
+
+def pq_code_expr(v: Column, codebook: list[list[float]], m: int) -> Column:
+    """PQ code word for one vector column: per-subspace argmin-L2 centroid
+    index (first-index tie-break), codebook as plan literals.
+
+    All distance sums are explicit left-to-right folds, squared via
+    multiplication NOT pow() — Math.pow(x, 2) is not guaranteed bit-equal
+    to x*x and the SQL oracle replays x*x."""
+    dim = len(codebook[0])
+    d_sub = dim // m
+    cents_lit = _pq_cents_lit(codebook)
+
+    def sub_dist(j: int, cent: Column) -> Column:
+        def step(acc: Column, i: Column) -> Column:
+            diff = F.element_at(v, i + j * d_sub) - F.element_at(cent, i + j * d_sub)
+            return acc + diff * diff
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(d_sub)), F.lit(0.0), step
+        )
+
+    def code_for(j: int) -> Column:
+        dists = F.transform(cents_lit, lambda c: sub_dist(j, c))
+        # array_position finds the FIRST match -> lowest-index tie-break
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    return F.array(*[code_for(j) for j in range(m)])
+
+
+def pq_recon_expr(code_arr: Column, codebook: list[list[float]], m: int) -> Column:
+    """Decode a PQ code word back to its reconstruction vector (each
+    subspace's dims copied from the coded centroid) — the asymmetric-distance
+    lookup table, expressed as a literal-array projection."""
+    dim = len(codebook[0])
+    d_sub = dim // m
+    cents_lit = _pq_cents_lit(codebook)
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: F.element_at(
+            F.element_at(
+                cents_lit,
+                F.element_at(code_arr, F.floor((i - 1) / d_sub).cast("int") + 1) + 1,
+            ),
+            i,
+        ),
+    )
+
+
 def pq_quantize(
     emb: DataFrame,
     codebook: list[list[float]] | None = None,
@@ -518,43 +631,10 @@ def pq_quantize(
     """
     if codebook is None:
         codebook = pq_codebook(emb, m=m, k=k, vec_col=vec_col, id_col=id_col)
-    dim = len(codebook[0])
-    d_sub = dim // m
-    cents_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in codebook]
-    )
     v = as_double_array(F.col(vec_col))
-
-    def sub_dist(j: int, cent: Column) -> Column:
-        # explicit left-to-right fold over the subspace dims; squared via
-        # multiplication, NOT pow() — Math.pow(x, 2) is not guaranteed
-        # bit-equal to x*x, and the oracle replays x*x
-        def step(acc: Column, i: Column) -> Column:
-            diff = F.element_at(v, i + j * d_sub) - F.element_at(cent, i + j * d_sub)
-            return acc + diff * diff
-
-        return F.aggregate(
-            F.sequence(F.lit(1), F.lit(d_sub)), F.lit(0.0), step
-        )
-
-    def code_for(j: int) -> Column:
-        dists = F.transform(cents_lit, lambda c: sub_dist(j, c))
-        # array_position finds the FIRST match -> lowest-index tie-break
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-
-    codes = F.array(*[code_for(j) for j in range(m)])
+    codes = pq_code_expr(v, codebook, m)
     with_codes = emb.select(id_col, v.alias("v"), codes.alias("code_arr"))
-    recon = F.transform(
-        F.sequence(F.lit(1), F.lit(dim)),
-        lambda i: F.element_at(
-            F.element_at(
-                cents_lit,
-                F.element_at(F.col("code_arr"), F.floor((i - 1) / d_sub).cast("int") + 1)
-                + 1,
-            ),
-            i,
-        ),
-    )
+    recon = pq_recon_expr(F.col("code_arr"), codebook, m)
     scored = with_codes.select(
         id_col,
         "code_arr",

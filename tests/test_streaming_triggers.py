@@ -112,16 +112,15 @@ def test_restart_no_loss_and_cadence(spark, dirs):
     assert got[("m1", 0)][1] == 3 and got[("m1", 0)][4] == 5.0
 
     # cadence: with maxFilesPerTrigger=1 the restarted run took >= 2
-    # non-empty micro-batches; consecutive data batches honor the 2s trigger
-    # UNLESS the earlier batch overran the interval — Spark then fires the
-    # next trigger immediately ("Current batch is falling behind"), which is
-    # correct engine behavior, not a cadence violation.
+    # non-empty micro-batches.  ProcessingTime triggers fire on wall-clock
+    # ALIGNED boundaries (a batch starting mid-interval can be < 2s before
+    # the next), and an overrunning batch fires its successor immediately —
+    # so the testable contract is: at most one batch START per aligned 2s
+    # slot, i.e. strictly increasing slot numbers.
     data = [p for p in progress if p["numInputRows"] > 0]
     assert len(data) >= 2
-    for prev, cur in zip(data, data[1:]):
-        gap = (
-            datetime.fromisoformat(cur["timestamp"].rstrip("Z"))
-            - datetime.fromisoformat(prev["timestamp"].rstrip("Z"))
-        ).total_seconds()
-        prev_run_s = prev["durationMs"].get("triggerExecution", 0) / 1000.0
-        assert gap >= 1.0 or prev_run_s >= 2.0, (gap, prev_run_s)
+    slots = [
+        int(datetime.fromisoformat(p["timestamp"].rstrip("Z")).timestamp() // 2)
+        for p in data
+    ]
+    assert all(b > a for a, b in zip(slots, slots[1:])), slots

@@ -47,13 +47,23 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_NO_STORE"):
         mat = {}
     else:
-        mat = entrymod.materialize_store(spark, SF_DIR)
+        try:
+            mat = entrymod.materialize_store(spark, SF_DIR)
+        except Exception as e:  # fall back to recompute-from-raw reads
+            mat = {"materialize_error": f"{type(e).__name__}: {e}"[:300]}
 
+    # One broken query must NOT zero the whole bench (round-2 failure mode:
+    # a single AnalysisException aborted the run with rc=1 and no timings).
+    # Record the error per-query and keep measuring.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        try:
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
         # queries cache intermediates for their own branch fan-out; drop them
         # so every measurement stays cold and later queries don't inherit
         # heap pressure from earlier ones
@@ -74,6 +84,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         **mat,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 

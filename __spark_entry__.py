@@ -2349,6 +2349,53 @@ def doc_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_load_parallel(spark, sf_dir, "documents"), threshold=0.5)
 
 
+_CONTAINMENT_ORACLE = f"""
+WITH d AS ({_SHINGLES_SQL}),
+s AS (SELECT doc_id, unnest(sh) AS sh FROM d),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(shared * 1.0 / da.n, 6) AS cont_a_in_b,
+       ROUND(shared * 1.0 / db.n, 6) AS cont_b_in_a
+FROM inter
+JOIN (SELECT doc_id, len(sh) AS n FROM d) da ON da.doc_id = doc_a
+JOIN (SELECT doc_id, len(sh) AS n FROM d) db ON db.doc_id = doc_b
+WHERE greatest(shared * 1.0 / da.n, shared * 1.0 / db.n) >= 0.6
+"""
+
+
+@_register("doc_bpe_vocab")  # rows-only: iterative trainer, not SQL-expressible
+def doc_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary learning (Sennrich 2016): 10 merge rounds
+    over the distinct-word frequency table (vocabulary-sized state, the one
+    corpus-sized job is the initial word count), then the merged symbol
+    vocabulary with corpus frequencies.  The merge sequence is pinned
+    bit-for-bit by an independent plain-Python trainer
+    (tests/test_bpe.py); the driver records rows-only."""
+    _utc(spark)
+    from biggraphite_spark.operators.bpe import bpe_vocab, learn_bpe
+
+    _merges, words = learn_bpe(
+        _load_parallel(spark, sf_dir, "documents"), n_merges=10
+    )
+    return bpe_vocab(words)
+
+
+@_register("doc_containment", _CONTAINMENT_ORACLE)
+def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (Broder): catches a short document
+    pasted inside a long one, which symmetric Jaccard scores near zero —
+    the quote/boilerplate-inclusion case.  Same posting-join shape as the
+    Jaccard baseline."""
+    _utc(spark)
+    from biggraphite_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(_load_parallel(spark, sf_dir, "documents"), threshold=0.6)
+
+
 def _minhash_oracle(k: int = 16, bands: int = 4) -> str:
     r = k // bands
     # 4 independent 32-bit hashes per md5 (hex chunks), mirroring

@@ -98,6 +98,58 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame, threshold: float = 0.6, n: int = 3
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs: ``C(A,B) = |A ∩ B| / |A|``
+    (Broder's containment).  Catches what symmetric Jaccard structurally
+    misses — a short document pasted into a much longer one scores Jaccard
+    ~|A|/|B| (tiny) but containment ~1 — the quote/boilerplate-inclusion
+    case every crawl corpus has.
+
+    Same single-self-join posting shape as :func:`ngram_jaccard_pairs`
+    with one exact-preserving prune: ``max(C(A,B), C(B,A)) >= t`` implies
+    ``shared >= t * min(|A|, |B|)``, and shared <= min(|A|,|B|) always, so
+    only the inverted-index prune (pairs sharing >= 1 shingle) applies at
+    join time and the threshold filters after the count — no size-ratio
+    prune is sound here, which is exactly why containment finds the
+    asymmetric pairs the Jaccard length filter throws away.  Output: one
+    row per unordered pair (doc_a < doc_b) with both directions'
+    containments; at scale the LSH banding prune composes in front
+    unchanged (candidates only).
+    """
+    sh = with_shingles(docs, n=n)
+    exploded = sh.select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.withColumn("cont_a_in_b", F.col("shared") / F.col("na"))
+        .withColumn("cont_b_in_a", F.col("shared") / F.col("nb"))
+        .filter(F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("cont_a_in_b", 6).alias("cont_a_in_b"),
+            F.round("cont_b_in_a", 6).alias("cont_b_in_a"),
+        )
+    )
+
+
 def minhash_signatures(docs: DataFrame, k: int = DEFAULT_K, n: int = 3) -> DataFrame:
     """Per-doc MinHash signature: k min-aggregates in a single pass over the
     exploded shingles (map-side combine keeps the shuffle tiny).

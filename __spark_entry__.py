@@ -2384,6 +2384,20 @@ def doc_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_vocab(words)
 
 
+@_register("doc_bpe_tokens")  # rows-only: depends on the iterative trainer
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE apply side: per-document token counts under the learned
+    vocabulary — encode = one broadcast lookup join against the
+    vocabulary-sized (word -> segmentation) table.  Pinned by the same
+    independent Python trainer (tests/test_bpe.py)."""
+    _utc(spark)
+    from biggraphite_spark.operators.bpe import bpe_token_counts, learn_bpe
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    _merges, words = learn_bpe(docs, n_merges=10)
+    return bpe_token_counts(docs, words)
+
+
 @_register("doc_containment", _CONTAINMENT_ORACLE)
 def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup (Broder): catches a short document

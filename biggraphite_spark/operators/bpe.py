@@ -129,3 +129,30 @@ def bpe_vocab(words: DataFrame) -> DataFrame:
         .groupBy("symbol")
         .agg(F.sum("freq").alias("n"))
     )
+
+
+def bpe_token_counts(
+    docs: DataFrame, words: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Apply side of the trainer: tokens per document under the learned
+    vocabulary.  Each document's words look their segmentations up in the
+    (word -> symbols) table — a broadcast join against vocabulary-sized
+    state, so encoding a 100 TB corpus is one scan + map-side join, no
+    re-segmentation compute.  Output: doc_id, n_words, n_tokens,
+    tokens_per_word (the compression ratio quality signal).
+    """
+    lut = F.broadcast(words.select("word", F.size("symbols").alias("n_sym")))
+    per_word = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        per_word.join(lut, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sym").alias("n_tokens"),
+        )
+        .withColumn(
+            "tokens_per_word", F.round(F.col("n_tokens") / F.col("n_words"), 6)
+        )
+    )

@@ -81,6 +81,27 @@ def test_learn_bpe_matches_python_reference(spark):
     assert got_vocab == dict(want_vocab)
 
 
+def test_bpe_token_counts_match_python(spark):
+    from biggraphite_spark.operators.bpe import bpe_token_counts, learn_bpe
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    _merges, words_df = learn_bpe(docs, n_merges=N_MERGES)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_token_counts(docs, words_df).collect()
+    }
+
+    _, want_words, _ = _python_bpe(f"{SF_DIR}/documents.parquet", N_MERGES)
+    table = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    want = {}
+    for doc_id, text in zip(
+        table.column("doc_id").to_pylist(), table.column("text").to_pylist()
+    ):
+        ws = [w for w in text.split(" ") if w]
+        want[doc_id] = (len(ws), sum(len(want_words[w]) for w in ws))
+    assert got == want
+
+
 def test_merge_fold_is_greedy_left_to_right(spark):
     """Overlapping pairs merge greedily: 'aaa' under (a,a) -> [aa, a], and
     the merged symbol can pair forward on the NEXT round, never backward."""

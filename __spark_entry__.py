@@ -1365,6 +1365,37 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUANTILES_ORACLE = """
+SELECT event_type,
+       CAST(count(value) AS BIGINT) AS n,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+WHERE NOT isnan(value)
+GROUP BY event_type
+"""
+
+
+@_register("events_quantiles", _QUANTILES_ORACLE)
+def events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (ops-latency shape).
+    Spark's percentile() and DuckDB's quantile_cont share the linear-
+    interpolation definition, so values hash-match after rounding.  At
+    scale the exact sort-based aggregate swaps for approx_percentile with
+    the same query shape."""
+    _utc(spark)
+    from biggraphite_spark.sources.events import load_events
+
+    ev = load_events(spark, sf_dir).filter(~F.isnan("value"))
+    return ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.9), 6).alias("p90"),
+        F.round(F.percentile("value", 0.99), 6).alias("p99"),
+    )
+
+
 _Q22_ORACLE = """
 WITH rich AS (
   SELECT c_custkey, c_acctbal FROM customer

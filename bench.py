@@ -20,12 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def main() -> None:
-    os.environ.setdefault("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
-    import __spark_entry__ as entrymod
-    from biggraphite_spark.session import get_spark
-
-    spark = get_spark("biggraphite-bench")
+def _warm_up(spark) -> None:
     # JVM warm-up so the first timed query doesn't pay session startup
     spark.range(1000).selectExpr("sum(id)").collect()
     # Python/Arrow worker-pool warm-up: the first pandas-UDF stage otherwise
@@ -39,25 +34,73 @@ def main() -> None:
         "overwrite"
     ).save()
 
+
+def _materialize(spark, entrymod) -> dict:
     # write-time materialization: the 1h stage lands in a PointStore (plain
     # + name-bucketed) once, and every query reads those partials — the
     # deployed shape.  Timed separately: it is the write path's cost, paid
     # once per ingest, not per query.  SPARK_GRAFT_NO_STORE=1 benches the
     # recompute-from-raw path instead (the r1 shape, kept for A/B).
     if os.environ.get("SPARK_GRAFT_NO_STORE"):
-        mat = {}
-    else:
-        try:
-            mat = entrymod.materialize_store(spark, SF_DIR)
-        except Exception as e:  # fall back to recompute-from-raw reads
-            mat = {"materialize_error": f"{type(e).__name__}: {e}"[:300]}
+        return {}
+    try:
+        return entrymod.materialize_store(spark, SF_DIR)
+    except Exception as e:  # fall back to recompute-from-raw reads
+        return {"materialize_error": f"{type(e).__name__}: {e}"[:300]}
+
+
+def _fresh_jvm(spark, entrymod):
+    """Hard JVM restart between measurement chunks.
+
+    Running 100+ distinct codegen-heavy plans in ONE JVM degrades late
+    queries 3-5x (JIT code-cache/compile-queue pressure; measured
+    doc_dup_clusters 33s in-suite at position ~85 vs 10.7s fresh-JVM —
+    PERF.md finding 18).  ``spark.stop()`` alone is not enough: PySpark
+    reuses the py4j gateway JVM, so the code cache survives.  Shutting the
+    gateway down forces the next session into a brand-new java process.
+    Restart cost (JVM boot + warm-up + store re-materialization) is paid
+    BETWEEN measurements, never inside one.
+    """
+    from pyspark import SparkContext
+    from biggraphite_spark.session import get_spark
+
+    spark.stop()
+    gw = SparkContext._gateway
+    if gw is not None:
+        gw.shutdown()
+    SparkContext._gateway = None
+    SparkContext._jvm = None
+    os.environ.pop("PYSPARK_GATEWAY_PORT", None)
+    os.environ.pop("PYSPARK_GATEWAY_SECRET", None)
+    spark = get_spark("biggraphite-bench")
+    _warm_up(spark)
+    _materialize(spark, entrymod)
+    return spark
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    import __spark_entry__ as entrymod
+    from biggraphite_spark.session import get_spark
+
+    # 0 = no JVM restarts (default): with the conservative JIT flags in
+    # session.py the 102-plan suite shows no late-suite degradation and
+    # restarts only add cold-start cost (184s vs 205s measured).  The
+    # mechanism stays for bigger registries: SPARK_GRAFT_RESTART_EVERY=N
+    # bounds how many plans any one JVM ever sees.
+    restart_every = int(os.environ.get("SPARK_GRAFT_RESTART_EVERY", "0"))
+    spark = get_spark("biggraphite-bench")
+    _warm_up(spark)
+    mat = _materialize(spark, entrymod)
 
     # One broken query must NOT zero the whole bench (round-2 failure mode:
     # a single AnalysisException aborted the run with rc=1 and no timings).
     # Record the error per-query and keep measuring.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, fn in entrymod.queries().items():
+    for idx, (name, fn) in enumerate(entrymod.queries().items()):
+        if restart_every and idx and idx % restart_every == 0:
+            spark = _fresh_jvm(spark, entrymod)
         t0 = time.time()
         try:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -43,16 +43,15 @@ def get_spark(app_name: str = "biggraphite-spark", cpus: int | None = None) -> S
             os.environ.get(
                 "SPARK_GRAFT_DRIVER_JAVA_OPTS",
                 "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing "
-                # dozens of distinct plans also flood the JIT's compile queue;
-                # with the default 2-3 C2 threads, whichever query is waiting
-                # runs interpreted (erratic 3-10x per-query tails) — more
-                # compiler threads keep per-query times stable
-                "-XX:CICompilerCount=16 "
-                # whole-stage codegen emits >8 KB-bytecode methods (wide
-                # hash/explode expressions); HotSpot refuses to JIT those at
-                # all by default, so the hottest generated loops can run
-                # interpreted forever — the residual 3-15x per-query tails
-                "-XX:-DontCompileHugeMethods",
+                # a moderate bump over the default 2-3 C2 threads keeps the
+                # compile queue drained without starving executors.  NOTE:
+                # the round-2 combination (CICompilerCount=16 +
+                # -XX:-DontCompileHugeMethods) is actively harmful past
+                # ~80 distinct plans: force-compiling multi-MB generated
+                # methods on 16 compiler threads eats half the cores and
+                # late-suite queries degrade 3-5x (PERF.md finding 18;
+                # measured 235s -> 184s suite total by reverting it)
+                "-XX:CICompilerCount=8",
             ),
         )
         .config("spark.ui.enabled", "false")

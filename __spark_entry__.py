@@ -1053,6 +1053,60 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSION_WINDOW_ORACLE = f"""
+WITH e AS (SELECT user_id, {ORACLE_TS} AS sec,
+                  CASE WHEN isnan(value) THEN NULL ELSE value END AS value
+           FROM events),
+l AS (SELECT user_id, sec, value,
+             lag(sec) OVER (PARTITION BY user_id ORDER BY sec) AS prev
+      FROM e),
+s AS (SELECT user_id, sec, value,
+             sum(CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY sec
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM l)
+SELECT user_id,
+       min(sec) AS session_start,
+       max(sec) + 1800 AS session_end,
+       count(*) AS n_events,
+       ROUND(sum(value), 4) AS total
+FROM s GROUP BY user_id, sid
+"""
+
+
+@_register("events_session_window", _SESSION_WINDOW_ORACLE)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows: ``F.session_window(ts, gap)`` merges events
+    into variable-length sessions inside the aggregation operator itself —
+    the engine mechanism Structured Streaming uses for stateful session
+    aggregation, here cross-checked in batch against the manual lag/cumsum
+    construction (the oracle).  Window end = last event + gap, the
+    session_window contract."""
+    _utc(spark)
+    from biggraphite_spark.sources.events import event_ts_timestamp, load_events
+
+    ev = load_events(spark, sf_dir)
+    e = ev.select(
+        "user_id",
+        event_ts_timestamp(ev).alias("ts_t"),
+        F.when(F.isnan("value"), None).otherwise(F.col("value")).alias("value"),
+    )
+    return (
+        e.groupBy("user_id", F.session_window("ts_t", "1800 seconds").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            F.unix_timestamp(F.col("w.end")).alias("session_end"),
+            "n_events",
+            "total",
+        )
+    )
+
+
 _TOPK_ORACLE = f"""
 WITH t AS (
   SELECT event_type, user_id, ROUND(sum(value), 4) AS total

@@ -2452,6 +2452,45 @@ WHERE greatest(shared * 1.0 / da.n, shared * 1.0 / db.n) >= 0.6
 """
 
 
+_WINNOW_K, _WINNOW_W = 5, 4
+
+_WINNOW_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(toks) - {_WINNOW_K - 1}, 0)),
+               i -> substr(md5(array_to_string(toks[i:i+{_WINNOW_K - 1}], ' ')), 1, 8)
+             ) AS grams
+      FROM t),
+w AS (SELECT doc_id,
+             CASE WHEN len(grams) = 0 THEN []
+                  ELSE list_transform(
+                    generate_series(1, greatest(len(grams) - {_WINNOW_W - 1}, 1)),
+                    i -> list_min(grams[i:i+{_WINNOW_W - 1}]))
+             END AS wins
+      FROM g),
+f AS (SELECT doc_id, list_sort(list_distinct(wins)) AS fps FROM w)
+SELECT doc_id, CAST(len(fps) AS INT) AS n_fingerprints,
+       md5(array_to_string(fps, ',')) AS fp_digest
+FROM f
+"""
+
+
+@_register("doc_winnowing", _WINNOW_ORACLE)
+def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003): k-gram hashes,
+    sliding-window minima — any shared >= w+k-1-token run between two
+    documents shares a fingerprint.  Lexicographic min over md5-hex
+    prefixes keeps the selection engine-neutral; one HOF projection,
+    zero shuffle."""
+    _utc(spark)
+    from biggraphite_spark.operators.text import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        _load_parallel(spark, sf_dir, "documents"), k=_WINNOW_K, w=_WINNOW_W
+    )
+
+
 @_register("doc_bpe_vocab")  # rows-only: iterative trainer, not SQL-expressible
 def doc_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary learning (Sennrich 2016): 10 merge rounds

@@ -298,6 +298,43 @@ def bm25_scores(
     )
 
 
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = 5, w: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the
+    local-fingerprinting standard behind MOSS-style duplicate detection):
+    hash every k-token gram, slide a w-hash window, keep each window's
+    minimum — guaranteeing any shared run of >= w+k-1 tokens between two
+    documents shares at least one fingerprint.
+
+    Hashes are 8-hex-char md5 prefixes compared lexicographically (the
+    same engine-neutral trick as the MinHash signatures), so the selected
+    mins are bit-identical in any engine replaying the definition.  Output
+    per document: fingerprint count + digest of the sorted distinct set.
+    Everything is one projection of higher-order functions over the token
+    array — zero shuffle, scan-speed.
+    """
+    toks = tokens_col(F.col(text_col))
+    n_grams = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 8),
+    )
+    n_wins = F.greatest(F.size(grams) - F.lit(w - 1), F.lit(1))
+    wins = F.when(F.size(grams) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_wins),
+            lambda i: F.array_min(F.slice(grams, i, w)),
+        )
+    )
+    fps = F.array_sort(F.array_distinct(wins))
+    return docs.select(
+        "doc_id",
+        F.size(fps).alias("n_fingerprints"),
+        F.md5(F.array_join(fps, ",")).alias("fp_digest"),
+    )
+
+
 def rolling_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-sensitive polynomial rolling hash over the token stream —
     ``h = (h * 1000003 + ascii(tok[0]) * 31 + len(tok)) mod (2^31 - 1)`` —

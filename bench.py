@@ -98,6 +98,34 @@ def main() -> None:
     # Record the error per-query and keep measuring.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+
+    def emit(partial: bool) -> None:
+        sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+        out = {
+            "metric": "headline_queries_total_wall",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            **mat,
+        }
+        if errors:
+            out["errors"] = errors
+        if partial:
+            out["partial"] = True
+        print(json.dumps(out), flush=True)
+
+    # If a harness timeout SIGTERMs this process mid-suite, the timings
+    # collected so far are still worth more than an empty record: emit a
+    # JSON line marked "partial" on the way out.
+    import signal
+
+    def on_term(_sig, _frame):
+        emit(partial=True)
+        os._exit(1)
+
+    signal.signal(signal.SIGTERM, on_term)
+
     for idx, (name, fn) in enumerate(entrymod.queries().items()):
         if restart_every and idx and idx % restart_every == 0:
             spark = _fresh_jvm(spark, entrymod)
@@ -111,25 +139,13 @@ def main() -> None:
         # so every measurement stays cold and later queries don't inherit
         # heap pressure from earlier ones
         spark.catalog.clearCache()
-        # let the JIT compile queue drain between queries: each plan floods
-        # the queue with fresh generated methods, and without a settle the
-        # NEXT query's measurement absorbs this one's compilation burst
-        # (observed as erratic 3-7x single-query tails hopping around the
-        # suite).  The pause is between measurements, not inside any.
-        time.sleep(0.25)
+        # brief settle between measurements so one query's JIT compile burst
+        # is not absorbed into the NEXT query's wall clock (the pause is
+        # between measurements, not inside any)
+        time.sleep(0.1)
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
-        "metric": "headline_queries_total_wall",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        **mat,
-    }
-    if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+    signal.signal(signal.SIGTERM, signal.SIG_DFL)
+    emit(partial=False)
 
 
 if __name__ == "__main__":

@@ -67,6 +67,74 @@ def test_to_graphite_points_flattening(spark):
     assert pts["go_gc_duration_seconds_sum"][1] is None
 
 
+def test_exposition_parses_on_a_live_stream(spark, tmp_path):
+    """The same parse + flatten runs unchanged on a Structured Streaming
+    source (mapInPandas is streaming-capable): scrape lines fed over a
+    TCP socket land as windowed partials, malformed lines dropped
+    mid-stream — the carbon socket contract, OpenMetrics edition."""
+    import socket
+    import threading
+    import time
+
+    from biggraphite_spark.streaming.ingest import generic_partials
+    from biggraphite_spark.model import Stage
+
+    lines = [
+        b'http_requests_total{code="200"} 2.5 3600000\n',
+        b"# TYPE http_requests_total counter\n",
+        b"garbage {{{ line\n",
+        b'http_requests_total{code="200"} 1.5 3700000\n',
+    ]
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def feed():
+        conn, _ = srv.accept()
+        with conn:
+            for ln in lines:
+                conn.sendall(ln)
+
+    threading.Thread(target=feed, daemon=True).start()
+
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", "127.0.0.1")
+        .option("port", port)
+        .load()
+    )
+    pts = to_graphite_points(parse_exposition(raw)).select(
+        "name", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    partials = generic_partials(pts, Stage.from_string("1000*3600s"))
+    q = (
+        partials.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("om_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt-om"))
+        .start()
+    )
+    try:
+        deadline = 30
+        got = {}
+        while deadline > 0:
+            q.processAllAvailable()
+            got = {
+                (r["name"], r["ts"]): (r["sum"], r["count"])
+                for r in spark.sql("SELECT * FROM om_stream").collect()
+            }
+            if got:
+                break
+            time.sleep(0.5)
+            deadline -= 1
+    finally:
+        q.stop()
+    srv.close()
+    assert got[("http_requests_total.code.200", 3600)] == (4.0, 2)
+
+
 def test_points_feed_the_ingest_pipeline(spark):
     """The flattened points run straight through the stage0 rollup — the
     same path carbon lines take."""

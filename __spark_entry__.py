@@ -2136,8 +2136,14 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     p = spark.read.parquet(f"{sf_dir}/part.parquet").filter(F.col("p_brand") == "Brand#3")
-    avgq = l.groupBy(F.col("l_partkey").alias("ap_key")).agg(
-        (F.avg("l_quantity") * 0.2).alias("qty_cap")
+    # the correlated average only matters for the brand's parts, so the
+    # semi-join lands BEFORE the aggregation: the agg hash table and the
+    # broadcast frame shrink from |parts| to |brand parts| (~1/25), and at
+    # scale the avg shuffle carries only the qualifying fact rows
+    avgq = (
+        l.join(F.broadcast(p.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("ap_key"))
+        .agg((F.avg("l_quantity") * 0.2).alias("qty_cap"))
     )
     return (
         l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
@@ -4712,6 +4718,212 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         depth=4,
         width=256,
     )
+
+
+_GR_RATE_ORACLE = f"""
+WITH {_series_cte("bg.*.*")},
+p AS (SELECT name, ts, value FROM s WHERE name LIKE 'bg.purchase.%')
+SELECT 'nnder' AS func, name, ts,
+       ROUND(CASE WHEN value - lag(value) OVER w >= 0
+                  THEN value - lag(value) OVER w END, 6) AS value
+FROM p WINDOW w AS (PARTITION BY name ORDER BY ts)
+UNION ALL
+SELECT 'persec', name, ts,
+       ROUND(CASE WHEN value - lag(value) OVER w2 >= 0
+                  THEN (value - lag(value) OVER w2) / 3600.0 END, 6)
+FROM p WINDOW w2 AS (PARTITION BY name ORDER BY ts)
+UNION ALL
+SELECT 'shift1d', name, ts + 86400, ROUND(value, 6) FROM p
+UNION ALL
+SELECT 'diff', 'diff', ts,
+       ROUND(COALESCE(sum(CASE WHEN name LIKE 'bg.purchase.%' THEN value END), 0)
+             - COALESCE(sum(CASE WHEN name LIKE 'bg.error.%' THEN value END), 0), 6)
+FROM s WHERE name LIKE 'bg.purchase.%' OR name LIKE 'bg.error.%'
+GROUP BY ts
+"""
+
+
+@_register("gr_rate_shift", _GR_RATE_ORACLE)
+def gr_rate_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter family: nonNegativeDerivative + perSecond + timeShift(1d) +
+    diffSeries(purchase, error) over hourly finals — graphite's rate/overlay
+    render verbs (render/functions.py nonNegativeDerivative/perSecond/
+    timeShift/diffSeries).  The rate branches share one (name)-hash exchange
+    over the cached input; diffSeries is two bucket-combines full-outer
+    joined on ts — at scale each side is a map-side partial aggregation."""
+    _utc(spark)
+    from biggraphite_spark.functions.series import (
+        diff_series,
+        grep_series,
+        non_negative_derivative,
+        per_second,
+        time_shift,
+    )
+
+    s = _hourly_finals(spark, sf_dir, "bg.*.*").cache()
+    s.count()  # materialize before the branches fan out (see gr_series_combine)
+    s_p = grep_series(s, r"^bg\.purchase\.")
+    s_e = grep_series(s, r"^bg\.error\.")
+    rounded = F.round("value", 6).alias("value")
+    parts = [
+        (non_negative_derivative(s_p), "nnder"),
+        (per_second(s_p, 3600), "persec"),
+        (time_shift(s_p, 86400), "shift1d"),
+        (diff_series(s_p, s_e).select(F.lit("diff").alias("name"), "ts", "value"), "diff"),
+    ]
+    out = None
+    for df, func in parts:
+        branch = df.select(F.lit(func).alias("func"), "name", "ts", rounded)
+        out = branch if out is None else out.unionAll(branch)
+    return out
+
+
+_GR_SELECT_ORACLE = f"""
+WITH {_series_cte("bg.error.u1*")},
+st AS (SELECT name, avg(value) AS a, max(value) AS mx, min(value) AS mn FROM s GROUP BY name),
+cut AS (SELECT name, quantile_cont(value, 0.5) AS c FROM s GROUP BY name)
+SELECT 'grep' AS func, name, ts, ROUND(value, 6) AS value
+FROM s WHERE regexp_matches(name, 'u1[02468]$')
+UNION ALL
+SELECT 'clamp', name, ts, ROUND(CASE WHEN value >= 2 AND value <= 50 THEN value END, 6) FROM s
+UNION ALL
+SELECT 'sqrt', name, ts, ROUND(CASE WHEN value >= 0 THEN sqrt(value) END, 6) FROM s
+UNION ALL
+SELECT 'pow2', name, ts, ROUND(pow(value, 2), 6) FROM s
+UNION ALL
+SELECT 'inv', name, ts, ROUND(CASE WHEN value != 0 THEN 1.0 / value END, 6) FROM s
+UNION ALL
+SELECT 'aspct', name, ts,
+       ROUND(CASE WHEN sum(value) OVER (PARTITION BY ts) != 0
+                  THEN value / sum(value) OVER (PARTITION BY ts) * 100.0 END, 6)
+FROM s
+UNION ALL
+SELECT 'rmbelow', s.name, ts, ROUND(CASE WHEN value >= c THEN value END, 6)
+FROM s JOIN cut ON s.name = cut.name
+UNION ALL
+SELECT 'avgbelow', name, ts, ROUND(value, 6) FROM s
+WHERE name IN (SELECT name FROM st WHERE a < 46.0)
+UNION ALL
+SELECT 'maxabove', name, ts, ROUND(value, 6) FROM s
+WHERE name IN (SELECT name FROM st WHERE mx > 80.0)
+UNION ALL
+SELECT 'minbelow', name, ts, ROUND(value, 6) FROM s
+WHERE name IN (SELECT name FROM st WHERE mn < 9.0)
+"""
+
+
+@_register("gr_select_transform", _GR_SELECT_ORACLE)
+def gr_select_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection + transform render verbs: grep + removeBelowValue/
+    removeAboveValue (clamp) + squareRoot + pow + invert + asPercent +
+    removeBelowPercentile(50) + averageBelow/maximumAbove/minimumBelow
+    (render/functions.py).  The stat filters are broadcast semi-joins of a
+    per-series aggregate back onto the series — the catalog-sized side is
+    always the broadcast one at scale; the value transforms are pure
+    projections that stay inside one codegen stage."""
+    _utc(spark)
+    from biggraphite_spark.functions.series import (
+        as_percent,
+        average_below,
+        clamp,
+        grep_series,
+        invert,
+        maximum_above,
+        minimum_below,
+        pow_series,
+        remove_below_percentile,
+        square_root,
+    )
+
+    s = _hourly_finals(spark, sf_dir, "bg.error.u1*").cache()
+    s.count()  # materialize before the branches fan out (see gr_series_combine)
+    rounded = F.round("value", 6).alias("value")
+    parts = [
+        (grep_series(s, "u1[02468]$"), "grep"),
+        (clamp(s, 2.0, 50.0), "clamp"),
+        (square_root(s), "sqrt"),
+        (pow_series(s, 2.0), "pow2"),
+        (invert(s), "inv"),
+        (as_percent(s), "aspct"),
+        (remove_below_percentile(s, 50), "rmbelow"),
+        (average_below(s, 46.0), "avgbelow"),
+        (maximum_above(s, 80.0), "maxabove"),
+        (minimum_below(s, 9.0), "minbelow"),
+    ]
+    out = None
+    for df, func in parts:
+        branch = df.select(F.lit(func).alias("func"), "name", "ts", rounded)
+        out = branch if out is None else out.unionAll(branch)
+    return out
+
+
+_GR_SORT_ORACLE = f"""
+WITH {_series_cte("bg.purchase.*")},
+tot AS (SELECT name, ROUND(sum(value), 6) AS stat FROM s GROUP BY name),
+mx AS (SELECT name, ROUND(max(value), 6) AS stat FROM s GROUP BY name),
+vr AS (SELECT name, ROUND(var_pop(value), 6) AS stat FROM s GROUP BY name),
+rtot AS (SELECT name, stat, row_number() OVER (ORDER BY stat DESC NULLS LAST, name ASC) AS rank FROM tot),
+rmx AS (SELECT name, stat, row_number() OVER (ORDER BY stat DESC NULLS LAST, name ASC) AS rank FROM mx),
+rvr AS (SELECT name, stat, row_number() OVER (ORDER BY stat DESC NULLS LAST, name ASC) AS rank FROM vr),
+first3 AS (SELECT name FROM (SELECT DISTINCT name FROM s) ORDER BY name LIMIT 3)
+SELECT 'bytotal' AS func, s.name, ts, ROUND(value, 6) AS value, stat, rank
+FROM s JOIN rtot ON s.name = rtot.name
+UNION ALL
+SELECT 'bymax', s.name, ts, ROUND(value, 6), stat, rank
+FROM s JOIN rmx ON s.name = rmx.name
+UNION ALL
+SELECT 'deviant', s.name, ts, ROUND(value, 6), stat, rank
+FROM s JOIN rvr ON s.name = rvr.name WHERE rank <= 5
+UNION ALL
+SELECT 'limit3', name, ts, ROUND(value, 6),
+       CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+FROM s WHERE name IN (SELECT name FROM first3)
+UNION ALL
+SELECT 'aliassub', regexp_replace(name, '^bg\\.purchase\\.(u\\d+)$', '\\1.purchase'),
+       ts, ROUND(value, 6), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+FROM s
+"""
+
+
+@_register("gr_sort_limit", _GR_SORT_ORACLE)
+def gr_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordering/truncation render verbs: sortByTotal + sortByMaxima +
+    mostDeviant(5) + limit(3) + aliasSub + a final sortByName
+    (render/functions.py).  Rank columns carry the sort order (rounded
+    stats, name tie-break) so the contract is deterministic; each ranking
+    is a series-count-sized aggregate broadcast back onto the points —
+    the single-partition row_number window only ever sees one row per
+    series, never the point data."""
+    _utc(spark)
+    from biggraphite_spark.functions.series import (
+        alias_sub,
+        limit_series,
+        most_deviant,
+        sort_by_maxima,
+        sort_by_name,
+        sort_by_total,
+    )
+
+    s = _hourly_finals(spark, sf_dir, "bg.purchase.*").cache()
+    s.count()  # materialize before the branches fan out (see gr_series_combine)
+    nulls = [F.lit(None).cast("double").alias("stat"), F.lit(None).cast("long").alias("rank")]
+    rounded = F.round("value", 6).alias("value")
+    parts = [
+        (sort_by_total(s).select("name", "ts", rounded, "stat", "rank"), "bytotal"),
+        (sort_by_maxima(s).select("name", "ts", rounded, "stat", "rank"), "bymax"),
+        (most_deviant(s, 5).select("name", "ts", rounded, "stat", "rank"), "deviant"),
+        (limit_series(s, 3).select("name", "ts", rounded, *nulls), "limit3"),
+        (
+            alias_sub(s, r"^bg\.purchase\.(u\d+)$", "$1.purchase")
+            .select("name", "ts", rounded, *nulls),
+            "aliassub",
+        ),
+    ]
+    out = None
+    for df, func in parts:
+        branch = df.select(F.lit(func).alias("func"), *df.columns)
+        out = branch if out is None else out.unionAll(branch)
+    return sort_by_name(out)
 
 
 # ---------------------------------------------------------------------------

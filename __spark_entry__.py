@@ -3031,6 +3031,96 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("mm_audio")  # rows-only: pure-Python WAV codec over binary, not SQL-expressible
+def mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio end to end: synthesize deterministic PCM16 WAV payloads from
+    the documents corpus, parse them executor-side (operators/multimodal.py
+    RIFF/WAVE chunk walk), then compute RMS / peak / zero-crossings /
+    duration entirely in JVM higher-order functions — only the byte-format
+    parse runs in Python.  Pinned by an independent struct-level golden in
+    tests/test_multimodal_codecs.py; driver records rows-only."""
+    _utc(spark)
+    from biggraphite_spark.operators.multimodal import (
+        audio_features,
+        decode_audio,
+        synthesize_wav_media,
+    )
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    return audio_features(decode_audio(synthesize_wav_media(docs)))
+
+
+@_register("mm_resize")  # rows-only: depends on the Python BMP decode stage
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor image resize (8x8 -> 4x4) as a pure JVM projection
+    over the decoded pixel arrays — no Python in the resample itself; the
+    output is reduced to per-image checksums so the contract row is
+    stable.  Golden: tests/test_multimodal_codecs.py pins the resample
+    against an independent Python nearest-neighbor."""
+    _utc(spark)
+    from biggraphite_spark.operators.multimodal import (
+        decode_image,
+        resize_image,
+        synthesize_bmp_media,
+    )
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    small = resize_image(decode_image(synthesize_bmp_media(docs)), 4, 4)
+    return small.select(
+        "media_id",
+        "width",
+        "height",
+        F.size("pixels").alias("n_px"),
+        F.expr("aggregate(pixels, 0L, (a, x) -> a + x)").alias("px_sum"),
+    )
+
+
+@_register("mm_frames")  # rows-only: BGSV demux + BMP decode, not SQL-expressible
+def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling end to end: synthesize BGSV containers (4
+    frames @250ms per doc), sample one frame per 500ms window
+    executor-side, then decode each sampled frame through the BMP codec —
+    the full demux -> sample -> decode pipeline, one mapInPandas stage per
+    step, no shuffle anywhere.  Golden: tests/test_multimodal_codecs.py."""
+    _utc(spark)
+    from biggraphite_spark.operators.multimodal import (
+        decode_image,
+        frame_sample,
+        synthesize_video_media,
+    )
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    sampled = frame_sample(synthesize_video_media(docs), every_ms=500)
+    frames = sampled.filter(F.col("error").isNull()).select(
+        "media_id",
+        "frame_idx",
+        "t_ms",
+        "content",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("bmp").alias("format"),
+            F.lit(4).alias("width"),
+            F.lit(4).alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    decoded = decode_image(
+        frames.select(
+            (F.col("media_id") * 1000 + F.col("frame_idx")).alias("media_id"),
+            "content",
+            "meta",
+        )
+    )
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        F.size("pixels").alias("n_px"),
+        F.expr("aggregate(pixels, 0L, (a, x) -> a + x)").alias("px_sum"),
+        "error",
+    )
+
+
 _ND_HYPERPLANES = _rh(4, 64, seed=11)
 _ND_THRESHOLD = 0.35
 

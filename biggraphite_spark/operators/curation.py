@@ -20,17 +20,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from .text import tokens_col
+from .text import bind_col, tokens_col
 
 
 def _chunks_exploded(docs: DataFrame, text_col: str, chunk: int) -> DataFrame:
     """(doc_id, chunk_id, chunk_text) — non-overlapping ``chunk``-token
     spans in order; the last span may be shorter."""
-    toks = tokens_col(F.col(text_col))
-    n_chunks = F.ceil(F.size(toks) / F.lit(chunk)).cast("int")
-    spans = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(toks, i * chunk + 1, chunk), " "),
+    spans = bind_col(
+        tokens_col(F.col(text_col)),
+        lambda toks: F.transform(
+            F.sequence(F.lit(0), F.ceil(F.size(toks) / F.lit(chunk)).cast("int") - 1),
+            lambda i: F.array_join(F.slice(toks, i * chunk + 1, chunk), " "),
+        ),
     )
     return docs.select(
         "doc_id", F.posexplode(spans).alias("chunk_id", "chunk_text")
@@ -258,10 +259,12 @@ def substring_runs(
     posting lengths.  Remaining stages are windows over (pair, delta)
     groups — pair-volume-sized, which the cap keeps controlled.
     """
-    toks = tokens_col(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    grams = bind_col(
+        tokens_col(F.col(text_col)),
+        lambda toks: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
     )
     anchors = docs.select(
         "doc_id", F.posexplode(grams).alias("pos", "gram")

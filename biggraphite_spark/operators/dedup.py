@@ -25,17 +25,23 @@ DEFAULT_BANDS = 4  # b bands of r = k/b rows; threshold ~ (1/b)^(1/r) ~ 0.70
 
 
 def shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct n-gram word shingles of a single-space-separated text."""
-    parts = F.split(text, " ")
-    return F.when(
-        F.size(parts) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(parts) - (n - 1)),
-                lambda i: F.array_join(F.slice(parts, i, n), " "),
-            )
-        ),
-    ).otherwise(F.array(F.array_join(parts, " ")))
+    """Distinct n-gram word shingles of a single-space-separated text.
+    The split is bound once per row (bind_col): referenced naively inside
+    the transform lambda it would re-split the text once per shingle."""
+    from .text import bind_col
+
+    return bind_col(
+        F.split(text, " "),
+        lambda parts: F.when(
+            F.size(parts) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(parts) - (n - 1)),
+                    lambda i: F.array_join(F.slice(parts, i, n), " "),
+                )
+            ),
+        ).otherwise(F.array(F.array_join(parts, " "))),
+    )
 
 
 def with_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:

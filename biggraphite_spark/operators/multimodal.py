@@ -356,6 +356,183 @@ def synthesize_video_media(
     )
 
 
+# ---------------------------------------------------------------------------
+# Audio: PCM16 WAV (RIFF/WAVE), fully specified and stdlib-decodable —
+# ``decode_audio`` is a REAL operator like ``decode_image``.  Compressed
+# codecs (mp3/opus) would slot into the same dispatch with a library import.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(sample_rate: int, channels: int, pcm16: bytes) -> bytes:
+    """Minimal PCM16 WAV writer (RIFF + fmt + data); round-trips bit-exactly
+    through :func:`_decode_wav`."""
+    if len(pcm16) % (2 * channels):
+        raise ValueError("pcm16 length not a whole number of frames")
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(pcm16)) + pcm16
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """(sample_rate, channels, interleaved int16 samples) from a PCM16 WAV.
+    Walks the chunk list, so extra chunks (LIST/INFO) before data are fine."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sample_rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV variant (fmt={audio_fmt}, bits={bits})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    if len(data) % 2:
+        raise ValueError("odd data chunk length")
+    return sample_rate, channels, list(struct.unpack(f"<{len(data) // 2}h", data))
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("samples", T.ArrayType(T.IntegerType())),  # interleaved int16
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Decode PCM16 WAV payloads to sample arrays in an Arrow-batched stage;
+    bad payloads yield error rows, mirroring :func:`decode_image`.  Feature
+    math (RMS, zero crossings, duration) belongs DOWNSTREAM in built-in
+    higher-order functions — only the byte-format parse needs Python."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    rate, ch, samples = _decode_wav(bytes(content))
+                    rows.append((mid, rate, ch, samples, None))
+                except (ValueError, IndexError, struct.error) as e:
+                    rows.append((mid, None, None, None, str(e)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "sample_rate", "channels", "samples", "error"]
+            )
+
+    return media.mapInPandas(decode, AUDIO_SCHEMA)
+
+
+def audio_features(decoded: DataFrame) -> DataFrame:
+    """Per-item audio features over :func:`decode_audio` output — entirely
+    JVM-side higher-order functions (no Python): duration from the frame
+    count, RMS via an aggregate fold, peak amplitude, and zero-crossing
+    count via zip_with of the sample array against its own tail."""
+    n = F.size("samples")
+    frames = n / F.col("channels")
+    sum_sq = F.aggregate(
+        "samples", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    )
+    crossings = F.aggregate(
+        F.zip_with(
+            F.slice("samples", F.lit(1), F.greatest(n - 1, F.lit(0))),
+            F.slice("samples", F.lit(2), F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.when((a >= 0) != (b >= 0), 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    return decoded.filter(F.col("error").isNull()).select(
+        "media_id",
+        "sample_rate",
+        "channels",
+        (frames * 1000.0 / F.col("sample_rate")).cast("long").alias("duration_ms"),
+        F.round(F.sqrt(sum_sq / n), 4).alias("rms"),
+        F.aggregate("samples", F.lit(0), lambda a, x: F.greatest(a, F.abs(x))).alias("peak"),
+        crossings.alias("zero_crossings"),
+    )
+
+
+def synthesize_wav_media(
+    docs: DataFrame, n_samples: int = 256, sample_rate: int = 8000
+) -> DataFrame:
+    """Deterministic mono PCM16 WAV table from the documents corpus (md5
+    stream seeds the sample bytes, same scheme as :func:`synthesize_bmp_media`)."""
+    n_bytes = n_samples * 2
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = str(text).encode() + b"|wav"
+                buf = bytearray()
+                counter = 0
+                while len(buf) < n_bytes:
+                    buf += hashlib.md5(seed + counter.to_bytes(4, "little")).digest()
+                    counter += 1
+                rows.append((doc_id, encode_wav(sample_rate, 1, bytes(buf[:n_bytes]))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    payloads = docs.select("doc_id", "text").mapInPandas(
+        build, "media_id long, content binary"
+    )
+    return payloads.select(
+        "media_id",
+        "content",
+        F.struct(
+            F.lit("audio").alias("media_type"),
+            F.lit("wav").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(n_samples * 1000 // sample_rate).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def resize_image(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize over :func:`decode_image` output — a pure
+    JVM-side projection (transform over a generated index sequence), no
+    Python stage: each target pixel reads floor(y*h/out_h), floor(x*w/out_w)
+    from the flat RGB array.  The expression shape a real image pipeline
+    would hand to a library is the same; here the resample itself is simple
+    enough to stay in Catalyst."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("output dimensions must be positive")
+    # bind to the INPUT dataframe: the output select aliases lit(out_w) as
+    # "width", and Spark's lateral column alias resolution would otherwise
+    # rebind F.col("width") inside the transform to that literal
+    w, h = decoded["width"], decoded["height"]
+
+    def src_index(i):
+        # i indexes the flat target array; recover (y, x, channel)
+        c = i % 3
+        px = (i / 3).cast("long")
+        ty, tx = (px / out_w).cast("long"), px % out_w
+        sy = (ty * h / F.lit(out_h)).cast("long")
+        sx = (tx * w / F.lit(out_w)).cast("long")
+        return (sy * w + sx) * 3 + c + 1  # element_at is 1-based
+
+    pixels = F.transform(
+        F.sequence(F.lit(0), F.lit(out_w * out_h * 3 - 1)),
+        lambda i: F.element_at(decoded["pixels"], src_index(i).cast("int")),
+    )
+    return decoded.filter(F.col("error").isNull()).select(
+        "media_id",
+        F.lit(out_w).alias("width"),
+        F.lit(out_h).alias("height"),
+        pixels.alias("pixels"),
+    )
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

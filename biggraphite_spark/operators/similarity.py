@@ -501,8 +501,8 @@ def quantize_int8(
     v = as_double_array(F.col(vec_col))
     idx = F.sequence(F.lit(1), F.lit(len(ranges)))
 
-    def code_at(i: Column) -> Column:
-        x = F.element_at(v, i)
+    def code_at(vv: Column, i: Column) -> Column:
+        x = F.element_at(vv, i)
         r = F.element_at(rng_lit, i)
         mn, mx = r.getField("mn"), r.getField("mx")
         span = mx - mn
@@ -510,7 +510,11 @@ def quantize_int8(
             span != 0, F.round(F.lit(levels) * (x - mn) / span).cast("int")
         ).otherwise(F.lit(0))
 
-    codes = F.transform(idx, code_at)
+    from .text import bind_col
+
+    # bind the cast vector once: element_at against the raw cast expression
+    # would re-cast the whole array per dimension (bind_col docstring)
+    codes = bind_col(v, lambda vv: F.transform(idx, lambda i: code_at(vv, i)))
 
     def recon_at(i: Column) -> Column:
         r = F.element_at(rng_lit, i)
@@ -573,21 +577,33 @@ def pq_code_expr(v: Column, codebook: list[list[float]], m: int) -> Column:
     d_sub = dim // m
     cents_lit = _pq_cents_lit(codebook)
 
-    def sub_dist(j: int, cent: Column) -> Column:
-        def step(acc: Column, i: Column) -> Column:
-            diff = F.element_at(v, i + j * d_sub) - F.element_at(cent, i + j * d_sub)
-            return acc + diff * diff
+    from .text import bind_col
 
-        return F.aggregate(
-            F.sequence(F.lit(1), F.lit(d_sub)), F.lit(0.0), step
-        )
+    def codes_of(vv: Column) -> Column:
+        # vv is a bound lambda variable: element_at(vv, ·) is a lookup.
+        # Referencing the raw `v` expression (usually a cast) per element
+        # would re-materialize the whole array once per subspace step.
+        def sub_dist(j: int, cent: Column) -> Column:
+            def step(acc: Column, i: Column) -> Column:
+                diff = F.element_at(vv, i + j * d_sub) - F.element_at(cent, i + j * d_sub)
+                return acc + diff * diff
 
-    def code_for(j: int) -> Column:
-        dists = F.transform(cents_lit, lambda c: sub_dist(j, c))
-        # array_position finds the FIRST match -> lowest-index tie-break
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            return F.aggregate(
+                F.sequence(F.lit(1), F.lit(d_sub)), F.lit(0.0), step
+            )
 
-    return F.array(*[code_for(j) for j in range(m)])
+        def code_for(j: int) -> Column:
+            dists = F.transform(cents_lit, lambda c: sub_dist(j, c))
+            # array_position finds the FIRST match -> lowest-index tie-break;
+            # dists bound so min + position don't each re-fold the distances
+            return bind_col(
+                dists,
+                lambda dd: (F.array_position(dd, F.array_min(dd)) - 1).cast("int"),
+            )
+
+        return F.array(*[code_for(j) for j in range(m)])
+
+    return bind_col(v, codes_of)
 
 
 def pq_recon_expr(code_arr: Column, codebook: list[list[float]], m: int) -> Column:

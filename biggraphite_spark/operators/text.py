@@ -36,6 +36,17 @@ def tokens_col(text: Column) -> Column:
     return F.split(text, " ")
 
 
+def bind_col(arr: Column, fn) -> Column:
+    """Evaluate ``arr`` once per row and hand it to ``fn`` as a lambda
+    variable.  Spark inlines a sub-expression into EVERY element evaluation
+    of a higher-order-function lambda that references it (no CSE across
+    lambda scopes — PERF.md finding 15), so a per-element reference to an
+    O(len) expression like a tokenization turns linear work quadratic.
+    Wrapping the array in a single-element array and transforming over it
+    binds the value as a lambda variable: inner references become lookups."""
+    return F.element_at(F.transform(F.array(arr), fn), 1)
+
+
 def text_stats(
     docs: DataFrame,
     text_col: str = "text",
@@ -314,24 +325,39 @@ def winnowing_fingerprints(
     Everything is one projection of higher-order functions over the token
     array — zero shuffle, scan-speed.
     """
-    toks = tokens_col(F.col(text_col))
-    n_grams = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 8),
-    )
-    n_wins = F.greatest(F.size(grams) - F.lit(w - 1), F.lit(1))
-    wins = F.when(F.size(grams) == 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n_wins),
-            lambda i: F.array_min(F.slice(grams, i, w)),
+    # naively referencing `grams` inside the window-min transform would
+    # re-tokenize and re-hash the whole document once PER WINDOW — O(G^2)
+    # md5 calls (bind_col docstring; measured 8.9s -> 0.5s at sf0.1)
+    def fingerprints(toks: Column) -> Column:
+        n_grams = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+        grams = F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 8),
         )
+
+        def windows(g: Column) -> Column:
+            n_wins = F.greatest(F.size(g) - F.lit(w - 1), F.lit(1))
+            return F.when(F.size(g) == 0, F.array().cast("array<string>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), n_wins),
+                    lambda i: F.array_min(F.slice(g, i, w)),
+                )
+            )
+
+        return bind_col(grams, lambda g: F.array_sort(F.array_distinct(windows(g))))
+
+    fps = bind_col(tokens_col(F.col(text_col)), fingerprints)
+    digest = bind_col(
+        fps,
+        lambda f: F.struct(
+            F.size(f).alias("n_fingerprints"),
+            F.md5(F.array_join(f, ",")).alias("fp_digest"),
+        ),
     )
-    fps = F.array_sort(F.array_distinct(wins))
     return docs.select(
         "doc_id",
-        F.size(fps).alias("n_fingerprints"),
-        F.md5(F.array_join(fps, ",")).alias("fp_digest"),
+        digest["n_fingerprints"].alias("n_fingerprints"),
+        digest["fp_digest"].alias("fp_digest"),
     )
 
 

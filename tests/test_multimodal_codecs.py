@@ -141,3 +141,102 @@ def test_synthesized_video_samples_deterministically(spark):
         for mid in [r["media_id"] for r in vids.select("media_id").collect()]
         for idx in (0, 2)
     )
+
+
+def test_wav_roundtrip_independent_byte_walk():
+    from biggraphite_spark.operators.multimodal import _decode_wav, encode_wav
+
+    pcm = struct.pack("<8h", 0, 1000, -1000, 32767, -32768, 5, -5, 0)
+    payload = encode_wav(8000, 1, pcm)
+    # independent RIFF walk: fixed offsets for the minimal writer layout
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    assert payload[12:16] == b"fmt " and struct.unpack_from("<I", payload, 16)[0] == 16
+    fmt, ch, rate = struct.unpack_from("<HHI", payload, 20)
+    assert (fmt, ch, rate) == (1, 1, 8000)
+    assert payload[36:40] == b"data"
+    assert payload[44:] == pcm
+    rate2, ch2, samples = _decode_wav(payload)
+    assert (rate2, ch2) == (8000, 1)
+    assert samples == [0, 1000, -1000, 32767, -32768, 5, -5, 0]
+
+
+def test_wav_decode_tolerates_extra_chunks_and_rejects_bad():
+    from biggraphite_spark.operators.multimodal import _decode_wav, encode_wav
+
+    pcm = struct.pack("<2h", 7, -7)
+    base = encode_wav(4000, 1, pcm)
+    # splice a LIST chunk between WAVE and fmt : decoder must skip it
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = base[:12] + extra + base[12:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert _decode_wav(spliced)[2] == [7, -7]
+    with pytest.raises(ValueError):
+        _decode_wav(b"RIFFxxxxAVI ")
+    with pytest.raises(ValueError):
+        _decode_wav(b"garbage")
+
+
+def test_audio_features_match_plain_python_golden(spark):
+    import math
+
+    from biggraphite_spark.operators.multimodal import (
+        audio_features,
+        decode_audio,
+        encode_wav,
+    )
+
+    samples = [0, 1000, -2000, 3000, -32768, 32767, 0, -1]
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(8000, 1, struct.pack("<8h", *samples))),
+             ("audio", "wav", None, None, 1)),
+            (2, bytearray(b"garbage"), ("audio", "wav", None, None, None)),
+        ],
+        "media_id long, content binary, meta struct<media_type:string,format:string,width:int,height:int,duration_ms:long>",
+    )
+    decoded = decode_audio(media)
+    rows = {r["media_id"]: r for r in decoded.collect()}
+    assert rows[1]["samples"] == samples and rows[1]["sample_rate"] == 8000
+    assert rows[2]["error"] is not None
+    feats = {r["media_id"]: r for r in audio_features(decoded).collect()}
+    assert list(feats) == [1]  # error rows dropped
+    f = feats[1]
+    # independent plain-Python golden
+    assert f["duration_ms"] == len(samples) * 1000 // 8000
+    assert f["peak"] == 32768
+    assert f["rms"] == round(math.sqrt(sum(s * s for s in samples) / len(samples)), 4)
+    crossings = sum(
+        1 for a, b in zip(samples, samples[1:]) if (a >= 0) != (b >= 0)
+    )
+    assert f["zero_crossings"] == crossings
+
+
+def test_resize_nearest_neighbor_matches_python_golden(spark):
+    from biggraphite_spark.operators.multimodal import (
+        decode_image,
+        resize_image,
+        synthesize_bmp_media,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(4)
+    decoded = decode_image(synthesize_bmp_media(docs, width=8, height=8))
+    out = {r["media_id"]: r for r in resize_image(decoded, 4, 4).collect()}
+    src = {r["media_id"]: r["pixels"] for r in decoded.collect()}
+    for mid, pix in src.items():
+        golden = []
+        for ty in range(4):
+            for tx in range(4):
+                sy, sx = ty * 8 // 4, tx * 8 // 4
+                base = (sy * 8 + sx) * 3
+                golden.extend(pix[base : base + 3])
+        assert out[mid]["pixels"] == golden
+        assert (out[mid]["width"], out[mid]["height"]) == (4, 4)
+
+
+def test_resize_rejects_bad_dims(spark):
+    from biggraphite_spark.operators.multimodal import decode_image, resize_image, synthesize_bmp_media
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(1)
+    decoded = decode_image(synthesize_bmp_media(docs))
+    with pytest.raises(ValueError):
+        resize_image(decoded, 0, 4)

@@ -5016,6 +5016,116 @@ def gr_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sort_by_name(out)
 
 
+_LSH_RECALL_ORACLE = f"""
+WITH e AS ({_NGRAM_ORACLE}),
+l AS ({_minhash_oracle()}),
+j AS (SELECT e.doc_a AS ea, l.doc_a AS la
+      FROM e FULL JOIN l ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b),
+c AS (SELECT CAST(count(ea) AS BIGINT) AS n_exact,
+             CAST(count(la) AS BIGINT) AS n_lsh,
+             CAST(sum(CASE WHEN ea IS NOT NULL AND la IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+      FROM j)
+SELECT n_exact, n_lsh, n_common,
+       ROUND(n_common * 1.0 / n_exact, 6) AS lsh_recall,
+       ROUND(n_common * 1.0 / n_lsh, 6) AS lsh_precision
+FROM c
+"""
+
+
+@_register("doc_lsh_recall", _LSH_RECALL_ORACLE)
+def doc_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality evaluation of the LSH scale path against its exact baseline:
+    recall/precision of MinHash(16)+LSH(4x4)-verified pairs vs exact
+    n-gram-Jaccard pairs at the same 0.5 threshold.  The number a pipeline
+    owner needs before swapping the quadratic exact pass for the banded
+    one — and the contract pins BOTH engines to the same candidate algebra
+    end to end.  Verified candidates are a subset of the exact pairs by
+    construction, so precision is 1.0 and recall is the banding loss."""
+    _utc(spark)
+    from biggraphite_spark.operators.dedup import lsh_near_dups, ngram_jaccard_pairs
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, threshold=0.5).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_exact")
+    )
+    lsh = lsh_near_dups(docs, threshold=0.5).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_lsh")
+    )
+    j = exact.join(lsh, ["doc_a", "doc_b"], "full_outer")
+    counts = j.agg(
+        F.count("in_exact").cast("long").alias("n_exact"),
+        F.count("in_lsh").cast("long").alias("n_lsh"),
+        F.sum(
+            F.when(F.col("in_exact").isNotNull() & F.col("in_lsh").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_common"),
+    )
+    return counts.select(
+        "n_exact",
+        "n_lsh",
+        "n_common",
+        F.round(F.col("n_common") / F.col("n_exact"), 6).alias("lsh_recall"),
+        F.round(F.col("n_common") / F.col("n_lsh"), 6).alias("lsh_precision"),
+    )
+
+
+def _ann_recall_oracle(k: int = 5) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+q AS (SELECT vec_id, v, nrm FROM n WHERE vec_id < 5),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({_DOT64.format(a='q.v', b='c.v')} / (q.nrm * c.nrm), 5) AS sim
+  FROM n c, q WHERE c.vec_id != q.vec_id
+),
+x AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, row_number() OVER w AS rk
+    FROM sims WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+  ) WHERE rk <= {k}
+),
+a AS ({_ann_ivf_oracle(nprobe=2, k=k)}),
+c AS (SELECT x.query_id, count(*) AS n_common
+      FROM x JOIN a ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+      GROUP BY 1),
+t AS (SELECT query_id, count(*) AS n_exact FROM x GROUP BY 1)
+SELECT t.query_id, CAST(t.n_exact AS BIGINT) AS n_exact,
+       CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+       ROUND(COALESCE(c.n_common, 0) * 1.0 / t.n_exact, 6) AS recall_at_k
+FROM t LEFT JOIN c ON t.query_id = c.query_id
+"""
+
+
+@_register("emb_ann_recall", _ann_recall_oracle())
+def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of the IVF index (nprobe=2) against brute-force
+    cosine top-5 — the accuracy/cost dial every ANN deployment tunes
+    (recall lost to unprobed cells vs corpus fraction scanned).  Both
+    rankings are deterministic (rounded sims, id tie-break), so the recall
+    itself is an exact, oracle-checkable quantity."""
+    _utc(spark)
+    from biggraphite_spark.operators.similarity import ann_ivf_topk, cosine_topk
+
+    emb = _load_parallel(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    ivf = ann_ivf_topk(emb, q, nprobe=2, k=5).select("query_id", "neighbor_id")
+    common = (
+        exact.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    totals = exact.groupBy("query_id").agg(F.count("*").cast("long").alias("n_exact"))
+    return totals.join(common, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+        F.round(F.coalesce("n_common", F.lit(0)) / F.col("n_exact"), 6).alias("recall_at_k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

@@ -118,10 +118,21 @@ def semantic_dedup(
     Cosines are rounded to 5 digits before the threshold compare so the
     keep decision is engine-portable.
     """
-    from .similarity import cosine_expr
+    from .similarity import dot_expr, norm_expr
 
-    assigned = assign_clusters(embeddings, _fit_centroids(
-        embeddings, k, iters, id_col, vec_col), id_col, vec_col)
+    # norms precomputed per ROW before the self-join (the _paired_cosine
+    # pattern): cosine_expr per PAIR would fold both 64-dim norms for each
+    # of the ~sum(cell^2) candidate pairs — 3x the arithmetic — and inline
+    # a generated method big enough to hit the JIT's huge-method ceiling,
+    # which ran the pair filter interpreted on some runs (4s -> 43s swings).
+    # The assignment subtree feeds both join sides and the final keep join;
+    # cached, it runs once.
+    assigned = (
+        assign_clusters(embeddings, _fit_centroids(
+            embeddings, k, iters, id_col, vec_col), id_col, vec_col)
+        .withColumn("nrm", norm_expr(F.col("v")))
+        .cache()
+    )
     a, b = assigned.alias("a"), assigned.alias("b")
     dropped = (
         a.join(
@@ -130,7 +141,12 @@ def semantic_dedup(
             & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
         )
         .filter(
-            F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 5) >= threshold
+            F.round(
+                dot_expr(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                5,
+            )
+            >= threshold
         )
         .select(F.col(f"a.{id_col}").alias(id_col))
         .distinct()

@@ -5126,6 +5126,37 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH s AS ({_simhash_oracle()}),
+b AS (SELECT doc_id, simhash, bb, (simhash >> (bb * 8)) & 255 AS key
+      FROM s, (SELECT unnest([0, 1]) AS bb)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa,
+                         b2.doc_id AS doc_b, b2.simhash AS sb
+         FROM b a JOIN b b2
+           ON a.bb = b2.bb AND a.key = b2.key AND a.doc_id < b2.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 1
+"""
+
+
+@_register("doc_simhash_pairs", _SIMHASH_PAIRS_ORACLE)
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS (Manku et al. 2007): hamming <= 1 over the
+    16-bit simhash, candidates from a band-blocked equi-self-join (2 slices
+    of 8 bits; pigeonhole guarantees any <=1-flip pair agrees on a slice).
+    Completes the simhash story: doc_simhash computes the hashes, this
+    finds the duplicates — with the banded (never all-pairs) join shape
+    that survives 100 TB.  (At 16 bits a loose radius matches random-doc
+    collisions, so the contract pins the tight radius; production simhash
+    uses 64 bits where radius 3 is the standard setting.)"""
+    _utc(spark)
+    from biggraphite_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        _load_parallel(spark, sf_dir, "documents"), max_hamming=1, bands=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

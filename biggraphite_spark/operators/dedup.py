@@ -434,3 +434,67 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
         term = F.when(F.col(f"s{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         hash_val = term if hash_val is None else hash_val + term
     return sums.select("doc_id", hash_val.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    bits: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, band-blocked.
+
+    Pigeonhole: with ``bands`` equal bit-slices, any pair within
+    ``max_hamming < bands`` bit flips agrees EXACTLY on at least one slice,
+    so candidates come from a (band, slice-value)-keyed equi-self-join —
+    never an all-pairs scan — and only candidates pay the popcount verify.
+    This is the standard Manku et al. 2007 (Google simhash dedup) layout;
+    at 100 TB the corpus is written partitioned by (band, key) so the
+    self-join co-locates.  Output: (doc_a, doc_b, hamming), verified.
+    """
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole needs max_hamming < bands")
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sh = simhash(docs, text_col=text_col, bits=bits).cache()
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * width)
+                        .bitwiseAND(mask)
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

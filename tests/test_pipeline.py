@@ -10,6 +10,7 @@ from biggraphite_spark.operators.dedup import (
     lsh_near_dups,
     ngram_jaccard_pairs,
     simhash,
+    simhash_near_pairs,
     with_shingles,
 )
 from biggraphite_spark.operators.similarity import (
@@ -71,6 +72,36 @@ def test_simhash_similar_docs_close(docs):
     ham_far = bin(h[0] ^ h[4]).count("1")
     assert ham_near <= ham_far
     assert all(0 <= v < 2**16 for v in h.values())
+
+
+def test_simhash_near_pairs_pigeonhole_exact(docs):
+    """The banded join must find EVERY pair within the radius: brute-force
+    hamming over the hashes is the golden answer, and the identical pair
+    (0,1) is hamming 0."""
+    h = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    for radius, bands in ((1, 2), (3, 4)):
+        golden = {
+            (a, b): bin(h[a] ^ h[b]).count("1")
+            for a in h
+            for b in h
+            if a < b and bin(h[a] ^ h[b]).count("1") <= radius
+        }
+        got = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash_near_pairs(docs, max_hamming=radius, bands=bands).collect()
+        }
+        assert got == golden
+    assert (0, 1) in {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_pairs(docs, max_hamming=1, bands=2).collect()
+    }
+
+
+def test_simhash_near_pairs_validation(docs):
+    with pytest.raises(ValueError):
+        simhash_near_pairs(docs, max_hamming=4, bands=4)  # pigeonhole broken
+    with pytest.raises(ValueError):
+        simhash_near_pairs(docs, bands=5)  # 16 bits not divisible
 
 
 def test_text_stats_values(docs):

@@ -16,11 +16,19 @@ import sys
 
 import pytest
 
-# one per round-2 failure class + two broad representatives:
+# one per round-2 failure class + broad representatives of each family:
 # - bg_downsample_dupslots: the exact query that crashed the r2 driver bench
 # - bg_fetch_1d: read path (catalog join + regroup)
 # - events_sessionize: raw-events window query using event_ts_seconds
-VANILLA_QUERIES = ["bg_downsample_dupslots", "bg_fetch_1d", "events_sessionize"]
+# - gr_rate_shift: hourly-finals + render-verb composite (this round's family)
+# - mm_audio: Arrow mapInPandas chain + JVM HOF features over binary
+VANILLA_QUERIES = [
+    "bg_downsample_dupslots",
+    "bg_fetch_1d",
+    "events_sessionize",
+    "gr_rate_shift",
+    "mm_audio",
+]
 
 _SCRIPT = r"""
 import sys

@@ -102,3 +102,65 @@ def test_downsample_partial_aggregates_before_exchange(spark):
         if "hashpartitioning" in line and "Arguments" in line
     )
     assert "name" in exchange_args and "groupingexpression" in exchange_args
+
+
+# ---------------------------------------------------------------------------
+# Dedup-path skew: hot boilerplate shingle
+# ---------------------------------------------------------------------------
+
+N_DOCS = 4_000
+TOKS_PER_DOC = 30
+
+
+def _docs(spark, boilerplate_frac):
+    """Synthetic corpus of mutually-distinct docs; with boilerplate_frac,
+    that share of docs embeds one common trigram ("corpus wide boilerplate")
+    — the hot-shingle shape every crawl corpus has (cookie banners,
+    license headers)."""
+    df = spark.range(N_DOCS)
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(TOKS_PER_DOC - 1)),
+        lambda i: F.concat_ws(
+            "", F.lit("t"), ((F.col("id") * 131 + i * 7919) % 999983).cast("string")
+        ),
+    )
+    text = F.array_join(toks, " ")
+    if boilerplate_frac:
+        hot = int(N_DOCS * boilerplate_frac)
+        text = F.when(
+            F.col("id") < hot,
+            F.concat(F.lit("corpus wide boilerplate "), text),
+        ).otherwise(text)
+    return df.select(F.col("id").alias("doc_id"), text.alias("text"))
+
+
+def test_lsh_dedup_robust_to_hot_shingle_skew(spark):
+    """A boilerplate trigram shared by 30% of (otherwise distinct) docs makes
+    the exact inverted-index join quadratic in the hot posting — but the
+    LSH path's per-doc signatures differ, so bands don't collide and its
+    cost stays flat.  This is the reason MinHash/LSH is the documented
+    100 TB path while ngram_jaccard_pairs is the exact baseline."""
+    from biggraphite_spark.operators.dedup import lsh_near_dups, with_shingles
+
+    uniform = _docs(spark, None)
+    skewed = _docs(spark, 0.30)
+
+    # the hot shingle really does create a quadratic pair surface for the
+    # exact path: >= C(1200, 2) co-shingled candidate pairs
+    sh = with_shingles(skewed).select("doc_id", F.explode("shingles").alias("sh"))
+    hot_postings = sh.filter(F.col("sh") == "corpus wide boilerplate").count()
+    assert hot_postings >= int(N_DOCS * 0.30)
+
+    build = lambda d: lsh_near_dups(d, threshold=0.5)  # noqa: E731
+    _timed(build(uniform))  # warm identical plan shape
+    _timed(build(skewed))
+    pairs = [(_timed(build(uniform)), _timed(build(skewed))) for _ in range(3)]
+    t_uniform = min(u for u, _ in pairs)
+    t_skew = min(s for _, s in pairs)
+    assert t_skew <= 2.0 * max(t_uniform, 0.2), (
+        f"LSH dedup degraded under hot-shingle skew: "
+        f"uniform {t_uniform:.2f}s vs skewed {t_skew:.2f}s"
+    )
+    # and the answer itself is clean: boilerplate alone must not make
+    # distinct docs near-dups at J >= 0.5
+    assert build(skewed).count() == 0

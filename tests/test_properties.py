@@ -200,3 +200,39 @@ def test_ring_buffer_window_invariant(points, capacity):
     # every live-emitted slot is still in the buffer with that value
     for ts, v, _ in lives:
         assert slots[ts // 10] == v
+
+
+@given(
+    samples=st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=200),
+    rate=st.sampled_from([4000, 8000, 16000, 44100]),
+    channels=st.integers(min_value=1, max_value=2),
+)
+@settings(max_examples=200, deadline=None)
+def test_wav_codec_roundtrip(samples, rate, channels):
+    """encode_wav -> _decode_wav is the identity on any PCM16 payload whose
+    sample count is a whole number of frames."""
+    import struct as _struct
+
+    from biggraphite_spark.operators.multimodal import _decode_wav, encode_wav
+
+    if len(samples) % channels:
+        samples = samples[: len(samples) - (len(samples) % channels)] or [0] * channels
+    pcm = _struct.pack(f"<{len(samples)}h", *samples)
+    rate2, ch2, out = _decode_wav(encode_wav(rate, channels, pcm))
+    assert (rate2, ch2, out) == (rate, channels, list(samples))
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=200, deadline=None)
+def test_bmp_codec_roundtrip_any_geometry(w, h, seed):
+    """encode_bmp -> _decode_bmp is the identity for every geometry,
+    including widths whose rows need padding (w*3 % 4 != 0)."""
+    from biggraphite_spark.operators.multimodal import _decode_bmp, encode_bmp
+
+    rgb = bytes((seed + i * 97) % 256 for i in range(w * h * 3))
+    w2, h2, out = _decode_bmp(encode_bmp(w, h, rgb))
+    assert (w2, h2, out) == (w, h, rgb)

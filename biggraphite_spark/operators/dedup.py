@@ -194,15 +194,67 @@ def minhash_signatures(docs: DataFrame, k: int = DEFAULT_K, n: int = 3) -> DataF
     )
 
 
-def lsh_candidate_pairs(
+def minhash_signatures_projection(
+    docs: DataFrame, k: int = DEFAULT_K, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """MinHash signatures as a pure per-row projection — bit-identical to
+    :func:`minhash_signatures` (same salted digests, same mins) with ZERO
+    shuffle: the k minima fold over each row's own shingle array instead of
+    explode + groupBy.
+
+    This is the STREAMING-SAFE form (a stateless projection runs unchanged
+    under Structured Streaming; the aggregation form would need watermarked
+    state), and on batch it trades the map-side-combine shuffle for in-row
+    array work — the right side of the trade whenever the signature pass
+    feeds a stream-static join rather than the batch self-join.  Each salt's
+    digest array is bound once (bind_col) so md5 runs once per (salt,
+    shingle).
+    """
+    from .text import bind_col
+
+    n_digests = (k + 3) // 4
+
+    # NB: factories, not default-arg lambdas — pyspark passes (element, index)
+    # to any 2-parameter lambda, so `lambda x, s=s:` would receive the INDEX
+    # as s (same trap as the lang_id marker_count note)
+    def digester(s: int):
+        return lambda x: F.md5(F.concat(F.lit(f"{s}:"), x))
+
+    def hex_slice(off: int):
+        return lambda d: F.substring(d, off, 8)
+
+    def sig(shv: Column) -> Column:
+        digest_arrays = F.array(
+            *[F.transform(shv, digester(s)) for s in range(n_digests)]
+        )
+        return bind_col(
+            digest_arrays,
+            lambda dsv: F.struct(
+                *[
+                    F.array_min(
+                        F.transform(
+                            F.element_at(dsv, j // 4 + 1),
+                            hex_slice((j % 4) * 8 + 1),
+                        )
+                    ).alias(f"h{j}")
+                    for j in range(k)
+                ]
+            ),
+        )
+
+    sig_struct = bind_col(shingles_col(F.col(text_col), n), sig)
+    return docs.select(
+        "doc_id", *[sig_struct[f"h{j}"].alias(f"h{j}") for j in range(k)]
+    )
+
+
+def band_keys(
     signatures: DataFrame, k: int = DEFAULT_K, bands: int = DEFAULT_BANDS
 ) -> DataFrame:
-    """Band the signatures and self-join on (band, key): docs agreeing on all
-    r rows of any band become candidates.
-
-    Banding is a single explode (not a union of per-band selects) so the
-    signature subtree appears once per join side in the plan.
-    """
+    """(doc_id, band, key) rows from a signature relation — the LSH bucket
+    keying shared by the batch self-join and the streaming corpus index
+    (both sides MUST band identically or candidates are silently lost).
+    A single explode, so the signature subtree appears once per plan."""
     r = k // bands
     band_structs = F.array(
         *[
@@ -213,9 +265,17 @@ def lsh_candidate_pairs(
             for bidx in range(bands)
         ]
     )
-    banded = signatures.select("doc_id", F.explode(band_structs).alias("bk")).select(
+    return signatures.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, k: int = DEFAULT_K, bands: int = DEFAULT_BANDS
+) -> DataFrame:
+    """Band the signatures and self-join on (band, key): docs agreeing on all
+    r rows of any band become candidates."""
+    banded = band_keys(signatures, k=k, bands=bands)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -1,0 +1,87 @@
+"""Streaming near-dup filtering: ingest-time MinHash/LSH against a
+historical corpus index.
+
+The production dedup question at ingest is not "which stream docs duplicate
+each other" (``dropDuplicatesWithinWatermark`` handles the exact case) but
+"which incoming docs near-duplicate the CORPUS WE ALREADY HAVE".  The shape
+that answers it at scale:
+
+- signatures on the stream are :func:`~biggraphite_spark.operators.dedup.
+  minhash_signatures_projection` — a stateless per-row projection, so the
+  stream needs no aggregation state or watermark for the signature pass;
+- the corpus side is a (band, key) index built ONCE from the historical
+  signatures (``band_keys``) and written partitioned/bucketed by key, so
+  each micro-batch's probe is an equi-join that prunes to the touched
+  buckets;
+- the drop decision runs inside ``foreachBatch`` (batch semantics per
+  micro-batch): collide -> anti-join -> append survivors.  A doc is dropped
+  when ANY of its bands matches the index — the same candidate rule as the
+  batch self-join, sharing ``band_keys`` so the two paths can never key
+  differently.
+
+False positives (band collision without true similarity) are the LSH
+trade-off tuned by (k, bands) exactly as in the batch path; a verify join
+against stored shingles slots in before the anti-join if exactness is
+required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    DEFAULT_BANDS,
+    DEFAULT_K,
+    band_keys,
+    minhash_signatures_projection,
+)
+
+
+def corpus_band_index(corpus_docs: DataFrame, k: int = DEFAULT_K,
+                      bands: int = DEFAULT_BANDS, n: int = 3) -> DataFrame:
+    """(band, key) index of the historical corpus — build once, persist
+    partitioned by ``band`` (and bucketed by ``key`` on a real lake) so
+    stream probes prune."""
+    return band_keys(
+        minhash_signatures_projection(corpus_docs, k=k, n=n), k=k, bands=bands
+    ).select("band", "key").distinct()
+
+
+def near_dup_filter(docs: DataFrame, corpus_index: DataFrame,
+                    k: int = DEFAULT_K, bands: int = DEFAULT_BANDS,
+                    n: int = 3) -> DataFrame:
+    """Batch core (also the per-micro-batch body): drop every doc whose
+    LSH banding collides with the corpus index."""
+    sigs = minhash_signatures_projection(docs, k=k, n=n)
+    colliding = (
+        band_keys(sigs, k=k, bands=bands)
+        .join(corpus_index, ["band", "key"])
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.join(colliding, "doc_id", "left_anti")
+
+
+def stream_near_dup_dedup(doc_stream: DataFrame, corpus_index: DataFrame,
+                          out_path: str, checkpoint: str,
+                          k: int = DEFAULT_K, bands: int = DEFAULT_BANDS,
+                          n: int = 3):
+    """Start a streaming query appending corpus-novel documents to
+    ``out_path``.  ``corpus_index`` is a static DataFrame (stream-static
+    joins are stateless); refresh it by restarting the query — the
+    checkpoint carries only source offsets, no operator state."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            near_dup_filter(batch_df, corpus_index, k=k, bands=bands, n=n)
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

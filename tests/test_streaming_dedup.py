@@ -1,0 +1,91 @@
+"""Streaming near-dup dedup against a historical corpus index.
+
+Pins three contracts:
+- the projection-form MinHash signatures are BIT-IDENTICAL to the
+  aggregation form (same salted digests, same minima) — the property that
+  lets the stream and the batch corpus share one keying;
+- the batch core drops exactly the docs whose banding collides with the
+  index (near-dups of corpus docs go, novel docs stay);
+- the foreachBatch streaming query reproduces the batch answer across
+  multiple micro-batches.
+"""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from biggraphite_spark.operators.dedup import (
+    minhash_signatures,
+    minhash_signatures_projection,
+)
+from biggraphite_spark.streaming.dedup import (
+    corpus_band_index,
+    near_dup_filter,
+    stream_near_dup_dedup,
+)
+
+DOC_SCHEMA = "doc_id long, text string"
+
+CORPUS = [
+    (100, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (101, "pack my box with five dozen liquor jugs before the morning train"),
+]
+
+STREAM_ROWS = [
+    # near-dup of corpus doc 100 (one token changed) -> must be dropped
+    (1, "the quick brown fox jumps over the lazy cat near the river bank"),
+    # exact dup of corpus doc 101 -> must be dropped
+    (2, "pack my box with five dozen liquor jugs before the morning train"),
+    # novel -> must survive
+    (3, "completely unrelated sentence about distributed query engines today"),
+    (4, "another novel document mentioning winnowing fingerprints and spark"),
+]
+
+
+@pytest.fixture()
+def dirs():
+    d = tempfile.mkdtemp(prefix="bgspark-stream-dedup-")
+    yield {k: os.path.join(d, k) for k in ("in", "out", "ckpt")}
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_projection_signatures_match_aggregation_form(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    agg = {r["doc_id"]: r.asDict() for r in minhash_signatures(docs).collect()}
+    proj = {r["doc_id"]: r.asDict() for r in minhash_signatures_projection(docs).collect()}
+    assert agg == proj
+
+
+def test_near_dup_filter_batch_semantics(spark):
+    corpus = spark.createDataFrame(CORPUS, DOC_SCHEMA)
+    stream_docs = spark.createDataFrame(STREAM_ROWS, DOC_SCHEMA)
+    index = corpus_band_index(corpus)
+    kept = sorted(
+        r["doc_id"] for r in near_dup_filter(stream_docs, index).collect()
+    )
+    assert kept == [3, 4]
+
+
+def test_stream_matches_batch_across_microbatches(spark, dirs):
+    corpus = spark.createDataFrame(CORPUS, DOC_SCHEMA)
+    index = corpus_band_index(corpus)
+    # two micro-batches: files land before each run of the availableNow query
+    spark.createDataFrame(STREAM_ROWS[:2], DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(dirs["in"])
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(dirs["in"])
+    q = stream_near_dup_dedup(stream, index, dirs["out"], dirs["ckpt"])
+    q.awaitTermination(120)
+    spark.createDataFrame(STREAM_ROWS[2:], DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(dirs["in"])
+    stream2 = spark.readStream.schema(DOC_SCHEMA).parquet(dirs["in"])
+    q2 = stream_near_dup_dedup(stream2, index, dirs["out"], dirs["ckpt"])
+    q2.awaitTermination(120)
+    survivors = sorted(
+        r["doc_id"] for r in spark.read.parquet(dirs["out"]).collect()
+    )
+    assert survivors == [3, 4]

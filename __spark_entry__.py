@@ -5157,6 +5157,51 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_novel_oracle(k: int = 16, bands: int = 4) -> str:
+    r = k // bands
+    mins = ", ".join(
+        f"min(substr(md5('{j // 4}:' || sh), {(j % 4) * 8 + 1}, 8)) AS h{j}"
+        for j in range(k)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b, key=" || ".join(f"h{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH d AS ({_SHINGLES_SQL}),
+s AS (SELECT doc_id, unnest(sh) AS sh FROM d),
+sig AS (SELECT doc_id, {mins} FROM s GROUP BY doc_id),
+bands AS ({band_selects}),
+corpus AS (SELECT DISTINCT band, key FROM bands WHERE doc_id < 250),
+colliding AS (SELECT DISTINCT b.doc_id FROM bands b
+              JOIN corpus c ON b.band = c.band AND b.key = c.key
+              WHERE b.doc_id >= 250)
+SELECT doc_id FROM documents
+WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM colliding)
+"""
+
+
+@_register("doc_corpus_novel", _corpus_novel_oracle())
+def doc_corpus_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time novelty filter, batch contract: docs (the second half of
+    the table, standing in for a day's arrivals) that do NOT LSH-collide
+    with the historical corpus (the first half) survive.  Exercises the
+    streaming dedup core (streaming/dedup.py near_dup_filter + the
+    shuffle-free projection-form signatures) end to end under the DuckDB
+    oracle — the same code foreachBatch runs per micro-batch."""
+    _utc(spark)
+    from biggraphite_spark.streaming.dedup import corpus_band_index, near_dup_filter
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    half = 250
+    corpus = docs.filter(F.col("doc_id") < half)
+    incoming = docs.filter(F.col("doc_id") >= half)
+    index = corpus_band_index(corpus)
+    return near_dup_filter(incoming, index).select("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

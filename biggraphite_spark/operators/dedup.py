@@ -242,10 +242,12 @@ def minhash_signatures_projection(
             ),
         )
 
+    # emit via inline(): extracting the k fields from the struct column in a
+    # plain projection would re-evaluate the whole digest tree once PER
+    # FIELD (HOF expressions sit outside codegen subexpression elimination);
+    # a generator runs once per row and hands the fields out as columns
     sig_struct = bind_col(shingles_col(F.col(text_col), n), sig)
-    return docs.select(
-        "doc_id", *[sig_struct[f"h{j}"].alias(f"h{j}") for j in range(k)]
-    )
+    return docs.select("doc_id", F.inline(F.array(sig_struct)))
 
 
 def band_keys(

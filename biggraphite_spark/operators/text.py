@@ -354,11 +354,9 @@ def winnowing_fingerprints(
             F.md5(F.array_join(f, ",")).alias("fp_digest"),
         ),
     )
-    return docs.select(
-        "doc_id",
-        digest["n_fingerprints"].alias("n_fingerprints"),
-        digest["fp_digest"].alias("fp_digest"),
-    )
+    # inline(): field-extracting the struct twice would run the whole
+    # fingerprint tree twice (PERF.md finding 22)
+    return docs.select("doc_id", F.inline(F.array(digest)))
 
 
 def rolling_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:

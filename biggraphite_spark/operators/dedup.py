@@ -304,11 +304,12 @@ def lsh_near_dups(
     Both relations are cached: the banded signatures feed both sides of the
     candidate self-join and the shingle relation both sides of the verify
     join, and Spark does not dedupe common subtrees within one action —
-    uncached, the (scan + explode + 16-min aggregate) subtree would execute
-    four times.  Signatures are narrow (doc_id + k short strings); the heavy
-    shingle arrays never enter the aggregation shuffle.
+    uncached, the signature subtree would execute four times.  Signatures
+    come from the PROJECTION form (bit-identical to the aggregation form,
+    pytest-pinned; ~2x faster at sf0.1 and zero shuffle), so the cached
+    relation is one scan-speed pass over the corpus.
     """
-    sigs = minhash_signatures(docs, k=k, n=n).cache()
+    sigs = minhash_signatures_projection(docs, k=k, n=n).cache()
     cands = lsh_candidate_pairs(sigs, k=k, bands=bands)
     sh = with_shingles(docs, n=n).select("doc_id", "shingles").cache()
     pairs = (

@@ -113,6 +113,13 @@ def main() -> None:
             out["errors"] = errors
         if partial:
             out["partial"] = True
+        # attribution for outlier runs: this box carries noisy-neighbor load
+        # (BASELINE.md; PERF.md finding 23), so a 1.5-2x suite total with
+        # loadavg >> our own 32 threads is environment, not regression
+        try:
+            out["loadavg_1m"] = round(os.getloadavg()[0], 1)
+        except OSError:
+            pass
         print(json.dumps(out), flush=True)
 
     # If a harness timeout SIGTERMs this process mid-suite, the timings

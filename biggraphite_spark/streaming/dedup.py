@@ -38,14 +38,52 @@ from ..operators.dedup import (
 )
 
 
+def _bkey(banded: DataFrame) -> DataFrame:
+    """Fold (band, key) into ONE join column: bucketed-scan reuse requires
+    the bucket spec to exactly match the join keys, so a single ``bkey``
+    (band prefix keeps bands from colliding) is what lets the persisted
+    index join without an exchange."""
+    return banded.select(
+        "doc_id",
+        F.concat_ws(":", F.col("band").cast("string"), F.col("key")).alias("bkey"),
+    )
+
+
 def corpus_band_index(corpus_docs: DataFrame, k: int = DEFAULT_K,
                       bands: int = DEFAULT_BANDS, n: int = 3) -> DataFrame:
-    """(band, key) index of the historical corpus — build once, persist
-    partitioned by ``band`` (and bucketed by ``key`` on a real lake) so
-    stream probes prune."""
-    return band_keys(
-        minhash_signatures_projection(corpus_docs, k=k, n=n), k=k, bands=bands
-    ).select("band", "key").distinct()
+    """``bkey`` index of the historical corpus — build once; persist with
+    :func:`write_band_index` so stream probes hit the bucketed layout."""
+    return _bkey(
+        band_keys(
+            minhash_signatures_projection(corpus_docs, k=k, n=n), k=k, bands=bands
+        )
+    ).select("bkey").distinct()
+
+
+def write_band_index(corpus_docs: DataFrame, path: str, table: str,
+                     k: int = DEFAULT_K, bands: int = DEFAULT_BANDS,
+                     n: int = 3, n_buckets: int = 32) -> str:
+    """Persist the corpus band index hash-bucketed by ``bkey``: the layout
+    that makes every probe join exchange-free on the index side.
+
+    The bucketed scan hands the join ``HashPartitioning(bkey)``, which IS
+    the probe's join key — so the 100 TB-index side never shuffles per
+    micro-batch; only the (small) stream side moves.  Same locality
+    argument as ``PointStore.write_bucketed`` (storage.py), plan-asserted
+    in tests/test_streaming_dedup.py.  Returns the table name for
+    ``spark.table``."""
+    spark = corpus_docs.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        corpus_band_index(corpus_docs, k=k, bands=bands, n=n)
+        .write.format("parquet")
+        .bucketBy(n_buckets, "bkey")
+        .sortBy("bkey")
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+    return table
 
 
 def near_dup_filter(docs: DataFrame, corpus_index: DataFrame,
@@ -55,8 +93,8 @@ def near_dup_filter(docs: DataFrame, corpus_index: DataFrame,
     LSH banding collides with the corpus index."""
     sigs = minhash_signatures_projection(docs, k=k, n=n)
     colliding = (
-        band_keys(sigs, k=k, bands=bands)
-        .join(corpus_index, ["band", "key"])
+        _bkey(band_keys(sigs, k=k, bands=bands))
+        .join(corpus_index, "bkey")
         .select("doc_id")
         .distinct()
     )

@@ -89,3 +89,40 @@ def test_stream_matches_batch_across_microbatches(spark, dirs):
         r["doc_id"] for r in spark.read.parquet(dirs["out"]).collect()
     )
     assert survivors == [3, 4]
+
+
+def test_persisted_band_index_probe_is_exchange_free_on_index_side(spark, dirs):
+    """The bucketed band index hands the probe join HashPartitioning(bkey),
+    which IS the join key: the index-side subtree must contain NO Exchange
+    (the stream side, tiny, is the only thing that moves) — the 100 TB
+    probe shape."""
+    from biggraphite_spark.operators.dedup import (
+        band_keys,
+        minhash_signatures_projection,
+    )
+    from biggraphite_spark.streaming.dedup import _bkey, write_band_index
+
+    corpus = spark.createDataFrame(CORPUS, DOC_SCHEMA)
+    table = "bgspark_test_band_index"
+    try:
+        write_band_index(corpus, os.path.join(dirs["out"], "idx"), table, n_buckets=4)
+        index = spark.table(table)
+        incoming = spark.createDataFrame(STREAM_ROWS, DOC_SCHEMA)
+        probe = _bkey(band_keys(minhash_signatures_projection(incoming))).join(
+            index.hint("merge"), "bkey"
+        )
+        prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            plan = probe._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+        assert "Bucketed: true" in plan
+        # exactly one Exchange: the stream side; the bucketed index scan
+        # satisfies the join's distribution without one
+        assert plan.count("Exchange") == 1
+        # the colliding doc set is unchanged by the layout
+        got = sorted(r["doc_id"] for r in probe.select("doc_id").distinct().collect())
+        assert got == [1, 2]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

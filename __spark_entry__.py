@@ -5202,6 +5202,88 @@ def doc_corpus_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_filter(incoming, index).select("doc_id")
 
 
+_COLLOC_MIN = 5
+_COLLOC_K = 50
+
+_COLLOC_ORACLE = f"""
+WITH toks AS (SELECT string_split(text, ' ') AS tk FROM documents),
+pos AS (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM toks),
+pairs AS (SELECT tk[i] AS w1, tk[i + 1] AS w2, count(*) AS pair_count
+          FROM pos GROUP BY 1, 2 HAVING count(*) >= {_COLLOC_MIN}),
+uni AS (SELECT w, count(*) AS c
+        FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
+totals AS (SELECT sum(len(tk)) AS n_uni, sum(len(tk) - 1) AS n_pair FROM toks)
+SELECT p.w1, p.w2, p.pair_count,
+       ROUND(ln((p.pair_count::DOUBLE * t.n_uni::DOUBLE * t.n_uni::DOUBLE)
+                / (t.n_pair::DOUBLE * u1.c::DOUBLE * u2.c::DOUBLE)), 6) AS pmi
+FROM pairs p
+JOIN uni u1 ON u1.w = p.w1
+JOIN uni u2 ON u2.w = p.w2
+CROSS JOIN totals t
+ORDER BY pmi DESC, w1, w2
+LIMIT {_COLLOC_K}
+"""
+
+
+@_register("doc_collocations", _COLLOC_ORACLE)
+def doc_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase mining: top-k adjacent-word pairs by PMI (Mikolov et al. 2013
+    §4) — two token-level hash aggregations, vocabulary-sized broadcast
+    joins, TakeOrdered top-k; the corpus is never wide-shuffled."""
+    _utc(spark)
+    from biggraphite_spark.operators.text import collocations
+
+    return collocations(
+        _load_parallel(spark, sf_dir, "documents"),
+        min_count=_COLLOC_MIN,
+        top_k=_COLLOC_K,
+    )
+
+
+_BIGRAM_LAM = 0.9
+#: repr() so DuckDB parses the EXACT float Python computes for 1-lam
+_BIGRAM_LAM_C = repr(1.0 - _BIGRAM_LAM)
+
+_BIGRAM_LM_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+pos AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM toks),
+big AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2, count(*) AS m
+        FROM pos GROUP BY 1, 2, 3),
+pc AS (SELECT w1, w2, sum(m) AS c12 FROM big GROUP BY 1, 2),
+uni AS (SELECT w, count(*) AS c
+        FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
+tot AS (SELECT sum(c) AS n FROM uni),
+scored AS (
+  SELECT b.doc_id, b.m,
+         {_BIGRAM_LAM} * (pc.c12::DOUBLE / u1.c)
+         + {_BIGRAM_LAM_C} * (u2.c::DOUBLE / tot.n) AS p
+  FROM big b
+  JOIN pc ON pc.w1 = b.w1 AND pc.w2 = b.w2
+  JOIN uni u1 ON u1.w = b.w1
+  JOIN uni u2 ON u2.w = b.w2
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+       ROUND(sum(-m * log2(p)) / sum(m), 6) AS cross_entropy,
+       ROUND(pow(2.0, sum(-m * log2(p)) / sum(m)), 6) AS perplexity
+FROM scored GROUP BY doc_id
+"""
+
+
+@_register("doc_bigram_lm", _BIGRAM_LM_ORACLE)
+def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM cross-entropy/perplexity per document (the
+    rung above doc_perplexity toward CCNet's KenLM signal): per-doc distinct
+    bigrams joined to the vocabulary²-bounded corpus pair relation (AQE
+    broadcasts it when it fits), vocabulary + scalar totals broadcast."""
+    _utc(spark)
+    from biggraphite_spark.operators.curation import bigram_logprob
+
+    return bigram_logprob(
+        _load_parallel(spark, sf_dir, "documents"), lam=_BIGRAM_LAM
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

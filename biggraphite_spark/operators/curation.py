@@ -376,3 +376,62 @@ def curate(
             ).alias("keep"),
         )
     )
+
+
+def bigram_logprob(
+    docs: DataFrame, text_col: str = "text", lam: float = 0.9
+) -> DataFrame:
+    """Interpolated bigram language-model cross-entropy per document — the
+    next rung above :func:`unigram_logprob` toward CCNet's KenLM quality
+    signal.  Per bigram position ``p(w2|w1) = lam·c12/c1 + (1-lam)·c2/N``
+    (Jelinek-Mercer interpolation with the corpus-MLE unigram as the
+    backoff, so unseen-in-context pairs never hit -inf), then
+    ``H = -Σ m·log2 p / Σ m`` and ``ppl = 2^H`` over the document's bigram
+    positions.
+
+    Output: doc_id, n_bigrams, cross_entropy, perplexity.
+
+    Scale shape: per-doc bigrams are pre-aggregated to (doc_id, w1, w2, m)
+    so the corpus join carries distinct pairs per doc, not positions.  The
+    corpus pair relation is joined on (w1, w2) — vocabulary²-bounded, so a
+    plain hash join that AQE downgrades to broadcast when it fits; the
+    unigram vocabulary and scalar total ARE broadcast.  Wide shuffles:
+    (w1,w2) counts and the final doc_id agg, both linear in corpus size.
+    """
+    toks = docs.select("doc_id", tokens_col(F.col(text_col)).alias("t"))
+    big = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr("arrays_zip(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1))")
+            ).alias("pr"),
+        )
+        .select("doc_id", F.col("pr.0").alias("w1"), F.col("pr.1").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("m"))
+    )
+    pair_counts = big.groupBy("w1", "w2").agg(F.sum("m").alias("c12"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    total = uni.agg(F.sum("c").alias("n"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    p = F.lit(lam) * (
+        F.col("c12").cast("double") / F.col("c1")
+    ) + F.lit(1.0 - lam) * (F.col("c2").cast("double") / F.col("n"))
+    scored = (
+        big.join(pair_counts, ["w1", "w2"])
+        .join(broadcast(u1), "w1")
+        .join(broadcast(u2), "w2")
+        .crossJoin(broadcast(total))
+        .select("doc_id", "m", p.alias("p"))
+    )
+    h = F.sum(-F.col("m") * F.log2("p")) / F.sum("m")
+    return scored.groupBy("doc_id").agg(
+        F.sum("m").alias("n_bigrams"),
+        F.round(h, 6).alias("cross_entropy"),
+        F.round(F.pow(F.lit(2.0), h), 6).alias("perplexity"),
+    )

@@ -374,3 +374,68 @@ def rolling_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ) % F.lit(2147483647),
     )
     return docs.select("doc_id", rolled.alias("rolling_fp"))
+
+
+def collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-k adjacent-word collocations by pointwise mutual information —
+    the phrase-mining pass (Mikolov et al. 2013 §4 "Learning Phrases") a
+    training pipeline runs before tokenizer training to promote frequent
+    pairs like "new york" to single units.
+
+    ``PMI(w1,w2) = ln( (c12/Np) / ((c1/Nu)·(c2/Nu)) )`` with unigram totals
+    ``Nu = Σ len(doc)`` and bigram totals ``Np = Σ (len(doc)-1)``; pairs
+    below ``min_count`` are pruned BEFORE the join (rare-pair PMI is noise
+    and the prune keeps the joined relation vocabulary-bounded).
+
+    Scale shape: two token-level hash aggregations (unigram + bigram
+    counts, both map-side partial), then vocabulary-sized broadcast joins
+    and scalar-literal totals — the corpus is scanned twice and never
+    wide-shuffled; top-k is a TakeOrdered, not a global sort.
+    """
+    toks = docs.select(tokens_col(F.col(text_col)).alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = (
+        toks.select(
+            F.explode(
+                F.expr("arrays_zip(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1))")
+            ).alias("pr")
+        )
+        .select(F.col("pr.0").alias("w1"), F.col("pr.1").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    totals = toks.agg(
+        F.sum(F.size("t")).alias("n_uni"),
+        F.sum(F.size("t") - 1).alias("n_pair"),
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    ratio = (
+        F.col("pair_count").cast("double")
+        * F.col("n_uni").cast("double")
+        * F.col("n_uni").cast("double")
+    ) / (
+        F.col("n_pair").cast("double")
+        * F.col("c1").cast("double")
+        * F.col("c2").cast("double")
+    )
+    return (
+        pairs.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1", "w2", "pair_count", F.round(F.log(ratio), 6).alias("pmi")
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(top_k)
+    )

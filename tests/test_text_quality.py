@@ -123,3 +123,75 @@ def test_dup_clusters_distributed_path_matches_driver_path(spark):
     dist = dup_clusters(docs, pairs=pairs, driver_max_edges=0).collect()
     key = lambda r: (r["doc_id"], r["cluster_id"], r["cluster_size"])  # noqa: E731
     assert sorted(map(key, driver)) == sorted(map(key, dist))
+
+
+# -- collocations (PMI phrase mining) ---------------------------------------
+
+def test_collocations_tiny_golden(spark):
+    """Hand-checked PMI on a 2-doc corpus: unigrams a:3 b:4 c:2 (N=9),
+    bigram positions 7, pair counts (a,b):2 (b,a):2 (b,c):2 (c,b):1."""
+    import math
+
+    from biggraphite_spark.operators.text import collocations
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "b c b a")], ["doc_id", "text"]
+    )
+    rows = collocations(docs, min_count=2, top_k=10).collect()
+    got = {(r.w1, r.w2): (r.pair_count, r.pmi) for r in rows}
+
+    def pmi(c12, c1, c2):
+        return round(math.log((c12 * 9.0 * 9.0) / (7.0 * c1 * c2)), 6)
+
+    assert got == {
+        ("a", "b"): (2, pmi(2, 3, 4)),
+        ("b", "a"): (2, pmi(2, 4, 3)),
+        ("b", "c"): (2, pmi(2, 4, 2)),
+    }
+    # (c,b) fell below min_count; ordering is pmi desc then lexicographic
+    assert [(r.w1, r.w2) for r in rows] == [("b", "c"), ("a", "b"), ("b", "a")]
+
+
+def test_collocations_topk_cut(spark):
+    from biggraphite_spark.operators.text import collocations
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "b c b a")], ["doc_id", "text"]
+    )
+    rows = collocations(docs, min_count=1, top_k=2).collect()
+    assert len(rows) == 2
+    assert rows[0].pmi >= rows[1].pmi
+
+
+# -- interpolated bigram LM --------------------------------------------------
+
+def test_bigram_logprob_matches_python_reference(spark):
+    import math
+    from collections import Counter
+
+    from biggraphite_spark.operators.curation import bigram_logprob
+
+    corpus = [(0, "a b a b c"), (1, "b c b a"), (2, "c c c a b")]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    rows = {r.doc_id: r for r in bigram_logprob(docs, lam=0.9).collect()}
+
+    uni = Counter(t for _, s in corpus for t in s.split(" "))
+    n = sum(uni.values())
+    pairs = Counter(
+        (ts[i], ts[i + 1])
+        for _, s in corpus
+        for ts in [s.split(" ")]
+        for i in range(len(ts) - 1)
+    )
+    for doc_id, s in corpus:
+        ts = s.split(" ")
+        logs = []
+        for i in range(len(ts) - 1):
+            w1, w2 = ts[i], ts[i + 1]
+            p = 0.9 * (pairs[(w1, w2)] / uni[w1]) + (1.0 - 0.9) * (uni[w2] / n)
+            logs.append(-math.log2(p))
+        h = sum(logs) / len(logs)
+        got = rows[doc_id]
+        assert got.n_bigrams == len(ts) - 1
+        assert abs(got.cross_entropy - h) < 1e-5
+        assert abs(got.perplexity - 2.0 ** h) < 1e-4

@@ -5284,6 +5284,55 @@ def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NORM_ORACLE = """
+WITH perturbed AS (
+  SELECT doc_id,
+         '  ' || upper(replace(text, ' ', '  ')) || chr(9) || 'User.'
+         || CAST(doc_id AS VARCHAR) || '@Example.COM ' || chr(7) || 'end'
+         AS p
+  FROM documents
+),
+norm AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(
+            regexp_replace(p, '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'),
+            '[ \\t\\n\\r]+', ' ', 'g'))) AS n
+  FROM perturbed
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(n,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+          '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+          '\\+?\\d[\\d()./ -]{6,}\\d', '<PHONE>', 'g') AS clean_text
+FROM norm
+"""
+
+
+@_register("doc_normalize", _NORM_ORACLE)
+def doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization + PII masking as a differential contract: both
+    engines deterministically perturb the corpus (leading/doubled spaces,
+    uppercase, a tab, an injected per-doc email, a control char), then the
+    Spark side runs normalize_text + pii_mask while the oracle replays the
+    same regex pipeline in RE2 — pinning that the cleanup semantics are
+    engine-portable, not Java-regex accidents.  Pure chained projections:
+    one scan, zero shuffles, scan-speed at any corpus size."""
+    _utc(spark)
+    from biggraphite_spark.operators.text import normalize_text, pii_mask
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    perturbed = F.concat(
+        F.lit("  "),
+        F.upper(F.replace(F.col("text"), F.lit(" "), F.lit("  "))),
+        F.lit("\tUser."),
+        F.col("doc_id").cast("string"),
+        F.lit("@Example.COM \x07end"),
+    )
+    return docs.select(
+        "doc_id", pii_mask(normalize_text(perturbed)).alias("clean_text")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

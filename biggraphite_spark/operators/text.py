@@ -439,3 +439,63 @@ def collocations(
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(top_k)
     )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text cleanup — the first pass every real-corpus pipeline
+    runs before tokenization/dedup (C4/CCNet-style): strip C0 control
+    characters (keeping \\t \\n which the whitespace collapse then eats),
+    collapse all runs of whitespace to one space, trim, lowercase.
+
+    A pure projection (three regexp_replace + lower + trim) inside
+    whole-stage codegen; the character classes are written to mean the same
+    thing in Java regex and RE2 so the DuckDB oracle can mirror them.
+    """
+    cleaned = F.regexp_replace(text, "[\\x00-\\x08\\x0b-\\x1f\\x7f]", "")
+    collapsed = F.regexp_replace(cleaned, "[ \\t\\n\\r]+", " ")
+    return F.lower(F.trim(collapsed))
+
+
+#: masking patterns, ordered — email before phone so the digits of a
+#: user@host123 style address are consumed as EMAIL, not PHONE
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("\\+?\\d[\\d()./ -]{6,}\\d", "<PHONE>"),
+)
+
+
+def pii_mask(text: Column, patterns=PII_PATTERNS) -> Column:
+    """Mask personally-identifiable spans with typed placeholder tokens —
+    the pre-release scrub pass (emails, IPv4s, phone-shaped digit runs by
+    default; pass corpus-specific ``patterns`` to extend).
+
+    Chained regexp_replace projections; patterns restrict themselves to the
+    regex subset Java and RE2 evaluate identically (no backreferences or
+    lookaround), so the scrub is oracle-checkable and portable to any
+    engine a pipeline hands it to.
+    """
+    out = text
+    for pat, token in patterns:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def html_strip(text: Column) -> Column:
+    """Drop markup from scraped text: remove <script>/<style> elements with
+    their payload, strip remaining tags, decode the five predefined XML
+    entities.  The regex-level de-tagging every web-corpus pipeline applies
+    before quality scoring (full DOM parsing is a per-document Python stage;
+    this is the scan-speed projection that handles the overwhelming bulk).
+    """
+    no_block = F.regexp_replace(
+        text, "(?i)<(script|style)[^>]*>[^<]*(?:<(?!/)[^<]*)*</(script|style)>", " "
+    )
+    no_tags = F.regexp_replace(no_block, "<[^>]+>", " ")
+    out = no_tags
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""), ("&apos;", "'"),
+        ("&amp;", "&"),  # last, so &amp;lt; decodes to &lt; not <
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out

@@ -195,3 +195,57 @@ def test_bigram_logprob_matches_python_reference(spark):
         assert got.n_bigrams == len(ts) - 1
         assert abs(got.cross_entropy - h) < 1e-5
         assert abs(got.perplexity - 2.0 ** h) < 1e-4
+
+
+# -- normalization / PII masking / HTML strip --------------------------------
+
+def test_normalize_text_goldens(spark):
+    from biggraphite_spark.operators.text import normalize_text
+
+    cases = [
+        ("  Hello\t\tWORLD \n", "hello world"),
+        ("a\x00b\x07c", "abc"),                  # control chars stripped
+        ("keep\tone  space\r\nhere", "keep one space here"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(cases)], ["i", "t"])
+    from pyspark.sql import functions as F
+    got = {r.i: r.out for r in df.select("i", normalize_text(F.col("t")).alias("out")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_pii_mask_goldens(spark):
+    from pyspark.sql import functions as F
+
+    from biggraphite_spark.operators.text import pii_mask
+
+    cases = [
+        ("mail me at jo.smith+x@sub.example.org now", "mail me at <EMAIL> now"),
+        ("server 10.0.255.3 down", "server <IP> down"),
+        ("call +1 (555) 123-4567 ok", "call <PHONE> ok"),
+        ("id 42 is fine", "id 42 is fine"),      # short digit runs untouched
+        ("a@b.co and 1.2.3.4", "<EMAIL> and <IP>"),
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(cases)], ["i", "t"])
+    got = {r.i: r.out for r in df.select("i", pii_mask(F.col("t")).alias("out")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_html_strip_goldens(spark):
+    from pyspark.sql import functions as F
+
+    from biggraphite_spark.operators.text import html_strip, normalize_text
+
+    cases = [
+        ("<p>Hi <b>there</b></p>", "hi there"),
+        ("a<script type='x'>var x = '<b>'</script>b", "a b"),
+        ("one<STYLE>p { color: red }</STYLE>two", "one two"),
+        ("x &amp;lt; y &lt; z &quot;q&quot;", 'x &lt; y < z "q"'),
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(cases)], ["i", "t"])
+    expr = normalize_text(html_strip(F.col("t"))).alias("out")
+    got = {r.i: r.out for r in df.select("i", expr).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)

@@ -3304,7 +3304,19 @@ def _hourly_finals(spark: SparkSession, sf_dir: str, pattern: str) -> DataFrame:
     fetched = fetch_points(
         _stage1(spark, sf_dir), metrics, _GR_START, NOW, target=STAGE1
     )
-    return fetched.withColumn("value", F.round("value", 6))
+    # Cluster by series BEFORE the gr_* queries cache this frame: a cached
+    # HashPartitioning(name) satisfies ClusteredDistribution for every
+    # downstream per-series window (partitionBy(name)) and per-(name,·)
+    # aggregation (subset rule), so the branch fan-outs the render queries
+    # run on top stop re-exchanging the same rows once per branch.
+    # Measured at sf0.1: gr family 48.2 -> 41.2s, gr_render_tail 6.3 -> 4.3s,
+    # no query worse than +0.1s (ts-keyed branches still exchange, but pay
+    # the one up-front exchange instead of N).  At scale this is the
+    # storage bucketing (PointStore.write_bucketed sortBy(name, ts)) made
+    # explicit for the raw-read path.
+    return fetched.withColumn("value", F.round("value", 6)).repartition(
+        F.col("name")
+    )
 
 
 _GR_COMBINE_ORACLE = f"""

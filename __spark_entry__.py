@@ -5345,6 +5345,58 @@ def doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NB_ORACLE = """
+WITH post AS (
+  SELECT doc_id, lang AS y, tok, count(*) AS m
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY 1, 2, 3
+),
+counts AS (SELECT y, tok, sum(m) AS c FROM post GROUP BY 1, 2),
+vocab AS (SELECT DISTINCT tok FROM post),
+vsize AS (SELECT count(*) AS v FROM vocab),
+totals AS (SELECT y, sum(c) AS t FROM counts GROUP BY 1),
+priors AS (SELECT lang AS y, count(*) AS nd FROM documents GROUP BY 1),
+ntot AS (SELECT count(*) AS n FROM documents),
+grid AS (
+  SELECT tt.y, vb.tok,
+         ln((coalesce(c.c, 0) + 1.0) / (tt.t + 1.0 * vs.v)) AS ll
+  FROM vocab vb
+  CROSS JOIN totals tt
+  LEFT JOIN counts c ON c.y = tt.y AND c.tok = vb.tok
+  CROSS JOIN vsize vs
+),
+scored AS (
+  SELECT p.doc_id, g.y, sum(p.m * g.ll) AS s
+  FROM (SELECT doc_id, tok, m FROM post) p JOIN grid g ON g.tok = p.tok
+  GROUP BY 1, 2
+),
+final AS (
+  SELECT sc.doc_id, sc.y,
+         sc.s + ln(pr.nd::DOUBLE / nt.n) AS score,
+         row_number() OVER (
+           PARTITION BY sc.doc_id
+           ORDER BY sc.s + ln(pr.nd::DOUBLE / nt.n) DESC, sc.y
+         ) AS rn
+  FROM scored sc JOIN priors pr ON pr.y = sc.y CROSS JOIN ntot nt
+)
+SELECT d.doc_id, d.lang, f.y AS pred, ROUND(f.score, 6) AS score
+FROM final f JOIN documents d ON d.doc_id = f.doc_id
+WHERE f.rn = 1
+"""
+
+
+@_register("doc_nb_lang", _NB_ORACLE)
+def doc_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, fit AND applied in one
+    declarative plan (the fasttext-style filter gate whose training is pure
+    counting): Laplace-smoothed (label × vocab) model grid broadcast onto
+    the postings, one linear scoring shuffle, argmax per doc."""
+    _utc(spark)
+    from biggraphite_spark.operators.text import nb_classifier
+
+    return nb_classifier(_load_parallel(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

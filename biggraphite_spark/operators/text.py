@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: default stopword list for quality scoring — high-frequency English
@@ -499,3 +499,78 @@ def html_strip(text: Column) -> Column:
     ):
         out = F.replace(out, F.lit(ent), F.lit(ch))
     return out
+
+
+def nb_classifier(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Multinomial Naive Bayes classifier, trained AND applied in one
+    declarative plan — the classical quality/language filter shape (the
+    fasttext-style gate of C4/CCNet pipelines) whose training step is pure
+    counting, so the whole fit+predict pipeline is joins and aggregations
+    the oracle can replay exactly.
+
+    Laplace-smoothed: ``log p(tok|y) = ln((c_ty + α)/(T_y + α·V))`` with V
+    the corpus vocabulary size; ``score(d,y) = ln(n_y/n) + Σ m·log p``;
+    prediction is the argmax with lexicographic label tie-break.
+
+    Output: doc_id, <label_col> (the true label), pred, score.
+
+    Scale shape: the model is the (label × vocab) count grid —
+    vocabulary-bounded, broadcast — so scoring is a posting-level broadcast
+    join fanned out ×|labels|; wide shuffles are keyed by (doc, tok) and
+    doc, both linear.  Train and apply share one corpus scan.
+    """
+    postings = (
+        docs.select(
+            "doc_id",
+            F.col(label_col).alias("y"),
+            F.explode(tokens_col(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("doc_id", "y", "tok")
+        .agg(F.count("*").alias("m"))
+    )
+    counts = postings.groupBy("y", "tok").agg(F.sum("m").alias("c"))
+    vocab = postings.select("tok").distinct()
+    vsize = vocab.agg(F.count("*").alias("v"))
+    totals = counts.groupBy("y").agg(F.sum("c").alias("t"))
+    priors = docs.groupBy(F.col(label_col).alias("y")).agg(
+        F.count("*").alias("nd")
+    )
+    ntotal = docs.agg(F.count("*").alias("n"))
+    grid = (
+        vocab.crossJoin(F.broadcast(totals))
+        .join(F.broadcast(counts), ["y", "tok"], "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "y",
+            "tok",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(alpha))
+                / (F.col("t") + F.lit(alpha) * F.col("v"))
+            ).alias("ll"),
+        )
+    )
+    scored = (
+        postings.select("doc_id", "tok", "m")
+        .join(F.broadcast(grid), "tok")
+        .groupBy("doc_id", "y")
+        .agg(F.sum(F.col("m") * F.col("ll")).alias("s"))
+        .join(F.broadcast(priors), "y")
+        .crossJoin(F.broadcast(ntotal))
+        .select(
+            "doc_id",
+            "y",
+            (F.col("s") + F.log(F.col("nd") / F.col("n"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("y"))
+    best = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("y").alias("pred"), F.round("score", 6).alias("score"))
+    )
+    return docs.select("doc_id", label_col).join(best, "doc_id")

@@ -249,3 +249,45 @@ def test_html_strip_goldens(spark):
     got = {r.i: r.out for r in df.select("i", expr).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+# -- Naive Bayes classifier --------------------------------------------------
+
+def test_nb_classifier_matches_python_reference(spark):
+    import math
+    from collections import Counter, defaultdict
+
+    from biggraphite_spark.operators.text import nb_classifier
+
+    corpus = [
+        (0, "en", "the cat sat"),
+        (1, "en", "the dog ran"),
+        (2, "de", "der hund lief"),
+        (3, "de", "der der katze"),
+        (4, "en", "a cat and dog"),
+    ]
+    docs = spark.createDataFrame(corpus, ["doc_id", "lang", "text"])
+    got = {r.doc_id: r for r in nb_classifier(docs).collect()}
+
+    counts = defaultdict(Counter)
+    nd = Counter()
+    for _, y, s in corpus:
+        nd[y] += 1
+        counts[y].update(s.split(" "))
+    vocab = {t for c in counts.values() for t in c}
+    V, n = len(vocab), len(corpus)
+    for doc_id, y_true, s in corpus:
+        scores = {}
+        for y in counts:
+            t = sum(counts[y].values())
+            sc = math.log(nd[y] / n)
+            for tok in s.split(" "):
+                sc += math.log((counts[y][tok] + 1.0) / (t + 1.0 * V))
+            scores[y] = sc
+        pred = min(scores, key=lambda y: (-scores[y], y))
+        r = got[doc_id]
+        assert r.lang == y_true
+        assert r.pred == pred, (doc_id, r.pred, pred, scores)
+        assert abs(r.score - scores[pred]) < 1e-5
+    # sanity: the obviously-German docs classify de, English ones en
+    assert got[2].pred == "de" and got[0].pred == "en"

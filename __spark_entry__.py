@@ -5397,6 +5397,54 @@ def doc_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_classifier(_load_parallel(spark, sf_dir, "documents"))
 
 
+def _dataset_card_oracle() -> str:
+    """Reuses the generated quality-rule SQL so ONE externalized rule table
+    drives the per-doc keep flag in both the doc_quality_rules contract and
+    this corpus-level rollup."""
+    from biggraphite_spark.operators.text import STOPWORDS
+
+    stops = _sql_word_list(STOPWORDS)
+    return f"""
+WITH t AS (SELECT doc_id, lang, source, text, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+        (len(toks) >= 20 AND len(toks) <= 100000
+         AND (length(text) - (len(toks) - 1)) * 1.0 / len(toks) >= 3.0
+         AND (length(text) - (len(toks) - 1)) * 1.0 / len(toks) <= 10.0
+         AND list_max(list_transform(toks, x -> length(x))) <= 20
+         AND len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0 / len(toks) >= 0.8
+         AND len(list_filter(toks, x -> x IN ({stops}))) >= 2) AS keep
+      FROM t),
+per AS (SELECT t.doc_id, lang, source, len(toks) AS n_toks, s.keep
+        FROM t JOIN s USING (doc_id)),
+base AS (SELECT count(*) AS n_docs,
+                CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                count(DISTINCT lang) AS n_langs,
+                count(DISTINCT source) AS n_sources,
+                ROUND(avg(CASE WHEN keep THEN 1.0 ELSE 0.0 END) * 100, 4) AS pct_quality_pass,
+                ROUND(avg(n_toks), 6) AS mean_doc_tokens,
+                quantile_cont(n_toks, 0.5) AS p50_doc_tokens,
+                quantile_cont(n_toks, 0.95) AS p95_doc_tokens
+         FROM per),
+dup AS (SELECT ROUND((sum(c) - count(*)) / sum(c) * 100, 4) AS pct_exact_dup
+        FROM (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1)),
+vocab AS (SELECT count(DISTINCT w) AS vocab_size
+          FROM (SELECT unnest(toks) AS w FROM t))
+SELECT * FROM base CROSS JOIN dup CROSS JOIN vocab
+"""
+
+
+@_register("doc_dataset_card", _dataset_card_oracle())
+def doc_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus release summary in one row (docs/tokens/vocab, language and
+    source spread, exact-dup rate, Gopher-gate pass rate, length
+    quantiles): three linear aggregations over one scan, cross-joined as
+    single-row broadcasts."""
+    _utc(spark)
+    from biggraphite_spark.operators.curation import dataset_card
+
+    return dataset_card(_load_parallel(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

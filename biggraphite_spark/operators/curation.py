@@ -435,3 +435,61 @@ def bigram_logprob(
         F.round(h, 6).alias("cross_entropy"),
         F.round(F.pow(F.lit(2.0), h), 6).alias("perplexity"),
     )
+
+
+def dataset_card(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus summary — the "dataset card" statistics block a
+    training-data release publishes (docs/tokens/vocab, language spread,
+    exact-duplicate rate, quality pass rate, document-length quantiles).
+
+    Output (single row): n_docs, n_tokens, vocab_size, n_langs, n_sources,
+    pct_exact_dup, pct_quality_pass, mean_doc_tokens, p50_doc_tokens,
+    p95_doc_tokens.
+
+    Scale shape: one scan feeds three aggregations — a per-doc projection
+    reduced globally (counts, quantiles over the per-doc token count, the
+    quality conjunction), a text-hash groupBy for the duplicate rate, and
+    one token explode for the vocabulary size — then three single-row
+    frames cross-join.  Everything is linear with map-side partials;
+    exact percentiles over the per-doc length relation (corpus-cardinality,
+    tiny next to the token stream) match what a release card reports.
+    """
+    from .text import quality_rules, tokens_col
+
+    per_doc = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(tokens_col(F.col(text_col))).alias("n_toks"),
+        F.md5(text_col).alias("h"),
+    )
+    q = quality_rules(docs, text_col=text_col).select("doc_id", "keep")
+    base = (
+        per_doc.join(q, "doc_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.round(F.avg(F.col("keep").cast("double")) * 100, 4).alias(
+                "pct_quality_pass"
+            ),
+            F.round(F.avg("n_toks"), 6).alias("mean_doc_tokens"),
+            F.expr("percentile(n_toks, 0.5)").alias("p50_doc_tokens"),
+            F.expr("percentile(n_toks, 0.95)").alias("p95_doc_tokens"),
+        )
+    )
+    dup = (
+        per_doc.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.round(
+                (F.sum("c") - F.count("*")) / F.sum("c") * 100, 4
+            ).alias("pct_exact_dup")
+        )
+    )
+    vocab = (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+        .agg(F.count_distinct("w").alias("vocab_size"))
+    )
+    return base.crossJoin(broadcast(dup)).crossJoin(broadcast(vocab))

@@ -190,3 +190,30 @@ def test_curate_decision_table_stage_semantics(spark):
     assert out[3]["contaminated"] is False
     # contaminated docs never survive, regardless of other flags
     assert out[1]["keep"] is False and out[2]["keep"] is False
+
+
+def test_dataset_card_single_row_sane(spark, sf_dir):
+    from biggraphite_spark.operators.curation import dataset_card
+    from biggraphite_spark.sources.testdata import load_parallel
+
+    rows = dataset_card(load_parallel(spark, sf_dir, "documents")).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_docs > 0 and r.n_tokens > r.n_docs
+    assert 0 <= r.pct_exact_dup <= 100 and 0 <= r.pct_quality_pass <= 100
+    assert r.p50_doc_tokens <= r.p95_doc_tokens
+    assert r.vocab_size > 0 and r.n_langs >= 1 and r.n_sources >= 1
+
+
+def test_dataset_card_counts_duplicates(spark):
+    from biggraphite_spark.operators.curation import dataset_card
+
+    docs = spark.createDataFrame(
+        [(0, "en", "s", "a b c"), (1, "en", "s", "a b c"), (2, "de", "s", "x y z")],
+        ["doc_id", "lang", "source", "text"],
+    )
+    r = dataset_card(docs).collect()[0]
+    # 3 docs, one exact-dup pair -> 1 redundant copy of 3 = 33.3333%
+    assert r.n_docs == 3 and r.n_tokens == 9 and r.n_langs == 2
+    assert abs(r.pct_exact_dup - 100.0 / 3) < 1e-3
+    assert r.vocab_size == 6

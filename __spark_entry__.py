@@ -5445,6 +5445,33 @@ def doc_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_card(_load_parallel(spark, sf_dir, "documents"))
 
 
+_SRC_OVERLAP_ORACLE = f"""
+WITH g AS ({_CONTAM_GRAMS}),
+p AS (SELECT DISTINCT d.source AS src, g.gram
+      FROM g JOIN documents d USING (doc_id)),
+t AS (SELECT src, count(*) AS n FROM p GROUP BY 1),
+pr AS (SELECT a.src AS source_a, b.src AS source_b, count(*) AS shared
+       FROM p a JOIN p b ON a.gram = b.gram AND a.src < b.src
+       GROUP BY 1, 2)
+SELECT source_a, source_b, shared, ta.n AS n_a, tb.n AS n_b,
+       ROUND(shared / least(ta.n, tb.n), 6) AS overlap_coef
+FROM pr JOIN t ta ON ta.src = source_a JOIN t tb ON tb.src = source_b
+"""
+
+
+@_register("doc_source_overlap", _SRC_OVERLAP_ORACLE)
+def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shared-shingle matrix (the leakage audit before mixing
+    sub-corpora): distinct (source, gram) postings, gram-keyed self-join
+    bounded by sources-per-gram, per-source totals broadcast."""
+    _utc(spark)
+    from biggraphite_spark.operators.curation import source_overlap
+
+    return source_overlap(
+        _load_parallel(spark, sf_dir, "documents"), n=_CONTAM_N
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

@@ -493,3 +493,58 @@ def dataset_card(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .agg(F.count_distinct("w").alias("vocab_size"))
     )
     return base.crossJoin(broadcast(dup)).crossJoin(broadcast(vocab))
+
+
+def source_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 5,
+) -> DataFrame:
+    """Cross-source content-overlap matrix: for every pair of sub-corpora,
+    how many distinct n-gram shingles they share — the leakage audit run
+    before mixing crawl snapshots / data vendors (a pair with high overlap
+    coefficient is double-counting content the mix weights assume is
+    fresh).
+
+    Output per unordered pair: source_a, source_b, shared, n_a, n_b,
+    overlap_coef (= shared / min(n_a, n_b), the containment-style measure
+    that still flags a small source swallowed by a big one).
+
+    Scale shape: distinct (source, gram) postings — one corpus-linear
+    shuffle keyed by the posting — then a gram-keyed self-join whose fanout
+    is bounded by sources-per-gram (≤ |sources|², independent of corpus
+    size) and a pair-keyed aggregation over a |sources|²-sized relation.
+    Per-source totals broadcast back onto the (tiny) pair table.
+    """
+    from .dedup import shingles_col
+
+    postings = docs.select(
+        F.col(group_col).alias("src"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("gram"),
+    ).distinct()
+    totals = postings.groupBy("src").agg(F.count("*").alias("n"))
+    a = postings.select(F.col("src").alias("source_a"), "gram")
+    b = postings.select(F.col("src").alias("source_b"), "gram")
+    pairs = (
+        a.join(b, "gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    ta = totals.select(F.col("src").alias("source_a"), F.col("n").alias("n_a"))
+    tb = totals.select(F.col("src").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(broadcast(ta), "source_a")
+        .join(broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("shared") / F.least(F.col("n_a"), F.col("n_b")), 6
+            ).alias("overlap_coef"),
+        )
+    )

@@ -217,3 +217,22 @@ def test_dataset_card_counts_duplicates(spark):
     assert r.n_docs == 3 and r.n_tokens == 9 and r.n_langs == 2
     assert abs(r.pct_exact_dup - 100.0 / 3) < 1e-3
     assert r.vocab_size == 6
+
+
+def test_source_overlap_tiny_golden(spark):
+    from biggraphite_spark.operators.curation import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (0, "A", "a b c d"),       # grams (n=2): "a b","b c","c d"
+            (1, "B", "a b c x"),       # grams: "a b","b c","c x"
+            (2, "C", "p q r s"),       # disjoint
+        ],
+        ["doc_id", "source", "text"],
+    )
+    rows = source_overlap(docs, group_col="source", n=2).collect()
+    got = {(r.source_a, r.source_b): r for r in rows}
+    assert set(got) == {("A", "B")}          # C shares nothing -> absent
+    r = got[("A", "B")]
+    assert r.shared == 2 and r.n_a == 3 and r.n_b == 3
+    assert abs(r.overlap_coef - 2 / 3) < 1e-6

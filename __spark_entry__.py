@@ -5472,6 +5472,30 @@ def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZSCORE_ORACLE = f"""
+WITH {_series_cte("bg.purchase.*")},
+st AS (SELECT name, avg(value) AS mu, stddev_samp(value) AS sd
+       FROM s GROUP BY name),
+z AS (SELECT s.name, s.ts, s.value,
+             CASE WHEN st.sd > 0 THEN ROUND((s.value - st.mu) / st.sd, 6) END AS z
+      FROM s JOIN st USING (name))
+SELECT name, ts, value, z,
+       coalesce(abs(z) > 2.0, FALSE) AS is_outlier
+FROM z
+"""
+
+
+@_register("gr_zscore", _ZSCORE_ORACLE)
+def gr_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series z-score anomaly flags over the hourly finals — the
+    static-band complement to gr_holt_winters; one series-keyed window that
+    the name-clustered cache serves exchange-free."""
+    _utc(spark)
+    from biggraphite_spark.functions.series import zscore_outliers
+
+    return zscore_outliers(_hourly_finals(spark, sf_dir, "bg.purchase.*"))
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

@@ -1026,3 +1026,33 @@ def reduce_series(
         "ts",
         combined.alias("value"),
     )
+
+
+def zscore_outliers(series: DataFrame, threshold: float = 2.0) -> DataFrame:
+    """Per-series z-score anomaly flags — the static-band complement to the
+    holtWinters* family (graphite-web exposes the same idea through
+    ``aberration``-style bands; a plain z-score is what ops dashboards
+    reach for first).
+
+    Per (name): z = (value - mean) / stddev_samp over the fetched window;
+    points with |z| > threshold are flagged.  Degenerate flat series
+    (stddev 0 or a single point) yield null z and are never flagged.
+
+    One window partitioned by name — a single series-keyed exchange, and
+    none at all when the input is already clustered by series (the cached
+    `_hourly_finals` / bucketed-store read paths).
+    """
+    w = Window.partitionBy("name")
+    sd = F.stddev_samp("value").over(w)
+    # flag on the ROUNDED z (the value callers see): flagging the raw z
+    # would let a 2.0000004-vs-2.0 disagree with the reported column
+    z = F.round(
+        F.when(sd > 0, (F.col("value") - F.avg("value").over(w)) / sd), 6
+    )
+    return series.select(
+        "name",
+        "ts",
+        "value",
+        z.alias("z"),
+        F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_outlier"),
+    )

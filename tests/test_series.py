@@ -532,3 +532,24 @@ def test_map_reduce_series(spark):
 
     with _pt.raises(ValueError):
         reduce_series(df, "nope", 2, "used", "total")
+
+
+def test_zscore_outliers_golden(spark):
+    import statistics
+
+    from biggraphite_spark.functions.series import zscore_outliers
+
+    vals = [10.0, 10.0, 10.0, 10.0, 50.0]
+    rows = spark.createDataFrame(
+        [("m", i, v) for i, v in enumerate(vals)] + [("flat", 0, 5.0), ("flat", 1, 5.0)],
+        ["name", "ts", "value"],
+    )
+    got = {(r.name, r.ts): r for r in zscore_outliers(rows, threshold=1.5).collect()}
+    mu, sd = statistics.mean(vals), statistics.stdev(vals)
+    for i, v in enumerate(vals):
+        want = round((v - mu) / sd, 6)
+        assert got[("m", i)].z == want
+        assert got[("m", i)].is_outlier == (abs(want) > 1.5)
+    assert got[("m", 4)].is_outlier is True
+    # flat series: sd == 0 -> null z, never flagged
+    assert got[("flat", 0)].z is None and got[("flat", 0)].is_outlier is False

@@ -5313,9 +5313,9 @@ norm AS (
 )
 SELECT doc_id,
        regexp_replace(regexp_replace(regexp_replace(n,
-          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
-          '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
-          '\\+?\\d[\\d()./ -]{6,}\\d', '<PHONE>', 'g') AS clean_text
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<email>', 'g'),
+          '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<ip>', 'g'),
+          '\\+?\\d[\\d()./ -]{6,}\\d', '<phone>', 'g') AS clean_text
 FROM norm
 """
 

@@ -459,16 +459,20 @@ def normalize_text(text: Column) -> Column:
 #: masking patterns, ordered — email before phone so the digits of a
 #: user@host123 style address are consumed as EMAIL, not PHONE
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
-    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
-    ("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
-    ("\\+?\\d[\\d()./ -]{6,}\\d", "<PHONE>"),
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<email>"),
+    ("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<ip>"),
+    ("\\+?\\d[\\d()./ -]{6,}\\d", "<phone>"),
 )
 
 
 def pii_mask(text: Column, patterns=PII_PATTERNS) -> Column:
     """Mask personally-identifiable spans with typed placeholder tokens —
     the pre-release scrub pass (emails, IPv4s, phone-shaped digit runs by
-    default; pass corpus-specific ``patterns`` to extend).
+    default; pass corpus-specific ``patterns`` to extend).  Placeholders
+    are lowercase so the normalize_text -> pii_mask pipeline is idempotent
+    (a second normalize pass would fold an uppercase token's case and make
+    re-ingestion mutate already-clean text; pinned by the idempotence
+    test).
 
     Chained regexp_replace projections; patterns restrict themselves to the
     regex subset Java and RE2 evaluate identically (no backreferences or

@@ -221,11 +221,11 @@ def test_pii_mask_goldens(spark):
     from biggraphite_spark.operators.text import pii_mask
 
     cases = [
-        ("mail me at jo.smith+x@sub.example.org now", "mail me at <EMAIL> now"),
-        ("server 10.0.255.3 down", "server <IP> down"),
-        ("call +1 (555) 123-4567 ok", "call <PHONE> ok"),
+        ("mail me at jo.smith+x@sub.example.org now", "mail me at <email> now"),
+        ("server 10.0.255.3 down", "server <ip> down"),
+        ("call +1 (555) 123-4567 ok", "call <phone> ok"),
         ("id 42 is fine", "id 42 is fine"),      # short digit runs untouched
-        ("a@b.co and 1.2.3.4", "<EMAIL> and <IP>"),
+        ("a@b.co and 1.2.3.4", "<email> and <ip>"),
     ]
     df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(cases)], ["i", "t"])
     got = {r.i: r.out for r in df.select("i", pii_mask(F.col("t")).alias("out")).collect()}
@@ -291,3 +291,38 @@ def test_nb_classifier_matches_python_reference(spark):
         assert abs(r.score - scores[pred]) < 1e-5
     # sanity: the obviously-German docs classify de, English ones en
     assert got[2].pred == "de" and got[0].pred == "en"
+
+
+def test_normalize_and_pii_idempotent(spark):
+    """Cleanup passes must be stable under re-application: running the
+    pipeline twice (a re-crawled doc, a re-ingested shard) cannot keep
+    mutating text."""
+    from pyspark.sql import functions as F
+
+    from biggraphite_spark.operators.text import normalize_text, pii_mask
+
+    adversarial = [
+        "  a\t\tb\x00c  \r\n d ",
+        "UPPER lower MiXeD",
+        "x jo@ex.org y 1.2.3.4 z +1 (555) 123-4567",
+        "a@b.co1.2.3.4",                     # email backtrack then IP
+        "<EMAIL> <IP> <PHONE> already masked",
+        "e\x07\x1f\x7f f",
+        "", " ", "\t\n",
+        "123456789012345678",                # long digit run
+        "dots..only...here",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(adversarial)], ["i", "t"])
+    once_n = normalize_text(F.col("t"))
+    once_p = pii_mask(F.col("t"))
+    pipe = pii_mask(normalize_text(F.col("t")))
+    rows = df.select(
+        "i",
+        once_n.alias("n1"), normalize_text(once_n).alias("n2"),
+        once_p.alias("p1"), pii_mask(once_p).alias("p2"),
+        pipe.alias("c1"), pii_mask(normalize_text(pipe)).alias("c2"),
+    ).collect()
+    for r in rows:
+        assert r.n1 == r.n2, ("normalize not idempotent", r.i, r.n1, r.n2)
+        assert r.p1 == r.p2, ("pii_mask not idempotent", r.i, r.p1, r.p2)
+        assert r.c1 == r.c2, ("pipeline not idempotent", r.i, r.c1, r.c2)

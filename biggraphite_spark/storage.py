@@ -210,3 +210,94 @@ class PointStore:
             shutil.move(new_dir, old_dir)
         shutil.rmtree(tmp, ignore_errors=True)
         return target
+
+    def _swap_day_partitions(
+        self, result: DataFrame, stage: Stage, days: list[int], suffix: str
+    ) -> list[int]:
+        """Write ``result`` partitioned by pday into a side tree, then swap
+        the listed day directories into the stage tree one rename at a time
+        (Spark refuses to overwrite a path it reads; per-day renames keep a
+        crash from ever leaving a day half-written).  A day with no rows in
+        ``result`` is REMOVED from the stage tree — recompute semantics, not
+        append."""
+        path = self.stage_path(stage)
+        tmp = path + suffix
+        shutil.rmtree(tmp, ignore_errors=True)
+        result.write.partitionBy("pday").mode("overwrite").parquet(tmp)
+        os.makedirs(path, exist_ok=True)
+        for day in days:
+            new_dir = os.path.join(tmp, f"pday={day}")
+            old_dir = os.path.join(path, f"pday={day}")
+            shutil.rmtree(old_dir, ignore_errors=True)
+            if os.path.isdir(new_dir):
+                shutil.move(new_dir, old_dir)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return days
+
+    # -- incremental rollup maintenance -------------------------------------
+    def refresh_rollup(
+        self,
+        spark: SparkSession,
+        fine: Stage,
+        coarse: Stage,
+        days: list[int],
+    ) -> list[int]:
+        """Recompute ONLY the listed coarse-stage day partitions from the
+        fine stage — the incremental-view-maintenance step a late-arriving
+        batch triggers (see :func:`dirty_rollup_days` for the invalidation
+        plan).  The reference re-aggregates whole stages on its downsampling
+        schedule (drivers/_downsampling.py); here a backfill touching 2 of
+        1000 days re-reads and rewrites exactly those days' inputs.
+
+        Scale shape: the fine-stage read is partition-pruned to the day
+        range that can contribute to the dirty coarse buckets (a coarse
+        bucket starting in day D consumes fine rows up to D + precision), so
+        cost is proportional to the dirtied data, not the store; one
+        (name, aggregator, bucket)-keyed exchange for the re-aggregation;
+        per-day directory swap as in :meth:`compact`.
+        """
+        from .operators.downsample import bucket_col, rollup_partials
+
+        if not days:
+            return []
+        days = sorted(set(days))
+        span = (coarse.precision + SECONDS_PER_DAY - 1) // SECONDS_PER_DAY
+        prune = F.col("pday").isin(
+            [d + k for d in days for k in range(span + 1)]
+        )
+        contributing = (
+            self.read(spark, fine)
+            .filter(prune)
+            .filter(
+                pday_col(bucket_col(F.col("ts"), coarse.precision))
+                .cast("int")
+                .isin(days)
+            )
+        )
+        rolled = rollup_partials(contributing, coarse).withColumn(
+            "pday", pday_col(F.col("ts")).cast("int")
+        )
+        return self._swap_day_partitions(rolled, coarse, days, "_refreshing")
+
+
+def dirty_rollup_days(batch: DataFrame, coarse: Stage) -> list[int]:
+    """Invalidation plan for :meth:`PointStore.refresh_rollup`: the distinct
+    coarse-stage day partitions whose rollups a batch of (late) points
+    touches.  A point at ``ts`` lands in the coarse bucket starting at
+    ``round_down(ts)``, which lives in that bucket-start's day partition.
+
+    The result is a day list (partition metadata, bounded by the batch's
+    time spread — days, not rows), so the driver-side collect is the same
+    class as :meth:`PointStore.compact`'s directory listing."""
+    from .operators.downsample import bucket_col
+
+    rows = (
+        batch.select(
+            pday_col(bucket_col(F.col("ts"), coarse.precision))
+            .cast("int")
+            .alias("pday")
+        )
+        .distinct()
+        .collect()
+    )
+    return sorted(r.pday for r in rows)

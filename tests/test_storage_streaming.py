@@ -296,3 +296,66 @@ def test_carbon_line_parsing(spark):
     catalog = spark.createDataFrame([("a.b.c",)], "name string")
     new = {r["name"] for r in new_metrics(parse_lines(lines), catalog).collect()}
     assert new == {"x.y"}
+
+
+# -- incremental rollup refresh ---------------------------------------------
+
+def test_refresh_rollup_matches_full_recompute(spark, tmp_path):
+    """A late batch dirties 3 coarse days (one brand-new); refreshing ONLY
+    those partitions must equal a from-scratch rollup of the whole fine
+    stage — including a 2-day coarse precision whose buckets straddle day
+    boundaries (the span-pruning path)."""
+    from biggraphite_spark.model import Stage
+    from biggraphite_spark.operators.downsample import rollup_partials
+    from biggraphite_spark.storage import PointStore, dirty_rollup_days
+
+    fine = Stage.from_string("1000*3600s")
+    coarse = Stage.from_string("100*172800s")
+    store = PointStore(str(tmp_path / "store"))
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "name string, ts long, value double, count long, aggregator string"
+        )
+
+    initial = mk(
+        [("m1", d * 86400 + h * 3600, float(d * 24 + h), 1, "total")
+         for d in range(6) for h in range(24)]
+        + [("m2", d * 86400 + h * 3600, 2.0, 1, "average")
+           for d in range(6) for h in range(0, 24, 2)]
+    )
+    store.write(initial, fine)
+    store.write(rollup_partials(store.read(spark, fine), coarse), coarse)
+
+    # late arrivals: corrections inside days 2 and 5, plus a NEW day 7
+    late = mk(
+        [("m1", 2 * 86400 + 3 * 3600, 999.0, 1, "total"),
+         ("m2", 5 * 86400 + 1 * 3600, 7.0, 1, "average"),
+         ("m1", 7 * 86400 + 4 * 3600, 123.0, 1, "total")]
+    )
+    store.write(late, fine, mode="append")
+
+    days = dirty_rollup_days(late, coarse)
+    # 2-day buckets: ts day2 -> bucket day 2, day5 -> bucket day 4, day7 -> bucket day 6
+    assert days == [2, 4, 6]
+    refreshed = store.refresh_rollup(spark, fine, coarse, days)
+    assert refreshed == [2, 4, 6]
+
+    got = store.read(spark, coarse).drop("pday")
+    want = rollup_partials(store.read(spark, fine), coarse)
+    key = lambda r: (r["name"], r["ts"])  # noqa: E731
+    got_rows = sorted(map(tuple, got.collect()), key=lambda t: (t[0], t[1]))
+    want_rows = sorted(map(tuple, want.collect()), key=lambda t: (t[0], t[1]))
+    assert got_rows == want_rows
+    # untouched coarse days were NOT rewritten: only dirty days swapped
+    assert len(got_rows) == len(want_rows) > 0
+
+
+def test_refresh_rollup_empty_days_noop(spark, tmp_path):
+    from biggraphite_spark.model import Stage
+    from biggraphite_spark.storage import PointStore
+
+    store = PointStore(str(tmp_path / "s2"))
+    fine = Stage.from_string("1000*3600s")
+    coarse = Stage.from_string("100*86400s")
+    assert store.refresh_rollup(spark, fine, coarse, []) == []

@@ -36,6 +36,7 @@ BNLJ_WHITELIST = {
     "doc_bigram_lm": "scalar",      # unigram total N
     "doc_bm25": "scalar",           # corpus avgdl/N + broadcast query row
     "doc_collocations": "scalar",   # n_uni/n_pair totals
+    "doc_dataset_card": "scalar",   # single-row dup-rate/vocab cross-joins
     "doc_mix_weights": "scalar",    # normalization constant Z
     "doc_nb_lang": "scalar",        # vocab size V + doc total n
     "doc_perplexity": "scalar",     # unigram total

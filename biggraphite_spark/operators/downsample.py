@@ -185,3 +185,29 @@ def downsample_all(
         out[st.as_string()] = cur
         prev = cur
     return out
+
+
+def rollup_generic_partials(stage_df: DataFrame, target: Stage) -> DataFrame:
+    """Merge aggregator-AGNOSTIC partials into a coarser stage — the
+    streaming-shape twin of :func:`rollup_partials`.
+
+    Input/output: name, ts, sum, count, min, max, last (the
+    ``streaming/ingest.generic_partials`` schema, which defers the
+    aggregator choice to read time).  Merge algebra per Aggregator.merge
+    (metric.py:218-261): sums/counts add, extrema keep, ``last`` follows
+    the newest fine bucket — the struct-max trick keeps it a plain
+    streaming-safe aggregate.
+    """
+    newest = F.max(F.struct(F.col("ts"), F.col("last")))
+    return (
+        stage_df.groupBy(
+            "name", bucket_col(F.col("ts"), target.precision).alias("ts")
+        )
+        .agg(
+            F.sum("sum").alias("sum"),
+            F.sum("count").alias("count"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            newest.getField("last").alias("last"),
+        )
+    )

@@ -274,9 +274,27 @@ class PointStore:
                 .isin(days)
             )
         )
-        rolled = rollup_partials(contributing, coarse).withColumn(
-            "pday", pday_col(F.col("ts")).cast("int")
-        )
+        if "epoch" in contributing.columns:
+            # streaming stores append re-emitted buckets epoch-stamped
+            # (stream_events_to_store); fold to last-write-wins BEFORE
+            # re-aggregating or corrections double-count.  Scoped to the
+            # pruned days, so the LWW window stays proportional to the
+            # dirtied data.
+            w = Window.partitionBy("name", "ts").orderBy(F.desc("epoch"))
+            contributing = (
+                contributing.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "epoch")
+            )
+        if "aggregator" in contributing.columns:
+            rolled = rollup_partials(contributing, coarse)
+        else:
+            # streaming stores hold aggregator-agnostic partials
+            # (sum/count/min/max/last) — merge with the generic algebra
+            from .operators.downsample import rollup_generic_partials
+
+            rolled = rollup_generic_partials(contributing, coarse)
+        rolled = rolled.withColumn("pday", pday_col(F.col("ts")).cast("int"))
         return self._swap_day_partitions(rolled, coarse, days, "_refreshing")
 
 

@@ -144,3 +144,29 @@ def latest_partials(store, spark: SparkSession, stage: Stage) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn", "epoch")
     )
+
+
+def rollup_maintenance_sink(store, stage0: Stage, coarse_stages):
+    """foreachBatch writer keeping coarser stages fresh IN PLACE: after each
+    micro-batch lands in the stage0 store, recompute exactly the coarse day
+    partitions the batch dirtied (``storage.dirty_rollup_days`` plan →
+    ``PointStore.refresh_rollup``).  This is the reference downsampler's
+    maintain-coarse-from-fine schedule (drivers/_downsampling.py) expressed
+    as incremental view maintenance — the alternative to epoch-appending
+    every stage and folding at read time: coarse reads need no LWW window
+    at all.
+
+    Compose AFTER the stage0 append writer in :func:`fan_out_sink` (writers
+    run in registration order); ``refresh_rollup`` folds the stage0 store's
+    epoch history before re-aggregating, so crash-replayed batches stay
+    idempotent.
+    """
+    from ..storage import dirty_rollup_days
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        for coarse in coarse_stages:
+            days = dirty_rollup_days(batch_df, coarse)
+            store.refresh_rollup(spark, stage0, coarse, days)
+
+    return sink

@@ -359,3 +359,69 @@ def test_refresh_rollup_empty_days_noop(spark, tmp_path):
     fine = Stage.from_string("1000*3600s")
     coarse = Stage.from_string("100*86400s")
     assert store.refresh_rollup(spark, fine, coarse, []) == []
+
+
+def test_streaming_rollup_maintenance_keeps_coarse_fresh(spark, tmpdir):
+    """Stream events through the stage0 epoch-append sink composed with the
+    in-place coarse maintenance sink; the coarse store must equal a batch
+    rollup of the LWW-resolved stage0 — with NO epoch column or read-time
+    fold needed on the coarse side."""
+    from biggraphite_spark.operators.downsample import rollup_generic_partials
+    from biggraphite_spark.sources.events import (
+        event_ts_timestamp,
+        load_events,
+        metric_name_col,
+    )
+    from biggraphite_spark.streaming.ingest import (
+        fan_out_sink,
+        generic_partials,
+        latest_partials,
+        rollup_maintenance_sink,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    coarse = Stage.from_string("100*86400s")
+    store = PointStore(os.path.join(tmpdir, "store"))
+
+    ev = load_events(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    pts = stream.select(
+        metric_name_col().alias("name"),
+        event_ts_timestamp(stream).alias("ts"),
+        "value",
+    )
+    partials = generic_partials(pts, STAGE1)
+
+    def append0(batch_df, epoch_id):
+        store.write(batch_df.withColumn("epoch", F.lit(epoch_id)), STAGE1, mode="append")
+
+    q = (
+        partials.writeStream.outputMode("update")
+        .foreachBatch(
+            fan_out_sink(append0, rollup_maintenance_sink(store, STAGE1, [coarse]))
+        )
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = store.read(spark, coarse)
+    assert "epoch" not in got.columns  # coarse side needs no LWW fold
+    want = rollup_generic_partials(
+        latest_partials(store, spark, STAGE1).drop("pday"), coarse
+    )
+    key = lambda t: (t[0], t[1])  # noqa: E731
+    got_rows = sorted(map(tuple, got.drop("pday").collect()), key=key)
+    want_rows = sorted(map(tuple, want.collect()), key=key)
+    assert len(got_rows) == len(want_rows) > 0
+    for g, w in zip(got_rows, want_rows):
+        assert g[:2] == w[:2]            # (name, ts) align exactly
+        for gv, wv in zip(g[2:], w[2:]): # partials: FP association differs
+            assert gv == pytest.approx(wv, rel=1e-9, abs=1e-9), (g, w)

@@ -58,6 +58,18 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--retention", required=True)
     sp = sub.add_parser("syncdb", help="materialize per-stage store skeleton")
     sp.add_argument("--path", required=True)
+    sp = sub.add_parser(
+        "refresh",
+        help="incrementally recompute coarse-stage rollups for dirty days",
+    )
+    sp.add_argument("--path", required=True)
+    sp.add_argument("--fine", required=True, help="fine stage, e.g. 1000*3600s")
+    sp.add_argument("--coarse", required=True, help="coarse stage, e.g. 100*86400s")
+    sp.add_argument(
+        "--days",
+        default=None,
+        help="comma-separated pday numbers; default = every day present in the fine stage",
+    )
     sp = sub.add_parser("info", help="display metadata for one metric")
     sp.add_argument("metric")
     sub.add_parser("test", help="smoke-check the engine end to end")
@@ -164,6 +176,36 @@ def _dispatch(args, eng) -> int:
 
         PointStore(args.path).sync(eng.retention)
         print(f"# synced {len(eng.retention.stages)} stage dirs under {args.path}")
+    elif args.cmd == "refresh":
+        # incremental rollup maintenance (storage.refresh_rollup): the
+        # operational entry point a backfill/late-import job calls after
+        # appending fine-stage data
+        import os
+
+        from .model import Stage
+        from .storage import SECONDS_PER_DAY, PointStore
+
+        store = PointStore(args.path)
+        fine = Stage.from_string(args.fine)
+        coarse = Stage.from_string(args.coarse)
+        if args.days is not None:
+            days = [int(d) for d in args.days.split(",") if d != ""]
+        else:
+            fine_path = store.stage_path(fine)
+            present = sorted(
+                int(e.split("=", 1)[1])
+                for e in os.listdir(fine_path)
+                if e.startswith("pday=")
+            ) if os.path.isdir(fine_path) else []
+            # every coarse day any present fine day can contribute to
+            days = sorted({
+                (d * SECONDS_PER_DAY - (d * SECONDS_PER_DAY) % coarse.precision)
+                // SECONDS_PER_DAY
+                for d in present
+            })
+        spark = eng.catalog.sparkSession
+        done = store.refresh_rollup(spark, fine, coarse, days)
+        print(f"# refreshed {len(done)} {coarse.as_string} day partitions: {done}")
     elif args.cmd == "info":
         # cli/command_info.py:36-47: exact-name lookup, metadata dict
         row = eng.catalog.filter(F.col("name") == args.metric).first()

@@ -75,3 +75,32 @@ def test_write_delete_copy_syncdb(spark, capsys, tmpdir):
     out = _run(capsys, "syncdb", "--path", path)
     assert "synced" in out
     assert os.path.isdir(path)
+
+
+def test_refresh_subcommand(spark, capsys, tmp_path):
+    """bgutil refresh: append a fine batch, refresh the coarse stage, verify
+    the coarse partitions match a recompute."""
+    from biggraphite_spark.model import Stage
+    from biggraphite_spark.operators.downsample import rollup_partials
+    from biggraphite_spark.storage import PointStore
+
+    store = PointStore(str(tmp_path / "s"))
+    fine = Stage.from_string("1000*3600s")
+    coarse = Stage.from_string("100*86400s")
+    df = spark.createDataFrame(
+        [("m", d * 86400 + h * 3600, 1.0, 1, "total") for d in range(3) for h in range(4)],
+        "name string, ts long, value double, count long, aggregator string",
+    )
+    store.write(df, fine)
+
+    out = _run(capsys, "refresh", "--path", str(tmp_path / "s"),
+               "--fine", "1000*3600s", "--coarse", "100*86400s")
+    assert "# refreshed 3" in out
+    got = sorted(map(tuple, store.read(spark, coarse).drop("pday").collect()))
+    want = sorted(map(tuple, rollup_partials(df, coarse).collect()))
+    assert got == want
+
+    # explicit day subset only touches those partitions
+    out = _run(capsys, "refresh", "--path", str(tmp_path / "s"),
+               "--fine", "1000*3600s", "--coarse", "100*86400s", "--days", "1")
+    assert "# refreshed 1" in out

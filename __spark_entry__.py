@@ -5496,6 +5496,82 @@ def gr_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_outliers(_hourly_finals(spark, sf_dir, "bg.purchase.*"))
 
 
+_TRUNC_D = 16
+
+_TRUNC_RECALL_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+q AS (SELECT vec_id, v, nrm FROM n WHERE vec_id < 5),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({_DOT64.format(a='q.v', b='c.v')} / (q.nrm * c.nrm), 5) AS sim
+  FROM n c, q WHERE c.vec_id != q.vec_id
+),
+x AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, row_number() OVER w AS rk
+    FROM sims WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+  ) WHERE rk <= 5
+),
+nt AS (SELECT vec_id, v,
+              sqrt(list_sum(list_transform(generate_series(1, {_TRUNC_D}), i -> v[i] * v[i]))) AS nrm
+       FROM e),
+qt AS (SELECT vec_id, v, nrm FROM nt WHERE vec_id < 5),
+tsims AS (
+  SELECT qt.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_sum(list_transform(generate_series(1, {_TRUNC_D}), i -> qt.v[i] * c.v[i]))
+               / (qt.nrm * c.nrm), 5) AS sim
+  FROM nt c, qt WHERE c.vec_id != qt.vec_id
+),
+a AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, row_number() OVER w AS rk
+    FROM tsims WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+  ) WHERE rk <= 5
+),
+c AS (SELECT x.query_id, count(*) AS n_common
+      FROM x JOIN a ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+      GROUP BY 1),
+t AS (SELECT query_id, count(*) AS n_exact FROM x GROUP BY 1)
+SELECT t.query_id, CAST(t.n_exact AS BIGINT) AS n_exact,
+       CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+       ROUND(COALESCE(c.n_common, 0) * 1.0 / t.n_exact, 6) AS recall_at_k
+FROM t LEFT JOIN c ON t.query_id = c.query_id
+"""
+
+
+@_register("emb_truncate_recall", _TRUNC_RECALL_ORACLE)
+def emb_truncate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension truncation as the cheap retrieval tier:
+    recall@5 of first-{_TRUNC_D}-dims cosine top-5 against the full-dim
+    exact ranking — the memory/recall dial (Kusupati et al. 2022) measured
+    as an exact, oracle-checkable quantity like emb_ann_recall.  On the
+    synthetic iid embeddings the measured recall is the no-structure floor
+    (~0-0.2): MRL-trained vectors pack signal into the prefix, iid ones
+    don't — which is precisely what this probe is for."""
+    _utc(spark)
+    from biggraphite_spark.operators.similarity import cosine_topk, truncate_dims
+
+    emb = _load_parallel(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = cosine_topk(
+        truncate_dims(emb, _TRUNC_D), truncate_dims(q, _TRUNC_D), k=5
+    ).select("query_id", "neighbor_id")
+    common = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    totals = exact.groupBy("query_id").agg(F.count("*").cast("long").alias("n_exact"))
+    return totals.join(common, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+        F.round(F.coalesce("n_common", F.lit(0)) / F.col("n_exact"), 6).alias("recall_at_k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

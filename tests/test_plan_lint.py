@@ -42,6 +42,7 @@ BNLJ_WHITELIST = {
     "doc_perplexity": "scalar",     # unigram total
     "emb_ann_recall": "baseline",   # brute-force truth side of recall@k
     "emb_cosine_topk": "baseline",  # documented exact baseline (IVF/LSH = scale path)
+    "emb_truncate_recall": "baseline",  # truncated + full brute-force rankings
     "gr_render_misc": "scalar",     # aggregateLine/constantLine scalar joins
     "tpch_q11": "scalar",           # global threshold broadcast
     "tpch_q22": "scalar",           # avg balance threshold broadcast

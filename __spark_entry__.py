@@ -5572,6 +5572,100 @@ def emb_truncate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RP_D = 16
+
+
+def _rp_recall_oracle() -> str:
+    """The ±1 projection matrix comes from the same Python recipe the Spark
+    operator embeds (similarity.rp_signs), so both engines evaluate the
+    identical literal-coefficient sums in the identical order."""
+    from biggraphite_spark.operators.similarity import rp_signs
+
+    signs = rp_signs(64, _RP_D)
+
+    def rp_list(alias: str) -> str:
+        dims = []
+        for row in signs:
+            expr = ("" if row[0] > 0 else "-") + f"{alias}[1]"
+            for i, s in enumerate(row[1:], start=2):
+                expr += f" {'+' if s > 0 else '-'} {alias}[{i}]"
+            dims.append("(" + expr + ")")
+        return "list_value(" + ", ".join(dims) + ")"
+
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+q AS (SELECT vec_id, v, nrm FROM n WHERE vec_id < 5),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({_DOT64.format(a='q.v', b='c.v')} / (q.nrm * c.nrm), 5) AS sim
+  FROM n c, q WHERE c.vec_id != q.vec_id
+),
+x AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, row_number() OVER w AS rk
+    FROM sims WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+  ) WHERE rk <= 5
+),
+r AS (SELECT vec_id, {rp_list('v')} AS v FROM e),
+nr AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM r),
+qr AS (SELECT vec_id, v, nrm FROM nr WHERE vec_id < 5),
+rsims AS (
+  SELECT qr.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_sum(list_transform(generate_series(1, {_RP_D}), i -> qr.v[i] * c.v[i]))
+               / (qr.nrm * c.nrm), 5) AS sim
+  FROM nr c, qr WHERE c.vec_id != qr.vec_id
+),
+a AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, row_number() OVER w AS rk
+    FROM rsims WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+  ) WHERE rk <= 5
+),
+c AS (SELECT x.query_id, count(*) AS n_common
+      FROM x JOIN a ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+      GROUP BY 1),
+t AS (SELECT query_id, count(*) AS n_exact FROM x GROUP BY 1)
+SELECT t.query_id, CAST(t.n_exact AS BIGINT) AS n_exact,
+       CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+       ROUND(COALESCE(c.n_common, 0) * 1.0 / t.n_exact, 6) AS recall_at_k
+FROM t LEFT JOIN c ON t.query_id = c.query_id
+"""
+
+
+@_register("emb_rp_recall", _rp_recall_oracle())
+def emb_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection to {_RP_D} dims as the
+    cheap retrieval tier: recall@5 vs full-dim exact top-5.  The
+    counterpart probe to emb_truncate_recall: truncation's recall depends
+    on the energy being front-loaded (MRL training), while the JL bound is
+    distribution-free — on the isotropic synthetic vectors both probes
+    read the same random-subspace floor (observed ~0-0.2), and on real
+    anisotropic embeddings their gap is exactly the quantity these two
+    contracts measure."""
+    _utc(spark)
+    from biggraphite_spark.operators.similarity import cosine_topk, random_projection
+
+    emb = _load_parallel(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = cosine_topk(
+        random_projection(emb, _RP_D), random_projection(q, _RP_D), k=5
+    ).select("query_id", "neighbor_id")
+    common = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    totals = exact.groupBy("query_id").agg(F.count("*").cast("long").alias("n_exact"))
+    return totals.join(common, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+        F.round(F.coalesce("n_common", F.lit(0)) / F.col("n_exact"), 6).alias("recall_at_k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

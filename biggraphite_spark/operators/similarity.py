@@ -676,3 +676,55 @@ def truncate_dims(
     memory.  A pure slice projection; compose with :func:`cosine_topk` /
     the IVF paths for the cheap first-pass retrieval tier."""
     return embeddings.withColumn(vec_col, F.slice(F.col(vec_col), 1, d))
+
+
+def rp_signs(d_in: int, d_out: int) -> list[list[int]]:
+    """Deterministic ±1 projection matrix (d_out × d_in) for
+    :func:`random_projection`: sign = parity of the first hex digit of
+    md5("rp:<j>:<i>").  Computed ONCE in Python and embedded as plan
+    literals — the runtime never hashes; any engine (and the DuckDB
+    oracle) can regenerate the identical matrix from this recipe."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[0], 16) < 8 else -1
+            for i in range(d_in)
+        ]
+        for j in range(d_out)
+    ]
+
+
+def random_projection(
+    embeddings: DataFrame,
+    d_out: int,
+    d_in: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign-matrix dimensionality reduction
+    (Achlioptas 2003's database-friendly ±1 variant): each output dim is a
+    literal-coefficient signed sum over ALL input dims.  Unlike
+    :func:`truncate_dims` the JL distance guarantee is distribution-free —
+    truncation needs the energy front-loaded (MRL training) while RP works
+    on any embedding; on isotropic vectors the two are statistically
+    equivalent random-subspace projections.
+
+    A pure projection (d_out literal-weighted sums inside codegen), zero
+    shuffle, composing with any retrieval path as the cheap first tier.
+    """
+    signs = rp_signs(d_in, d_out)
+    v = as_double_array(F.col(vec_col))
+
+    from .text import bind_col
+
+    def project(vv: Column) -> Column:
+        dims = []
+        for j in range(d_out):
+            terms = None
+            for i, s in enumerate(signs[j]):
+                t = F.element_at(vv, i + 1) if s > 0 else -F.element_at(vv, i + 1)
+                terms = t if terms is None else terms + t
+            dims.append(terms)
+        return F.array(*dims)
+
+    return embeddings.withColumn(vec_col, bind_col(v, project))

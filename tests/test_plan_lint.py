@@ -43,6 +43,7 @@ BNLJ_WHITELIST = {
     "emb_ann_recall": "baseline",   # brute-force truth side of recall@k
     "emb_cosine_topk": "baseline",  # documented exact baseline (IVF/LSH = scale path)
     "emb_truncate_recall": "baseline",  # truncated + full brute-force rankings
+    "emb_rp_recall": "baseline",    # random-projection + full brute-force rankings
     "gr_render_misc": "scalar",     # aggregateLine/constantLine scalar joins
     "tpch_q11": "scalar",           # global threshold broadcast
     "tpch_q22": "scalar",           # avg balance threshold broadcast

@@ -214,9 +214,23 @@ class GraphiteWeb:
             raise InvalidArgumentError(f"bad relative time {value!r}")
         return int(v)
 
-    def render(self, targets: list[str], start: int, end: int) -> list[dict]:
+    def render(
+        self,
+        targets: list[str],
+        start: int,
+        end: int,
+        max_points: int | None = None,
+    ) -> list[dict]:
         """graphite ``format=json``: one series object per matched metric,
         ``datapoints`` = [[value|null, ts], ...] over the dense aligned grid.
+
+        ``max_points`` is graphite-web's ``maxDataPoints``: when the window
+        holds more buckets than the renderer can draw, consecutive buckets
+        are consolidated by groups of ``ceil(n / max_points)`` with
+        null-skipping average (render/datalib consolidate semantics) — the
+        consolidation is a Spark aggregation keyed by the widened bucket,
+        not a driver loop; the collect only ever returns <= max_points rows
+        per series.
 
         One engine.read per target glob (each is an aligned fetch + dense
         grid); the collect is bounded by the 5000-metric glob cap times the
@@ -226,7 +240,21 @@ class GraphiteWeb:
         out = []
         for target in targets:
             rr = self.engine.read(target, start, end)
-            rows = rr.series.orderBy("name", "ts").collect()
+            series_df = rr.series
+            n_buckets = max(1, (rr.end - rr.start) // rr.step)
+            if max_points and max_points > 0 and n_buckets > max_points:
+                factor = -(-n_buckets // max_points)  # ceil
+                new_step = rr.step * factor
+                bucket = (
+                    F.lit(rr.start)
+                    + F.floor((F.col("ts") - rr.start) / new_step)
+                    * F.lit(new_step)
+                )
+                series_df = (
+                    series_df.groupBy("name", bucket.alias("ts"))
+                    .agg(F.avg("value").alias("value"))
+                )
+            rows = series_df.orderBy("name", "ts").collect()
             series: dict[str, list] = {}
             for r in rows:
                 series.setdefault(r["name"], []).append(
@@ -260,7 +288,11 @@ class _GraphiteHandler(BaseHTTPRequestHandler):
                 fmt = q.get("format", ["json"])[0]
                 if fmt != "json":
                     return self._send(400, {"message": f"format {fmt!r} unsupported"})
-                return self._send(200, self.app.render(targets, start, end))
+                mdp_raw = q.get("maxDataPoints", [""])[0]
+                mdp = int(mdp_raw) if mdp_raw else None
+                return self._send(
+                    200, self.app.render(targets, start, end, max_points=mdp)
+                )
         except (InvalidArgumentError, TooManyMetrics, ValueError) as ex:
             return self._send(400, {"message": str(ex)})
         return self._send(404, {"message": "unknown route"})

@@ -161,3 +161,35 @@ def test_render_bad_relative_time_is_400(graphite_server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(f"{graphite_server}/render?target=bg.click.u0&from=-2y")
     assert ei.value.code == 400
+
+
+def test_render_max_data_points_consolidates(graphite_server):
+    full_status, full = _get(
+        f"{graphite_server}/render?target=bg.click.u0&from=-2d&until=now"
+    )
+    n_full = len(full[0]["datapoints"])
+    assert n_full > 10
+    status, series = _get(
+        f"{graphite_server}/render?target=bg.click.u0&from=-2d&until=now"
+        "&maxDataPoints=10"
+    )
+    assert status == 200 and len(series) == 1
+    pts = series[0]["datapoints"]
+    assert 0 < len(pts) <= 10
+    # consolidated grid: constant widened step, starts at the window start
+    ts = [p[1] for p in pts]
+    step = ts[1] - ts[0]
+    assert all(b - a == step for a, b in zip(ts, ts[1:]))
+    assert ts[0] == full[0]["datapoints"][0][1]
+    # null-skipping average: first consolidated value == mean of the first
+    # group's non-null full-resolution values
+    factor = -(-n_full // 10)
+    group = [v for v, _ in full[0]["datapoints"][:factor] if v is not None]
+    if group:
+        assert pts[0][0] == pytest.approx(sum(group) / len(group))
+    # maxDataPoints larger than the series is a no-op
+    _, same = _get(
+        f"{graphite_server}/render?target=bg.click.u0&from=-2d&until=now"
+        f"&maxDataPoints={n_full + 5}"
+    )
+    assert same[0]["datapoints"] == full[0]["datapoints"]

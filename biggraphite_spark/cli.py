@@ -58,6 +58,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--retention", required=True)
     sp = sub.add_parser("syncdb", help="materialize per-stage store skeleton")
     sp.add_argument("--path", required=True)
+    sp = sub.add_parser("expire", help="drop day partitions past each stage's retention")
+    sp.add_argument("--path", required=True)
+    sp.add_argument("--now", type=int, default=None,
+                    help="unix seconds reference; default = the dataset NOW")
     sp = sub.add_parser(
         "refresh",
         help="incrementally recompute coarse-stage rollups for dirty days",
@@ -176,6 +180,16 @@ def _dispatch(args, eng) -> int:
 
         PointStore(args.path).sync(eng.retention)
         print(f"# synced {len(eng.retention.stages)} stage dirs under {args.path}")
+    elif args.cmd == "expire":
+        # TTL sweep (drivers/cassandra.py:943-1019 as partition drops): one
+        # line per stage with the dropped day partitions
+        from .storage import PointStore
+
+        store = PointStore(args.path)
+        now = args.now if args.now is not None else eng.now
+        for stage in eng.retention.stages:
+            dropped = store.expire(stage, now=now)
+            print(f"# {stage.as_string}: dropped {len(dropped)} day partitions")
     elif args.cmd == "refresh":
         # incremental rollup maintenance (storage.refresh_rollup): the
         # operational entry point a backfill/late-import job calls after

@@ -28,6 +28,9 @@ VANILLA_QUERIES = [
     "events_sessionize",
     "gr_rate_shift",
     "mm_audio",
+    "doc_nb_lang",        # round-3 text/classifier family
+    "gr_zscore",          # round-3 name-clustered hourly-finals path
+    "emb_rp_recall",      # round-3 literal-matrix projection path
 ]
 
 _SCRIPT = r"""

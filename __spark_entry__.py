@@ -5666,6 +5666,74 @@ def emb_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chunk_neardup_oracle(k: int = 16, bands: int = 4) -> str:
+    """Chunk-level twin of _minhash_oracle: the same salted-md5 signature and
+    banding algebra over chunk pseudo-docs (ckey = doc_id*10000 + chunk_id),
+    including shingles_col's whole-text fallback for sub-n trailing chunks,
+    then per-doc survivor counts (later side of every >=0.5 pair drops)."""
+    r = k // bands
+    mins = ", ".join(
+        f"min(substr(md5('{j // 4}:' || sh), {(j % 4) * 8 + 1}, 8)) AS h{j}"
+        for j in range(k)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT ckey, {b} AS band, {key} AS key FROM sig".format(
+            b=b, key=" || ".join(f"h{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+spans AS (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(ceil(len(toks) / {_CHUNK}.0) AS INT) - 1))
+           AS chunk_id,
+         toks
+  FROM t),
+s2 AS (
+  SELECT doc_id, chunk_id, doc_id * 10000 + chunk_id AS ckey,
+         array_to_string(
+           list_slice(toks, chunk_id * {_CHUNK} + 1, chunk_id * {_CHUNK} + {_CHUNK}),
+           ' ') AS ctext
+  FROM spans),
+csh AS (
+  SELECT ckey,
+         CASE WHEN len(string_split(ctext, ' ')) >= 3
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(string_split(ctext, ' ')) - 2),
+                     i -> array_to_string(string_split(ctext, ' ')[i:i+2], ' ')))
+              ELSE [ctext] END AS sh
+  FROM s2),
+s AS (SELECT ckey, unnest(sh) AS sh FROM csh),
+sig AS (SELECT ckey, {mins} FROM s GROUP BY ckey),
+bands AS ({band_selects}),
+cand AS (SELECT DISTINCT a.ckey AS ka, b.ckey AS kb
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.ckey < b.ckey),
+v AS (SELECT ka, kb, len(list_intersect(da.sh, db.sh)) AS shared,
+             len(da.sh) AS na, len(db.sh) AS nb
+      FROM cand JOIN csh da ON da.ckey = ka JOIN csh db ON db.ckey = kb),
+dropped AS (SELECT DISTINCT kb AS ckey FROM v
+            WHERE shared * 1.0 / (na + nb - shared) >= 0.5)
+SELECT s2.doc_id, count(*) AS n_chunks,
+       sum(CASE WHEN d.ckey IS NULL THEN 1 ELSE 0 END) AS n_kept
+FROM s2 LEFT JOIN dropped d ON d.ckey = s2.ckey
+GROUP BY s2.doc_id
+"""
+
+
+@_register("doc_chunk_neardup", _chunk_neardup_oracle())
+def doc_chunk_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level FUZZY dedup: 8-token chunks as MinHash-LSH
+    pseudo-docs, later side of every >=0.5-Jaccard pair dropped — the
+    CCNet/RefinedWeb boilerplate pass for spans that mutate slightly
+    between pages (chunk_dedup's exact-hash sibling)."""
+    _utc(spark)
+    from biggraphite_spark.operators.curation import chunk_neardup
+
+    return chunk_neardup(_load_parallel(spark, sf_dir, "documents"), chunk=_CHUNK)
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

@@ -548,3 +548,54 @@ def source_overlap(
             ).alias("overlap_coef"),
         )
     )
+
+
+def chunk_neardup(
+    docs: DataFrame,
+    text_col: str = "text",
+    chunk: int = 8,
+    threshold: float = 0.5,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Paragraph-level FUZZY dedup — :func:`chunk_dedup`'s exact-hash match
+    generalized to near-duplicate spans (the CCNet/RefinedWeb paragraph
+    pass for boilerplate that mutates slightly between pages).
+
+    Chunks become pseudo-documents keyed ``doc_id·10⁴ + chunk_id`` (an
+    ordering under which "earlier survives" means document order, then
+    position) and run the standard MinHash-LSH near-dup path; the LATER
+    side of every ≥``threshold``-Jaccard pair is dropped.
+
+    Output: doc_id, n_chunks, n_kept.
+
+    Scale shape: inherits the LSH path's — banded signature self-join on
+    bucket keys, true-Jaccard verify on candidates only; the only new cost
+    over :func:`chunk_dedup` is the signature pass, still linear in corpus
+    tokens.
+    """
+    from .dedup import lsh_near_dups
+
+    chunks = _chunks_exploded(docs, text_col, chunk).withColumn(
+        "ckey", F.col("doc_id") * 10_000 + F.col("chunk_id")
+    )
+    pseudo = chunks.select(
+        F.col("ckey").alias("doc_id"), F.col("chunk_text").alias("text")
+    )
+    pairs = lsh_near_dups(pseudo, threshold=threshold, k=k, bands=bands, n=n)
+    dropped = pairs.select(F.col("doc_b").alias("ckey")).distinct().withColumn(
+        "dropme", F.lit(1)
+    )
+    # no broadcast hint: on a boilerplate-heavy corpus the dropped set is
+    # corpus-sized; a plain hash join lets AQE broadcast only when it fits
+    return (
+        chunks.join(dropped, "ckey", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(
+                F.when(F.col("dropme").isNull(), 1).otherwise(0)
+            ).alias("n_kept"),
+        )
+    )

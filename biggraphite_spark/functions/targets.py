@@ -1,0 +1,239 @@
+"""Graphite render-target expression language: parser + evaluator.
+
+graphite-web users query ``/render`` with nested function expressions over
+glob leaves — ``movingAverage(sumSeries(bg.click.*), 4)`` — not bare
+globs.  This module parses that grammar (the public graphite-web
+``render/grammar.py`` surface; the reference delegates rendering to
+graphite-web, SURVEY §0) and evaluates it onto the DataFrame
+implementations in :mod:`.series`, so one target expression becomes ONE
+Spark plan over the fetched series.
+
+Scope: the computational core of the target language — nested calls,
+glob leaves (brace groups included), numeric and quoted-string and
+timespan ("1h"/"2d") arguments.  Presentation-only verbs (color,
+lineWidth, …) are out of scope; unknown functions raise
+``InvalidArgumentError`` so callers get graphite's 400 contract.
+
+Evaluation returns frames with (name, ts, value): combining functions
+label their single output series with the expression text, exactly how
+graphite-web titles them.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from ..model import InvalidArgumentError
+
+# ---------------------------------------------------------------------------
+# AST + parser
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Call:
+    func: str
+    args: tuple
+    text: str  # the source text, used to label combined series
+
+
+@dataclass(frozen=True)
+class Leaf:
+    glob: str
+
+
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
+_NUMBER = re.compile(r"-?\d+(\.\d+)?")
+#: characters that may appear in a glob path component (brace commas are
+#: handled by depth tracking in the tokenizer)
+_PATHCHARS = set("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+                 "0123456789.*?[]!{},_-:#$%")
+
+_TIMESPAN = re.compile(r"^(\d+)(s|min|h|d|w)$")
+_TIMESPAN_UNITS = {"s": 1, "min": 60, "h": 3600, "d": 86400, "w": 604800}
+
+
+def parse_timespan(s: str) -> int:
+    m = _TIMESPAN.match(s)
+    if not m:
+        raise InvalidArgumentError(f"bad timespan {s!r}")
+    return int(m.group(1)) * _TIMESPAN_UNITS[m.group(2)]
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.text = text
+        self.i = 0
+
+    def error(self, msg: str):
+        raise InvalidArgumentError(f"target parse error at {self.i}: {msg} "
+                                   f"in {self.text!r}")
+
+    def peek(self) -> str:
+        return self.text[self.i] if self.i < len(self.text) else ""
+
+    def skip_ws(self):
+        while self.peek() in (" ", "\t"):
+            self.i += 1
+
+    def parse(self):
+        node = self.parse_expr()
+        self.skip_ws()
+        if self.i != len(self.text):
+            self.error("trailing input")
+        return node
+
+    def parse_expr(self):
+        self.skip_ws()
+        start = self.i
+        m = _IDENT.match(self.text, self.i)
+        if m and self.text[m.end():m.end() + 1] == "(":
+            func = m.group(0)
+            self.i = m.end() + 1  # past '('
+            args = []
+            self.skip_ws()
+            if self.peek() == ")":
+                self.i += 1
+            else:
+                while True:
+                    args.append(self.parse_arg())
+                    self.skip_ws()
+                    if self.peek() == ",":
+                        self.i += 1
+                        continue
+                    if self.peek() == ")":
+                        self.i += 1
+                        break
+                    self.error("expected ',' or ')'")
+            return Call(func, tuple(args), self.text[start:self.i])
+        return self.parse_path()
+
+    def parse_arg(self):
+        self.skip_ws()
+        c = self.peek()
+        if c in ("'", '"'):
+            quote, self.i = c, self.i + 1
+            j = self.text.find(quote, self.i)
+            if j < 0:
+                self.error("unterminated string")
+            s, self.i = self.text[self.i:j], j + 1
+            return s
+        m = _NUMBER.match(self.text, self.i)
+        if m and not (
+            # a number-prefixed path like 5xx.status.* stays a path
+            self.text[m.end():m.end() + 1] in _PATHCHARS - set("0123456789")
+            and self.text[m.end():m.end() + 1] not in (",", ")")
+        ):
+            self.i = m.end()
+            v = m.group(0)
+            return float(v) if "." in v else int(v)
+        return self.parse_expr()
+
+    def parse_path(self):
+        start = self.i
+        depth = 0
+        while self.i < len(self.text):
+            c = self.text[self.i]
+            if c == "{":
+                depth += 1
+            elif c == "}":
+                depth -= 1
+                if depth < 0:
+                    self.error("unbalanced '}'")
+            elif depth == 0 and c in (",", ")", "(", " "):
+                break
+            elif c not in _PATHCHARS:
+                self.error(f"bad path char {c!r}")
+            self.i += 1
+        if depth != 0:
+            self.error("unbalanced '{'")
+        if self.i == start:
+            self.error("empty expression")
+        return Leaf(self.text[start:self.i])
+
+
+def parse_target(text: str):
+    """Parse one render target into a Call/Leaf tree."""
+    return _Parser(text).parse()
+
+
+# ---------------------------------------------------------------------------
+# evaluator
+# ---------------------------------------------------------------------------
+
+
+def evaluate_target(node, fetch, step: int) -> DataFrame:
+    """Evaluate a parsed target: ``fetch(glob) -> DataFrame(name, ts,
+    value)`` supplies the leaves; ``step`` is the fetched grid's bucket
+    seconds (perSecond / summarize-by-timespan need it)."""
+    from . import series as S
+
+    def ev(n) -> DataFrame:
+        if isinstance(n, Leaf):
+            return fetch(n.glob)
+        args = [ev(a) if isinstance(a, (Call, Leaf)) else a for a in n.args]
+        if not args or not isinstance(args[0], DataFrame):
+            raise InvalidArgumentError(
+                f"{n.func}: first argument must be a series expression")
+        s, rest = args[0], args[1:]
+
+        def combined(how: str) -> DataFrame:
+            return S.combine(s, how, name=n.text)
+
+        f = n.func
+        if f == "sumSeries":
+            return combined("sum")
+        if f == "averageSeries":
+            return combined("average")
+        if f == "minSeries":
+            return combined("min")
+        if f == "maxSeries":
+            return combined("max")
+        if f == "percentileOfSeries":
+            return S.percentile_of_series(s, float(rest[0])).select(
+                # per-bucket single series: label like graphite
+                S.F.lit(n.text).alias("name"), "ts", "value"
+            )
+        if f in ("movingAverage", "movingSum", "movingMin", "movingMax"):
+            return S.moving(s, int(rest[0]), how=f[len("moving"):].lower())
+        if f == "movingMedian":
+            return S.moving_median(s, int(rest[0]))
+        if f == "scale":
+            return S.scale(s, float(rest[0]))
+        if f == "offset":
+            return S.offset(s, float(rest[0]))
+        if f == "absolute":
+            return S.absolute(s)
+        if f == "derivative":
+            return S.derivative(s)
+        if f == "nonNegativeDerivative":
+            return S.non_negative_derivative(s)
+        if f == "perSecond":
+            return S.per_second(s, step)
+        if f == "integral":
+            return S.integral(s)
+        if f == "keepLastValue":
+            return S.keep_last_value(s, int(rest[0]) if rest else None)
+        if f == "transformNull":
+            return S.transform_null(s, float(rest[0]) if rest else 0.0)
+        if f == "timeShift":
+            return S.time_shift(s, parse_timespan(str(rest[0])))
+        if f == "summarize":
+            how = str(rest[1]) if len(rest) > 1 else "sum"
+            return S.summarize(s, parse_timespan(str(rest[0])), how=how)
+        if f in ("highestAverage", "highestMax"):
+            return S.highest(s, int(rest[0]), how=f[len("highest"):].lower())
+        if f == "lowestAverage":
+            return S.lowest(s, int(rest[0]), how="average")
+        if f == "nPercentile":
+            return S.n_percentile(s, float(rest[0]))
+        if f == "aliasByNode":
+            return S.alias_by_node(s, *[int(a) for a in rest])
+        if f == "groupByNode":
+            return S.group_by_node(s, int(rest[0]), str(rest[1]))
+        raise InvalidArgumentError(f"unsupported render function {f!r}")
+
+    return ev(node)

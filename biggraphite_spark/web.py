@@ -239,8 +239,27 @@ class GraphiteWeb:
         """
         out = []
         for target in targets:
-            rr = self.engine.read(target, start, end)
-            series_df = rr.series
+            if "(" in target:
+                # function-expression target (graphite's render grammar):
+                # parse, fetch each glob leaf through the aligned read path,
+                # evaluate the function tree as ONE Spark plan
+                from .functions import targets as T
+
+                node = T.parse_target(target)
+                _, _, stage = self.engine.retention.align_time_window(
+                    start, end, self.engine.now
+                )
+                series_df = T.evaluate_target(
+                    node,
+                    fetch=lambda g: self.engine.read(g, start, end).series,
+                    step=stage.precision,
+                )
+                a_start, a_end = stage.round_down(start), stage.round_up(end)
+                rr = type("RR", (), {"start": a_start, "end": a_end,
+                                     "step": stage.precision})()
+            else:
+                rr = self.engine.read(target, start, end)
+                series_df = rr.series
             n_buckets = max(1, (rr.end - rr.start) // rr.step)
             if max_points and max_points > 0 and n_buckets > max_points:
                 factor = -(-n_buckets // max_points)  # ceil

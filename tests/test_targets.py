@@ -1,0 +1,71 @@
+"""Render-target expression language: parser shapes, error contract, and
+evaluation parity against direct functions/series composition."""
+
+import pytest
+
+from biggraphite_spark.functions.targets import (
+    Call,
+    Leaf,
+    evaluate_target,
+    parse_target,
+    parse_timespan,
+)
+from biggraphite_spark.model import InvalidArgumentError
+
+
+def test_parse_shapes():
+    assert parse_target("a.b.c") == Leaf("a.b.c")
+    t = parse_target("movingAverage(sumSeries(bg.{click,view}.u*), 4)")
+    assert t.func == "movingAverage" and t.args[1] == 4
+    inner = t.args[0]
+    assert inner.func == "sumSeries" and inner.args[0] == Leaf("bg.{click,view}.u*")
+    assert inner.text == "sumSeries(bg.{click,view}.u*)"
+    t = parse_target("summarize(x.y, '2d', \"max\")")
+    assert t.args[1:] == ("2d", "max")
+    assert parse_target("scale(a.b, 0.5)").args[1] == 0.5
+    assert parse_target("offset(a.b, -3)").args[1] == -3
+
+
+def test_parse_errors():
+    for bad in ["", "f(", "a.b)", "f(a.b,)", "f('unterminated)",
+                "a.{b", "sumSeries(a.b) extra"]:
+        with pytest.raises(InvalidArgumentError):
+            parse_target(bad)
+
+
+def test_parse_timespan():
+    assert parse_timespan("90s") == 90
+    assert parse_timespan("5min") == 300
+    assert parse_timespan("2d") == 2 * 86400
+    with pytest.raises(InvalidArgumentError):
+        parse_timespan("2fortnights")
+
+
+def test_evaluate_matches_direct_composition(spark):
+    from pyspark.sql import functions as F
+
+    from biggraphite_spark.functions.series import combine, moving
+
+    rows = [("a", t * 60, float(t)) for t in range(8)] + [
+        ("b", t * 60, 1.0) for t in range(8)
+    ]
+    df = spark.createDataFrame(rows, ["name", "ts", "value"])
+    node = parse_target("movingAverage(sumSeries(x.*), 3)")
+    got = evaluate_target(node, fetch=lambda g: df, step=60).orderBy("ts").collect()
+    want = (
+        moving(combine(df, "sum", name="sumSeries(x.*)"), 3)
+        .orderBy("ts")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert got[0]["name"] == "sumSeries(x.*)"
+
+
+def test_evaluate_rejects_scalar_only_and_unknown(spark):
+    df = None
+    with pytest.raises(InvalidArgumentError):
+        evaluate_target(parse_target("noSuchFunc(a.b)"),
+                        fetch=lambda g: __import__("pyspark").sql.SparkSession
+                        .getActiveSession().createDataFrame(
+                            [("a.b", 0, 1.0)], ["name", "ts", "value"]),
+                        step=60)

@@ -9,6 +9,7 @@ plus the 404/400 error contract.
 import json
 import threading
 import urllib.error
+import urllib.parse
 import urllib.request
 
 import pytest
@@ -193,3 +194,41 @@ def test_render_max_data_points_consolidates(graphite_server):
         f"&maxDataPoints={n_full + 5}"
     )
     assert same[0]["datapoints"] == full[0]["datapoints"]
+
+
+def test_render_function_expression_targets(graphite_server):
+    # nested: movingAverage over a sumSeries of a brace glob
+    status, series = _get(
+        f"{graphite_server}/render?target="
+        + urllib.parse.quote("movingAverage(sumSeries(bg.{click,view}.u0), 4)")
+        + "&from=-2d&until=now"
+    )
+    assert status == 200 and len(series) == 1
+    # movingAverage preserves the series name the inner combiner assigned
+    assert series[0]["target"] == "sumSeries(bg.{click,view}.u0)"
+    pts = series[0]["datapoints"]
+    assert pts and all(len(p) == 2 for p in pts)
+
+    # scalar transform chain over a single metric keeps the metric name
+    status, series = _get(
+        f"{graphite_server}/render?target="
+        + urllib.parse.quote("scale(keepLastValue(bg.click.u0), 0.5)")
+        + "&from=-2d"
+    )
+    assert status == 200 and series[0]["target"] == "bg.click.u0"
+
+    # summarize with timespan + how
+    status, series = _get(
+        f"{graphite_server}/render?target="
+        + urllib.parse.quote("summarize(bg.click.u0, '2d', 'max')")
+        + "&from=-2d"
+    )
+    assert status == 200 and series[0]["datapoints"]
+
+    # unknown function -> graphite's 400 contract
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(
+            f"{graphite_server}/render?target="
+            + urllib.parse.quote("colorize(bg.click.u0)")
+        )
+    assert ei.value.code == 400

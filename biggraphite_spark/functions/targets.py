@@ -234,6 +234,64 @@ def evaluate_target(node, fetch, step: int) -> DataFrame:
             return S.alias_by_node(s, *[int(a) for a in rest])
         if f == "groupByNode":
             return S.group_by_node(s, int(rest[0]), str(rest[1]))
+        if f == "divideSeries":
+            return S.divide_series(s, rest[0])
+        if f == "diffSeries":
+            return S.diff_series(s, *rest)
+        if f == "asPercent":
+            return S.as_percent(s)
+        if f == "averageAbove":
+            return S.average_above(s, float(rest[0]))
+        if f == "averageBelow":
+            return S.average_below(s, float(rest[0]))
+        if f == "maximumAbove":
+            return S.maximum_above(s, float(rest[0]))
+        if f == "minimumBelow":
+            return S.minimum_below(s, float(rest[0]))
+        if f == "currentAbove":
+            return S.current_above(s, float(rest[0]))
+        if f == "currentBelow":
+            return S.current_below(s, float(rest[0]))
+        if f == "removeAbovePercentile":
+            return S.remove_above_percentile(s, float(rest[0]))
+        if f == "removeBelowPercentile":
+            return S.remove_below_percentile(s, float(rest[0]))
+        if f == "grep":
+            return S.grep_series(s, str(rest[0]))
+        if f == "exclude":
+            return S.exclude(s, str(rest[0]))
+        if f == "timeSlice":
+            return S.time_slice(s, int(rest[0]), int(rest[1]))
+        if f == "hitcount":
+            return S.hitcount(s, parse_timespan(str(rest[0])))
+        if f == "changed":
+            return S.changed(s)
+        if f == "interpolate":
+            return S.interpolate(s, int(rest[0]) if rest else None)
+        if f == "logarithm":
+            return S.logarithm(s, float(rest[0]) if rest else 10.0)
+        if f == "squareRoot":
+            return S.square_root(s)
+        if f == "pow":
+            return S.pow_series(s, float(rest[0]))
+        if f == "invert":
+            return S.invert(s)
+        if f == "offsetToZero":
+            return S.offset_to_zero(s)
+        if f == "clamp":
+            return S.clamp(s, float(rest[0]), float(rest[1]))
+        if f == "delay":
+            return S.delay(s, int(rest[0]))
+        if f == "stdev":
+            return S.stdev(s, int(rest[0]))
+        if f == "linearRegression":
+            return S.linear_regression(s)
+        if f == "mostDeviant":
+            return S.most_deviant(s, int(rest[0]))
+        if f == "aliasSub":
+            return S.alias_sub(s, str(rest[0]), str(rest[1]))
+        if f == "limit":
+            return S.limit_series(s, int(rest[0]))
         raise InvalidArgumentError(f"unsupported render function {f!r}")
 
     return ev(node)

@@ -69,3 +69,32 @@ def test_evaluate_rejects_scalar_only_and_unknown(spark):
                         .getActiveSession().createDataFrame(
                             [("a.b", 0, 1.0)], ["name", "ts", "value"]),
                         step=60)
+
+
+def test_two_series_and_filter_verbs(spark):
+    from biggraphite_spark.functions.series import divide_series, maximum_above
+
+    rows = [("e", t * 60, 2.0) for t in range(4)] + [
+        ("p", t * 60, 4.0) for t in range(4)
+    ]
+    df = spark.createDataFrame(rows, ["name", "ts", "value"])
+    e = df.filter("name = 'e'")
+    p = df.filter("name = 'p'")
+
+    def fetch(glob):
+        return {"e.*": e, "p.*": p}[glob]
+
+    got = evaluate_target(
+        parse_target("divideSeries(sumSeries(e.*), sumSeries(p.*))"),
+        fetch=fetch, step=60,
+    ).orderBy("ts").collect()
+    assert [r["value"] for r in got] == [0.5] * 4
+
+    got = evaluate_target(
+        parse_target("maximumAbove(p.*, 3)"), fetch=fetch, step=60
+    ).collect()
+    assert {r["name"] for r in got} == {"p"}
+    got = evaluate_target(
+        parse_target("maximumAbove(e.*, 3)"), fetch=fetch, step=60
+    ).collect()
+    assert got == []

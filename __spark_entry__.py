@@ -5734,6 +5734,34 @@ def doc_chunk_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_neardup(_load_parallel(spark, sf_dir, "documents"), chunk=_CHUNK)
 
 
+_TARGET_EXPR = "scale(movingAverage(sumSeries(bg.purchase.*), 4), 0.5)"
+
+_TARGET_EXPR_ORACLE = f"""
+WITH {_series_cte("bg.purchase.*")},
+c AS (SELECT ts, sum(value) AS value FROM s GROUP BY ts),
+m AS (SELECT ts, avg(value) OVER (ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS value
+      FROM c)
+SELECT 'sumSeries(bg.purchase.*)' AS name, ts, ROUND(value * 0.5, 6) AS value
+FROM m
+"""
+
+
+@_register("gr_target_expr", _TARGET_EXPR_ORACLE)
+def gr_target_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The render-target expression language under the correctness gate:
+    parse ``{_TARGET_EXPR}`` and evaluate the nested call tree
+    (functions/targets.py) onto the hourly finals — the exact path a
+    graphite-web /render?target=... request takes, replayed by plain SQL
+    window algebra in the oracle."""
+    _utc(spark)
+    from biggraphite_spark.functions.targets import evaluate_target, parse_target
+
+    node = parse_target(_TARGET_EXPR)
+    s = _hourly_finals(spark, sf_dir, "bg.purchase.*")
+    df = evaluate_target(node, fetch=lambda g: s, step=3600)
+    return df.select("name", "ts", F.round("value", 6).alias("value"))
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

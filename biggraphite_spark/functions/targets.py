@@ -165,10 +165,11 @@ def parse_target(text: str):
 # ---------------------------------------------------------------------------
 
 
-def evaluate_target(node, fetch, step: int) -> DataFrame:
+def evaluate_target(node, fetch, step: int, start: int = 0) -> DataFrame:
     """Evaluate a parsed target: ``fetch(glob) -> DataFrame(name, ts,
     value)`` supplies the leaves; ``step`` is the fetched grid's bucket
-    seconds (perSecond / summarize-by-timespan need it)."""
+    seconds (perSecond needs it) and ``start`` the aligned window start
+    (smartSummarize aligns its buckets to it, per graphite)."""
     from . import series as S
 
     def ev(n) -> DataFrame:
@@ -292,6 +293,31 @@ def evaluate_target(node, fetch, step: int) -> DataFrame:
             return S.alias_sub(s, str(rest[0]), str(rest[1]))
         if f == "limit":
             return S.limit_series(s, int(rest[0]))
+        if f == "alias":
+            return s.select(S.F.lit(str(rest[0])).alias("name"), "ts", "value")
+        if f == "stddevSeries":
+            return S.stddev_series(s).select(
+                S.F.lit(n.text).alias("name"), "ts", "value"
+            )
+        if f == "averageOutsidePercentile":
+            return S.average_outside_percentile(s, float(rest[0]))
+        if f == "removeEmptySeries":
+            return S.remove_empty_series(s, float(rest[0]) if rest else 0.0)
+        if f == "isNonNull":
+            return S.is_non_null(s)
+        if f == "substr":
+            return S.substr_series(s, int(rest[0]), int(rest[1]) if len(rest) > 1 else 0)
+        if f == "minMax":
+            return S.min_max(s)
+        if f == "sigmoid":
+            return S.sigmoid_series(s)
+        if f == "round":
+            return S.round_series(s, int(rest[0]) if rest else 0)
+        if f == "scaleToSeconds":
+            return S.scale_to_seconds(s, int(rest[0]))
+        if f == "smartSummarize":
+            how = str(rest[1]) if len(rest) > 1 else "sum"
+            return S.smart_summarize(s, parse_timespan(str(rest[0])), how, origin=start)
         raise InvalidArgumentError(f"unsupported render function {f!r}")
 
     return ev(node)

@@ -249,12 +249,13 @@ class GraphiteWeb:
                 _, _, stage = self.engine.retention.align_time_window(
                     start, end, self.engine.now
                 )
+                a_start, a_end = stage.round_down(start), stage.round_up(end)
                 series_df = T.evaluate_target(
                     node,
                     fetch=lambda g: self.engine.read(g, start, end).series,
                     step=stage.precision,
+                    start=a_start,
                 )
-                a_start, a_end = stage.round_down(start), stage.round_up(end)
                 rr = type("RR", (), {"start": a_start, "end": a_end,
                                      "step": stage.precision})()
             else:

@@ -98,3 +98,23 @@ def test_two_series_and_filter_verbs(spark):
         parse_target("maximumAbove(e.*, 3)"), fetch=fetch, step=60
     ).collect()
     assert got == []
+
+
+def test_alias_and_round_and_smart_summarize(spark):
+    rows = [("a.b", 60 + t * 60, 1.5 + t) for t in range(6)]
+    df = spark.createDataFrame(rows, ["name", "ts", "value"])
+
+    got = evaluate_target(parse_target("alias(a.b, 'renamed')"),
+                          fetch=lambda g: df, step=60).collect()
+    assert {r["name"] for r in got} == {"renamed"}
+
+    got = evaluate_target(parse_target("round(a.b)"),
+                          fetch=lambda g: df, step=60).orderBy("ts").collect()
+    # Spark round() is HALF_UP: 1.5->2, 2.5->3, ...
+    assert [r["value"] for r in got] == [2.0, 3.0, 4.0, 5.0, 6.0, 7.0]
+
+    # smartSummarize aligns buckets to the window start, not epoch 0
+    got = evaluate_target(parse_target("smartSummarize(a.b, '2min', 'sum')"),
+                          fetch=lambda g: df, step=60, start=60)
+    ts = sorted(r["ts"] for r in got.collect())
+    assert ts[0] == 60 and all(b - a == 120 for a, b in zip(ts, ts[1:]))

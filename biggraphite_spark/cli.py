@@ -36,6 +36,13 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser("list", help="glob-list metric names")
     sp.add_argument("pattern")
+    sp = sub.add_parser(
+        "render", help="evaluate a graphite render-target expression"
+    )
+    sp.add_argument("target")
+    sp.add_argument("--start", type=int, default=None)
+    sp.add_argument("--end", type=int, default=None)
+    sp.add_argument("--limit", type=int, default=40)
     sp = sub.add_parser("read", help="aligned read of a glob")
     sp.add_argument("pattern")
     sp.add_argument("--start", type=int, default=None)
@@ -114,6 +121,26 @@ def _dispatch(args, eng) -> int:
         res = eng.read(args.pattern, start, end)
         print(f"# start={res.start} end={res.end} step={res.step}")
         for row in res.series.orderBy("name", "ts").limit(args.limit).collect():
+            val = "None" if row["value"] is None else f"{row['value']:.6f}"
+            print(f"{row['name']}\t{row['ts']}\t{val}")
+    elif args.cmd == "render":
+        # the graphite-web target grammar from the shell: parse the
+        # expression, evaluate the call tree onto an aligned read
+        from .functions.targets import evaluate_target, parse_target
+        from .sources.events import NOW
+
+        start = args.start if args.start is not None else NOW - 86400
+        end = args.end if args.end is not None else NOW
+        node = parse_target(args.target)
+        a_start, a_end, stage = eng.retention.align_time_window(start, end, eng.now)
+        df = evaluate_target(
+            node,
+            fetch=lambda g: eng.read(g, start, end).series,
+            step=stage.precision,
+            start=a_start,
+        )
+        print(f"# start={a_start} end={a_end} step={stage.precision}")
+        for row in df.orderBy("name", "ts").limit(args.limit).collect():
             val = "None" if row["value"] is None else f"{row['value']:.6f}"
             print(f"{row['name']}\t{row['ts']}\t{val}")
     elif args.cmd == "du":

@@ -123,3 +123,12 @@ def test_expire_subcommand(spark, capsys, tmp_path):
     # we wrote is not part of the dataset retention, so just check the format
     assert out.count("# ") == len(out.strip().splitlines())
     assert "dropped" in out
+
+
+def test_render_subcommand(spark, capsys):
+    out = _run(capsys, "render", "scale(sumSeries(bg.click.u*), 2.0)")
+    lines = out.splitlines()
+    assert lines[0].startswith("# start=")
+    assert lines[1].split("\t")[0] == "sumSeries(bg.click.u*)"
+    # bad expression -> exit 2 via the InvalidArgumentError contract
+    assert main(["--sf-dir", SF, "render", "noSuchFunc(bg.click.u0)"]) == 2

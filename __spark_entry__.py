@@ -5649,8 +5649,15 @@ def emb_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load_parallel(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     exact = cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    # exchange barrier after the 16x64-term projection: without it
+    # CollapseProject inlines the signed sums into every per-pair dot and
+    # norm evaluation (the ann_ivfpq_topk pattern, similarity.py) — and the
+    # inline expression's one-time codegen alone cost ~13s in-suite.  The
+    # repartition ships only the 16-double projected rows.
     approx = cosine_topk(
-        random_projection(emb, _RP_D), random_projection(q, _RP_D), k=5
+        random_projection(emb, _RP_D).repartition(8),
+        random_projection(q, _RP_D),
+        k=5,
     ).select("query_id", "neighbor_id")
     common = (
         exact.join(approx, ["query_id", "neighbor_id"], "left_semi")

@@ -717,14 +717,16 @@ def random_projection(
 
     from .text import bind_col
 
+    # each sign row as ONE ArrayType literal + a zip_with/aggregate fold:
+    # bit-identical to summing ±v[i] left-to-right (0.0+a==a, x*±1.0 is an
+    # exact sign flip), but the expression tree is ~6 nodes per output dim
+    # instead of 64 — the unrolled form's one-time codegen alone cost ~10s
     def project(vv: Column) -> Column:
         dims = []
         for j in range(d_out):
-            terms = None
-            for i, s in enumerate(signs[j]):
-                t = F.element_at(vv, i + 1) if s > 0 else -F.element_at(vv, i + 1)
-                terms = t if terms is None else terms + t
-            dims.append(terms)
+            row = F.lit([float(x) for x in signs[j]])
+            prods = F.zip_with(vv, row, lambda x, sg: x * sg)
+            dims.append(F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x))
         return F.array(*dims)
 
     return embeddings.withColumn(vec_col, bind_col(v, project))

@@ -318,6 +318,32 @@ def evaluate_target(node, fetch, step: int, start: int = 0) -> DataFrame:
         if f == "smartSummarize":
             how = str(rest[1]) if len(rest) > 1 else "sum"
             return S.smart_summarize(s, parse_timespan(str(rest[0])), how, origin=start)
+        if f == "countSeries":
+            return S.count_series(s).select(
+                S.F.lit(n.text).alias("name"), "ts", "value"
+            )
+        if f == "rangeOfSeries":
+            return S.range_of_series(s).select(
+                S.F.lit(n.text).alias("name"), "ts", "value"
+            )
+        if f == "multiplySeries":
+            return S.multiply_series(s).select(
+                S.F.lit(n.text).alias("name"), "ts", "value"
+            )
+        if f == "weightedAverage":
+            return S.weighted_average(s, rest[0], *[int(a) for a in rest[1:]])
+        if f == "groupByNodes":
+            return S.group_by_nodes(s, str(rest[0]), *[int(a) for a in rest[1:]])
+        if f == "timeStack":
+            return S.time_stack(
+                s, parse_timespan(str(rest[0])),
+                int(rest[1]) if len(rest) > 1 else 0,
+                int(rest[2]) if len(rest) > 2 else 7,
+            )
+        if f == "fallbackSeries":
+            return S.fallback_series(s, rest[0])
+        if f == "unique":
+            return S.unique_series(s, *rest)
         raise InvalidArgumentError(f"unsupported render function {f!r}")
 
     return ev(node)

@@ -118,3 +118,26 @@ def test_alias_and_round_and_smart_summarize(spark):
                           fetch=lambda g: df, step=60, start=60)
     ts = sorted(r["ts"] for r in got.collect())
     assert ts[0] == 60 and all(b - a == 120 for a, b in zip(ts, ts[1:]))
+
+
+def test_multi_series_verbs(spark):
+    rows = [("e.a", t * 60, 2.0) for t in range(4)] + [
+        ("e.b", t * 60, 6.0) for t in range(4)
+    ]
+    df = spark.createDataFrame(rows, ["name", "ts", "value"])
+
+    got = evaluate_target(parse_target("countSeries(e.*)"),
+                          fetch=lambda g: df, step=60).collect()
+    assert {r["value"] for r in got} == {2.0}
+    assert {r["name"] for r in got} == {"countSeries(e.*)"}
+
+    got = evaluate_target(parse_target("rangeOfSeries(e.*)"),
+                          fetch=lambda g: df, step=60).collect()
+    assert {r["value"] for r in got} == {4.0}
+
+    got = evaluate_target(
+        parse_target("weightedAverage(e.*, e.*, 1)"),
+        fetch=lambda g: df, step=60,
+    ).orderBy("ts").collect()
+    # weights == values: weighted avg = (2*2 + 6*6)/(2+6) = 5.0
+    assert [r["value"] for r in got] == [5.0] * 4

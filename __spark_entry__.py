@@ -5769,6 +5769,44 @@ def gr_target_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("name", "ts", F.round("value", 6).alias("value"))
 
 
+_EVENTS_ANOMALY_ORACLE = """
+WITH d AS (
+  SELECT event_type AS name,
+         CAST((epoch_ns(ts) // 1000000000) // 86400 AS BIGINT) AS ts,
+         CAST(count(*) AS DOUBLE) AS value
+  FROM events GROUP BY 1, 2
+),
+st AS (SELECT name, avg(value) AS mu, stddev_samp(value) AS sd
+       FROM d GROUP BY name),
+z AS (SELECT d.name, d.ts, d.value,
+             CASE WHEN st.sd > 0 THEN ROUND((d.value - st.mu) / st.sd, 6) END AS z
+      FROM d JOIN st USING (name))
+SELECT name, ts, value, z, coalesce(abs(z) > 2.0, FALSE) AS is_outlier
+FROM z
+"""
+
+
+@_register("events_anomaly", _EVENTS_ANOMALY_ORACLE)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-volume anomaly flags per type: one counting aggregation
+    feeds the same per-series z-score operator the metrics side uses
+    (gr_zscore) — the ops-dashboard traffic-drop/spike detector."""
+    _utc(spark)
+    from biggraphite_spark.functions.series import zscore_outliers
+    from biggraphite_spark.sources.events import event_ts_seconds, load_events
+
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.select(
+            F.col("event_type").alias("name"),
+            (event_ts_seconds(ev) / 86400).cast("long").alias("ts"),
+        )
+        .groupBy("name", "ts")
+        .agg(F.count("*").cast("double").alias("value"))
+    )
+    return zscore_outliers(daily)
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

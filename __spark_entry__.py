@@ -54,7 +54,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
 
 
-def _register(name: str, oracle: str | None = None):
+def _register(name: str, oracle=None):
+    """Register a contract query; ``oracle`` is either an ANSI-SQL string or
+    a zero-arg callable returning one (for python-twin literal oracles that
+    are computed lazily — see oracle_twins.py)."""
+
     def deco(fn):
         _QUERIES[name] = fn
         if oracle is not None:
@@ -62,6 +66,23 @@ def _register(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+def _twin(fn_name: str):
+    """Lazy oracle backed by oracle_twins.py (plain-python twin, no Spark /
+    package imports): resolved only when oracle_sql() materializes, so
+    importing this module stays cheap."""
+
+    def thunk() -> str:
+        import importlib
+        import sys
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        if here not in sys.path:
+            sys.path.insert(0, here)
+        return getattr(importlib.import_module("oracle_twins"), fn_name)()
+
+    return thunk
 
 
 def _utc(spark: SparkSession) -> None:
@@ -2497,7 +2518,7 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("doc_bpe_vocab")  # rows-only: iterative trainer, not SQL-expressible
+@_register("doc_bpe_vocab", _twin("bpe_vocab_sql"))  # python-twin literal oracle
 def doc_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary learning (Sennrich 2016): 10 merge rounds
     over the distinct-word frequency table (vocabulary-sized state, the one
@@ -2514,7 +2535,7 @@ def doc_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_vocab(words)
 
 
-@_register("doc_bpe_tokens")  # rows-only: depends on the iterative trainer
+@_register("doc_bpe_tokens", _twin("bpe_tokens_sql"))  # python-twin literal oracle
 def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE apply side: per-document token counts under the learned
     vocabulary — encode = one broadcast lookup join against the
@@ -2995,7 +3016,7 @@ def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(_load_parallel(spark, sf_dir, "embeddings"))
 
 
-@_register("mm_features")  # rows-only: binary + mapInPandas path, not SQL-expressible
+@_register("mm_features", _twin("mm_features_sql"))  # python-twin literal oracle
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (binary column + Arrow-batched mapInPandas
     featurization over synthesized payloads).  No oracle: the pandas-UDF
@@ -3008,7 +3029,7 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synthesize_media(docs))
 
 
-@_register("mm_decode")  # rows-only: pure-Python BMP codec over binary, not SQL-expressible
+@_register("mm_decode", _twin("mm_decode_sql"))  # python-twin literal oracle
 def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real image decode end to end: synthesize deterministic BMP payloads
     from the documents corpus, decode them executor-side
@@ -3031,7 +3052,7 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("mm_audio")  # rows-only: pure-Python WAV codec over binary, not SQL-expressible
+@_register("mm_audio", _twin("mm_audio_sql"))  # python-twin literal oracle
 def mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio end to end: synthesize deterministic PCM16 WAV payloads from
     the documents corpus, parse them executor-side (operators/multimodal.py
@@ -3050,7 +3071,7 @@ def mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(decode_audio(synthesize_wav_media(docs)))
 
 
-@_register("mm_resize")  # rows-only: depends on the Python BMP decode stage
+@_register("mm_resize", _twin("mm_resize_sql"))  # python-twin literal oracle
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-neighbor image resize (8x8 -> 4x4) as a pure JVM projection
     over the decoded pixel arrays — no Python in the resample itself; the
@@ -3075,7 +3096,7 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("mm_frames")  # rows-only: BGSV demux + BMP decode, not SQL-expressible
+@_register("mm_frames", _twin("mm_frames_sql"))  # python-twin literal oracle
 def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling end to end: synthesize BGSV containers (4
     frames @250ms per doc), sample one frame per 500ms window
@@ -5866,4 +5887,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {n: _ORACLES[n] for n in _gate_order(list(_QUERIES)) if n in _ORACLES}
+    out = {}
+    for n in _gate_order(list(_QUERIES)):
+        o = _ORACLES.get(n)
+        if o is not None:
+            out[n] = o() if callable(o) else o
+    return out

@@ -5318,7 +5318,16 @@ def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NORM_ORACLE = """
+def _norm_oracle() -> str:
+    # the differential contract replays the EXACT pii_mask patterns in RE2,
+    # so interpolate them from the operator module instead of hand-copying
+    # (the patterns restrict themselves to the Java∩RE2 subset)
+    from biggraphite_spark.operators.text import PII_PATTERNS
+
+    masked = "n"
+    for pat, token in PII_PATTERNS:
+        masked = f"regexp_replace({masked}, '{pat}', '{token}', 'g')"
+    return f"""
 WITH perturbed AS (
   SELECT doc_id,
          '  ' || upper(replace(text, ' ', '  ')) || chr(9) || 'User.'
@@ -5333,13 +5342,12 @@ norm AS (
             '[ \\t\\n\\r]+', ' ', 'g'))) AS n
   FROM perturbed
 )
-SELECT doc_id,
-       regexp_replace(regexp_replace(regexp_replace(n,
-          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<email>', 'g'),
-          '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<ip>', 'g'),
-          '\\+?\\d[\\d()./ -]{6,}\\d', '<phone>', 'g') AS clean_text
+SELECT doc_id, {masked} AS clean_text
 FROM norm
 """
+
+
+_NORM_ORACLE = _norm_oracle()
 
 
 @_register("doc_normalize", _NORM_ORACLE)
@@ -5697,7 +5705,7 @@ def emb_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _chunk_neardup_oracle(k: int = 16, bands: int = 4) -> str:
     """Chunk-level twin of _minhash_oracle: the same salted-md5 signature and
-    banding algebra over chunk pseudo-docs (ckey = doc_id*10000 + chunk_id),
+    banding algebra over chunk pseudo-docs (ckey = doc_id*2^32 + chunk_id),
     including shingles_col's whole-text fallback for sub-n trailing chunks,
     then per-doc survivor counts (later side of every >=0.5 pair drops)."""
     r = k // bands
@@ -5720,7 +5728,7 @@ spans AS (
          toks
   FROM t),
 s2 AS (
-  SELECT doc_id, chunk_id, doc_id * 10000 + chunk_id AS ckey,
+  SELECT doc_id, chunk_id, doc_id * 4294967296 + chunk_id AS ckey,
          array_to_string(
            list_slice(toks, chunk_id * {_CHUNK} + 1, chunk_id * {_CHUNK} + {_CHUNK}),
            ' ') AS ctext
@@ -5745,7 +5753,7 @@ v AS (SELECT ka, kb, len(list_intersect(da.sh, db.sh)) AS shared,
 dropped AS (SELECT DISTINCT kb AS ckey FROM v
             WHERE shared * 1.0 / (na + nb - shared) >= 0.5)
 SELECT s2.doc_id, count(*) AS n_chunks,
-       sum(CASE WHEN d.ckey IS NULL THEN 1 ELSE 0 END) AS n_kept
+       CAST(sum(CASE WHEN d.ckey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM s2 LEFT JOIN dropped d ON d.ckey = s2.ckey
 GROUP BY s2.doc_id
 """

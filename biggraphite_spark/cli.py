@@ -238,12 +238,18 @@ def _dispatch(args, eng) -> int:
                 for e in os.listdir(fine_path)
                 if e.startswith("pday=")
             ) if os.path.isdir(fine_path) else []
-            # every coarse day any present fine day can contribute to
-            days = sorted({
-                (d * SECONDS_PER_DAY - (d * SECONDS_PER_DAY) % coarse.precision)
-                // SECONDS_PER_DAY
-                for d in present
-            })
+            # every coarse day any present fine day can contribute to: a
+            # coarse bucket dirtied by day d lives in the day of its OWN
+            # start, so enumerate every bucket start overlapping
+            # [d*86400, (d+1)*86400) — taking only the first bucket's day
+            # would leave later same-day buckets stale when the coarse
+            # precision is sub-day and does not divide 86400 (e.g. 10h)
+            dirty: set[int] = set()
+            for d in present:
+                lo = d * SECONDS_PER_DAY - (d * SECONDS_PER_DAY) % coarse.precision
+                for start in range(lo, (d + 1) * SECONDS_PER_DAY, coarse.precision):
+                    dirty.add(start // SECONDS_PER_DAY)
+            days = sorted(dirty)
         spark = eng.catalog.sparkSession
         done = store.refresh_rollup(spark, fine, coarse, days)
         print(f"# refreshed {len(done)} {coarse.as_string} day partitions: {done}")

@@ -165,6 +165,31 @@ def parse_target(text: str):
 # ---------------------------------------------------------------------------
 
 
+def _scalar(v):
+    """Guard for scalar argument positions: an unquoted timespan/identifier
+    like ``summarize(x, 1h)`` parses as a glob Leaf and evaluates to a
+    (usually empty) fetched DataFrame — surface graphite's 400 contract
+    instead of a confusing str(DataFrame)/TypeError downstream."""
+    if isinstance(v, DataFrame):
+        raise InvalidArgumentError(
+            "expected a scalar argument, got a series expression "
+            "(unquoted string argument?)"
+        )
+    return v
+
+
+def _farg(v) -> float:
+    return float(_scalar(v))
+
+
+def _iarg(v) -> int:
+    return int(_scalar(v))
+
+
+def _sarg(v) -> str:
+    return str(_scalar(v))
+
+
 def evaluate_target(node, fetch, step: int, start: int = 0) -> DataFrame:
     """Evaluate a parsed target: ``fetch(glob) -> DataFrame(name, ts,
     value)`` supplies the leaves; ``step`` is the fetched grid's bucket
@@ -194,18 +219,18 @@ def evaluate_target(node, fetch, step: int, start: int = 0) -> DataFrame:
         if f == "maxSeries":
             return combined("max")
         if f == "percentileOfSeries":
-            return S.percentile_of_series(s, float(rest[0])).select(
+            return S.percentile_of_series(s, _farg(rest[0])).select(
                 # per-bucket single series: label like graphite
                 S.F.lit(n.text).alias("name"), "ts", "value"
             )
         if f in ("movingAverage", "movingSum", "movingMin", "movingMax"):
-            return S.moving(s, int(rest[0]), how=f[len("moving"):].lower())
+            return S.moving(s, _iarg(rest[0]), how=f[len("moving"):].lower())
         if f == "movingMedian":
-            return S.moving_median(s, int(rest[0]))
+            return S.moving_median(s, _iarg(rest[0]))
         if f == "scale":
-            return S.scale(s, float(rest[0]))
+            return S.scale(s, _farg(rest[0]))
         if f == "offset":
-            return S.offset(s, float(rest[0]))
+            return S.offset(s, _farg(rest[0]))
         if f == "absolute":
             return S.absolute(s)
         if f == "derivative":
@@ -217,24 +242,24 @@ def evaluate_target(node, fetch, step: int, start: int = 0) -> DataFrame:
         if f == "integral":
             return S.integral(s)
         if f == "keepLastValue":
-            return S.keep_last_value(s, int(rest[0]) if rest else None)
+            return S.keep_last_value(s, _iarg(rest[0]) if rest else None)
         if f == "transformNull":
-            return S.transform_null(s, float(rest[0]) if rest else 0.0)
+            return S.transform_null(s, _farg(rest[0]) if rest else 0.0)
         if f == "timeShift":
-            return S.time_shift(s, parse_timespan(str(rest[0])))
+            return S.time_shift(s, parse_timespan(_sarg(rest[0])))
         if f == "summarize":
-            how = str(rest[1]) if len(rest) > 1 else "sum"
-            return S.summarize(s, parse_timespan(str(rest[0])), how=how)
+            how = _sarg(rest[1]) if len(rest) > 1 else "sum"
+            return S.summarize(s, parse_timespan(_sarg(rest[0])), how=how)
         if f in ("highestAverage", "highestMax"):
-            return S.highest(s, int(rest[0]), how=f[len("highest"):].lower())
+            return S.highest(s, _iarg(rest[0]), how=f[len("highest"):].lower())
         if f == "lowestAverage":
-            return S.lowest(s, int(rest[0]), how="average")
+            return S.lowest(s, _iarg(rest[0]), how="average")
         if f == "nPercentile":
-            return S.n_percentile(s, float(rest[0]))
+            return S.n_percentile(s, _farg(rest[0]))
         if f == "aliasByNode":
-            return S.alias_by_node(s, *[int(a) for a in rest])
+            return S.alias_by_node(s, *[_iarg(a) for a in rest])
         if f == "groupByNode":
-            return S.group_by_node(s, int(rest[0]), str(rest[1]))
+            return S.group_by_node(s, _iarg(rest[0]), _sarg(rest[1]))
         if f == "divideSeries":
             return S.divide_series(s, rest[0])
         if f == "diffSeries":
@@ -242,82 +267,82 @@ def evaluate_target(node, fetch, step: int, start: int = 0) -> DataFrame:
         if f == "asPercent":
             return S.as_percent(s)
         if f == "averageAbove":
-            return S.average_above(s, float(rest[0]))
+            return S.average_above(s, _farg(rest[0]))
         if f == "averageBelow":
-            return S.average_below(s, float(rest[0]))
+            return S.average_below(s, _farg(rest[0]))
         if f == "maximumAbove":
-            return S.maximum_above(s, float(rest[0]))
+            return S.maximum_above(s, _farg(rest[0]))
         if f == "minimumBelow":
-            return S.minimum_below(s, float(rest[0]))
+            return S.minimum_below(s, _farg(rest[0]))
         if f == "currentAbove":
-            return S.current_above(s, float(rest[0]))
+            return S.current_above(s, _farg(rest[0]))
         if f == "currentBelow":
-            return S.current_below(s, float(rest[0]))
+            return S.current_below(s, _farg(rest[0]))
         if f == "removeAbovePercentile":
-            return S.remove_above_percentile(s, float(rest[0]))
+            return S.remove_above_percentile(s, _farg(rest[0]))
         if f == "removeBelowPercentile":
-            return S.remove_below_percentile(s, float(rest[0]))
+            return S.remove_below_percentile(s, _farg(rest[0]))
         if f == "grep":
-            return S.grep_series(s, str(rest[0]))
+            return S.grep_series(s, _sarg(rest[0]))
         if f == "exclude":
-            return S.exclude(s, str(rest[0]))
+            return S.exclude(s, _sarg(rest[0]))
         if f == "timeSlice":
-            return S.time_slice(s, int(rest[0]), int(rest[1]))
+            return S.time_slice(s, _iarg(rest[0]), _iarg(rest[1]))
         if f == "hitcount":
-            return S.hitcount(s, parse_timespan(str(rest[0])))
+            return S.hitcount(s, parse_timespan(_sarg(rest[0])))
         if f == "changed":
             return S.changed(s)
         if f == "interpolate":
-            return S.interpolate(s, int(rest[0]) if rest else None)
+            return S.interpolate(s, _iarg(rest[0]) if rest else None)
         if f == "logarithm":
-            return S.logarithm(s, float(rest[0]) if rest else 10.0)
+            return S.logarithm(s, _farg(rest[0]) if rest else 10.0)
         if f == "squareRoot":
             return S.square_root(s)
         if f == "pow":
-            return S.pow_series(s, float(rest[0]))
+            return S.pow_series(s, _farg(rest[0]))
         if f == "invert":
             return S.invert(s)
         if f == "offsetToZero":
             return S.offset_to_zero(s)
         if f == "clamp":
-            return S.clamp(s, float(rest[0]), float(rest[1]))
+            return S.clamp(s, _farg(rest[0]), _farg(rest[1]))
         if f == "delay":
-            return S.delay(s, int(rest[0]))
+            return S.delay(s, _iarg(rest[0]))
         if f == "stdev":
-            return S.stdev(s, int(rest[0]))
+            return S.stdev(s, _iarg(rest[0]))
         if f == "linearRegression":
             return S.linear_regression(s)
         if f == "mostDeviant":
-            return S.most_deviant(s, int(rest[0]))
+            return S.most_deviant(s, _iarg(rest[0]))
         if f == "aliasSub":
-            return S.alias_sub(s, str(rest[0]), str(rest[1]))
+            return S.alias_sub(s, _sarg(rest[0]), _sarg(rest[1]))
         if f == "limit":
-            return S.limit_series(s, int(rest[0]))
+            return S.limit_series(s, _iarg(rest[0]))
         if f == "alias":
-            return s.select(S.F.lit(str(rest[0])).alias("name"), "ts", "value")
+            return s.select(S.F.lit(_sarg(rest[0])).alias("name"), "ts", "value")
         if f == "stddevSeries":
             return S.stddev_series(s).select(
                 S.F.lit(n.text).alias("name"), "ts", "value"
             )
         if f == "averageOutsidePercentile":
-            return S.average_outside_percentile(s, float(rest[0]))
+            return S.average_outside_percentile(s, _farg(rest[0]))
         if f == "removeEmptySeries":
-            return S.remove_empty_series(s, float(rest[0]) if rest else 0.0)
+            return S.remove_empty_series(s, _farg(rest[0]) if rest else 0.0)
         if f == "isNonNull":
             return S.is_non_null(s)
         if f == "substr":
-            return S.substr_series(s, int(rest[0]), int(rest[1]) if len(rest) > 1 else 0)
+            return S.substr_series(s, _iarg(rest[0]), _iarg(rest[1]) if len(rest) > 1 else 0)
         if f == "minMax":
             return S.min_max(s)
         if f == "sigmoid":
             return S.sigmoid_series(s)
         if f == "round":
-            return S.round_series(s, int(rest[0]) if rest else 0)
+            return S.round_series(s, _iarg(rest[0]) if rest else 0)
         if f == "scaleToSeconds":
-            return S.scale_to_seconds(s, int(rest[0]))
+            return S.scale_to_seconds(s, _iarg(rest[0]))
         if f == "smartSummarize":
-            how = str(rest[1]) if len(rest) > 1 else "sum"
-            return S.smart_summarize(s, parse_timespan(str(rest[0])), how, origin=start)
+            how = _sarg(rest[1]) if len(rest) > 1 else "sum"
+            return S.smart_summarize(s, parse_timespan(_sarg(rest[0])), how, origin=start)
         if f == "countSeries":
             return S.count_series(s).select(
                 S.F.lit(n.text).alias("name"), "ts", "value"
@@ -331,14 +356,14 @@ def evaluate_target(node, fetch, step: int, start: int = 0) -> DataFrame:
                 S.F.lit(n.text).alias("name"), "ts", "value"
             )
         if f == "weightedAverage":
-            return S.weighted_average(s, rest[0], *[int(a) for a in rest[1:]])
+            return S.weighted_average(s, rest[0], *[_iarg(a) for a in rest[1:]])
         if f == "groupByNodes":
-            return S.group_by_nodes(s, str(rest[0]), *[int(a) for a in rest[1:]])
+            return S.group_by_nodes(s, _sarg(rest[0]), *[_iarg(a) for a in rest[1:]])
         if f == "timeStack":
             return S.time_stack(
-                s, parse_timespan(str(rest[0])),
-                int(rest[1]) if len(rest) > 1 else 0,
-                int(rest[2]) if len(rest) > 2 else 7,
+                s, parse_timespan(_sarg(rest[0])),
+                _iarg(rest[1]) if len(rest) > 1 else 0,
+                _iarg(rest[2]) if len(rest) > 2 else 7,
             )
         if f == "fallbackSeries":
             return S.fallback_series(s, rest[0])

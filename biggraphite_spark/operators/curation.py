@@ -563,9 +563,11 @@ def chunk_neardup(
     generalized to near-duplicate spans (the CCNet/RefinedWeb paragraph
     pass for boilerplate that mutates slightly between pages).
 
-    Chunks become pseudo-documents keyed ``doc_id·10⁴ + chunk_id`` (an
+    Chunks become pseudo-documents keyed ``doc_id·2³² + chunk_id`` (an
     ordering under which "earlier survives" means document order, then
-    position) and run the standard MinHash-LSH near-dup path; the LATER
+    position; collision-free for any document under 2³² chunks, where a
+    small multiplier would splice a long document's tail chunks into the
+    next doc_id) and run the standard MinHash-LSH near-dup path; the LATER
     side of every ≥``threshold``-Jaccard pair is dropped.
 
     Output: doc_id, n_chunks, n_kept.
@@ -578,7 +580,7 @@ def chunk_neardup(
     from .dedup import lsh_near_dups
 
     chunks = _chunks_exploded(docs, text_col, chunk).withColumn(
-        "ckey", F.col("doc_id") * 10_000 + F.col("chunk_id")
+        "ckey", F.shiftleft(F.col("doc_id"), 32) + F.col("chunk_id")
     )
     pseudo = chunks.select(
         F.col("ckey").alias("doc_id"), F.col("chunk_text").alias("text")

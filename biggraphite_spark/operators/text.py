@@ -457,11 +457,36 @@ def normalize_text(text: Column) -> Column:
 
 
 #: masking patterns, ordered — email before phone so the digits of a
-#: user@host123 style address are consumed as EMAIL, not PHONE
+#: user@host123 style address are consumed as EMAIL, not PHONE.
+#:
+#: The phone pattern is shape-based (and RE2-compatible — no lookaround, so
+#: the DuckDB differential oracle can replay it): international prefix,
+#: parenthesized area code, or uniform-separator digit-group runs whose
+#: head-size/group-count shapes exclude the non-PII runs a greedy
+#: separator-class pattern used to eat — ISO dates (4-2-2) and datetimes,
+#: version/serial strings (1.2.3, 12.34.56), and 3-4-column numeric table
+#: rows.  Residual known false positive: five 2-digit columns
+#: ("10 11 12 13 14") still mask — byte-identical to an FR-formatted phone.
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<email>"),
     ("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<ip>"),
-    ("\\+?\\d[\\d()./ -]{6,}\\d", "<phone>"),
+    (
+        # +cc [area] grouped digits (7+ digits by construction)
+        "\\+\\d{1,3}[ .-]?\\(?\\d{1,4}\\)?(?:[ .-]?\\d{2,4}){2,5}\\b"
+        # (area) grouped digits
+        "|\\(\\d{1,4}\\)[ .-]?\\d{2,4}(?:[ .-]?\\d{2,4}){1,3}\\b"
+        # US shapes: 1-800-555-0199 / 555-123-4567 / 555 123 4567 / dots
+        "|\\b1-\\d{3}-\\d{3}-\\d{4}\\b"
+        "|\\b\\d{3}-\\d{3}-\\d{4}\\b"
+        "|\\b\\d{3}[ .]\\d{3}[ .]\\d{4}\\b"
+        # uniform-dash runs of 4-5 short groups (01-23-45-67-89)
+        "|\\b\\d{2,3}(?:-\\d{2,4}){3,4}\\b"
+        # FR-style five 2-digit space groups (06 12 34 56 78)
+        "|\\b\\d{2}(?: \\d{2}){4}\\b"
+        # bare contiguous subscriber runs
+        "|\\b\\d{9,13}\\b",
+        "<phone>",
+    ),
 )
 
 

@@ -246,10 +246,14 @@ class GraphiteWeb:
                 from .functions import targets as T
 
                 node = T.parse_target(target)
-                _, _, stage = self.engine.retention.align_time_window(
+                # align_time_window also clamps (end <= now, start >= the
+                # stage horizon) — engine.read applies the same clamps to the
+                # fetched leaves, so recomputing with bare round_down/round_up
+                # here would overcount n_buckets and misalign the
+                # maxDataPoints consolidation grid
+                a_start, a_end, stage = self.engine.retention.align_time_window(
                     start, end, self.engine.now
                 )
-                a_start, a_end = stage.round_down(start), stage.round_up(end)
                 series_df = T.evaluate_target(
                     node,
                     fetch=lambda g: self.engine.read(g, start, end).series,

@@ -106,6 +106,33 @@ def test_refresh_subcommand(spark, capsys, tmp_path):
     assert "# refreshed 1" in out
 
 
+def test_refresh_default_days_cover_non_dividing_subday_coarse(
+    spark, capsys, tmp_path
+):
+    """Coarse precision 10h does not divide 86400: fine day 1's data dirties
+    coarse buckets starting at 72000 (pday 0) AND 108000/144000 (pday 1) —
+    the default day list must include every overlapped bucket-start day, not
+    just the day of round_down(d*86400)."""
+    from biggraphite_spark.model import Stage
+    from biggraphite_spark.operators.downsample import rollup_partials
+    from biggraphite_spark.storage import PointStore
+
+    store = PointStore(str(tmp_path / "s"))
+    fine = Stage.from_string("1000*3600s")
+    coarse = Stage.from_string("100*36000s")
+    df = spark.createDataFrame(
+        [("m", 86400 + h * 3600, 1.0, 1, "total") for h in range(24)],
+        "name string, ts long, value double, count long, aggregator string",
+    )
+    store.write(df, fine)
+
+    _run(capsys, "refresh", "--path", str(tmp_path / "s"),
+         "--fine", "1000*3600s", "--coarse", "100*36000s")
+    got = sorted(map(tuple, store.read(spark, coarse).drop("pday").collect()))
+    want = sorted(map(tuple, rollup_partials(df, coarse).collect()))
+    assert got == want
+
+
 def test_expire_subcommand(spark, capsys, tmp_path):
     from biggraphite_spark.model import Stage
     from biggraphite_spark.storage import PointStore

@@ -71,6 +71,16 @@ def test_evaluate_rejects_scalar_only_and_unknown(spark):
                         step=60)
 
 
+def test_unquoted_string_arg_in_scalar_position_is_400(spark):
+    """summarize(x, 1h): the unquoted 1h parses as a glob Leaf and fetches a
+    DataFrame — scalar argument positions must raise the 400-contract error,
+    not a str(DataFrame)/TypeError surprise (ADVICE r3)."""
+    df = spark.createDataFrame([("x", 0, 1.0)], ["name", "ts", "value"])
+    for target in ["summarize(x, 1h)", "scale(x, y.z)", "movingAverage(x, w)"]:
+        with pytest.raises(InvalidArgumentError):
+            evaluate_target(parse_target(target), fetch=lambda g: df, step=60)
+
+
 def test_two_series_and_filter_verbs(spark):
     from biggraphite_spark.functions.series import divide_series, maximum_above
 

@@ -226,6 +226,16 @@ def test_pii_mask_goldens(spark):
         ("call +1 (555) 123-4567 ok", "call <phone> ok"),
         ("id 42 is fine", "id 42 is fine"),      # short digit runs untouched
         ("a@b.co and 1.2.3.4", "<email> and <ip>"),
+        # phone shapes that must mask
+        ("dial 555-123-4567 or 1-800-555-0199", "dial <phone> or <phone>"),
+        ("fr mobile 06 12 34 56 78 ok", "fr mobile <phone> ok"),
+        ("intl +33 6 12 34 56 78 ok", "intl <phone> ok"),
+        ("raw 0612345678 run", "raw <phone> run"),
+        # non-PII numeric runs the old greedy pattern damaged (ADVICE r3)
+        ("seen 2026-08-14 10:22 utc", "seen 2026-08-14 10:22 utc"),
+        ("row 12 34 56 78 end", "row 12 34 56 78 end"),
+        ("version 12.34.56 shipped", "version 12.34.56 shipped"),
+        ("range 100-200 items", "range 100-200 items"),
     ]
     df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(cases)], ["i", "t"])
     got = {r.i: r.out for r in df.select("i", pii_mask(F.col("t")).alias("out")).collect()}

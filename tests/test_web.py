@@ -196,6 +196,26 @@ def test_render_max_data_points_consolidates(graphite_server):
     assert same[0]["datapoints"] == full[0]["datapoints"]
 
 
+def test_render_function_branch_clamps_future_until(graphite_server):
+    """until beyond now: the function-expression branch must size its
+    maxDataPoints consolidation from align_time_window's CLAMPED window
+    (end <= now), i.e. the same grid the plain-target branch renders —
+    bare round_up(end) would overcount n_buckets and over-coarsen."""
+    far = 2**33  # far beyond the engine's now
+    _, plain = _get(
+        f"{graphite_server}/render?target=bg.click.u0"
+        f"&from=-2d&until={far}&maxDataPoints=10"
+    )
+    _, fn = _get(
+        f"{graphite_server}/render?target="
+        + urllib.parse.quote("scale(bg.click.u0, 1.0)")
+        + f"&from=-2d&until={far}&maxDataPoints=10"
+    )
+    assert [p[1] for p in fn[0]["datapoints"]] == [
+        p[1] for p in plain[0]["datapoints"]
+    ]
+
+
 def test_render_function_expression_targets(graphite_server):
     # nested: movingAverage over a sumSeries of a brace glob
     status, series = _get(

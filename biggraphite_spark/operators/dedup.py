@@ -352,6 +352,73 @@ def _union_find(edge_rows) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
+def _cc_star_labels(pair_ids: DataFrame, max_iters: int = 30) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond"): (doc_id, label) for
+    every node that appears in an edge, label = component minimum.
+
+    Converges in O(log² n) rounds regardless of graph diameter — the
+    extreme-scale swap for min-label propagation, whose round count IS the
+    diameter (a 10⁶-long chain of near-dup shingled pages would take 10⁶
+    min-label rounds but ~20 star rounds).  Each round is two
+    node-keyed aggregations + co-keyed joins (large-star then small-star),
+    localCheckpoint-ed so the self-referential lineage stays flat; skewed
+    hub nodes are exactly the case large-star exists to split, and AQE
+    handles the residual partition skew.
+    """
+    edges = (
+        pair_ids.select(
+            F.least("doc_a", "doc_b").alias("u"),
+            F.greatest("doc_a", "doc_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = None
+    for _ in range(max_iters):
+        # large-star: every neighbor v > u links to min(N(u) ∪ {u})
+        b = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = b.groupBy("u").agg(F.min("v").alias("mv"))
+        m = m.select("u", F.least("mv", F.col("u")).alias("m"))
+        large = (
+            b.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: group by the LARGER endpoint; every smaller neighbor
+        # (and the center) links to the minimum smaller neighbor
+        e = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        sm = e.groupBy("u").agg(F.min("v").alias("mv"))
+        small = (
+            e.join(sm, "u")
+            .select(F.col("v").alias("u"), F.col("mv").alias("v"))
+            .union(sm.select("u", F.col("mv").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        edges = small
+        sig = tuple(
+            edges.agg(
+                F.count("*"), F.sum("u"), F.sum("v")
+            ).collect()[0]
+        )
+        if sig == prev:
+            break
+        prev = sig
+    # converged: a forest of stars, every child points at the component min
+    return edges.select(F.col("u").alias("doc_id"), F.col("v").alias("label")).union(
+        edges.select(F.col("v").alias("doc_id"), F.col("v").alias("label")).distinct()
+    ).distinct()
+
+
 def dup_clusters(
     docs: DataFrame,
     pairs: DataFrame | None = None,
@@ -361,6 +428,7 @@ def dup_clusters(
     n: int = 3,
     max_iters: int = 20,
     driver_max_edges: int = DRIVER_CC_MAX_EDGES,
+    cc_method: str = "auto",
 ) -> DataFrame:
     """Near-duplicate cluster assignment: connected components over the
     near-dup pair graph, labelled by the minimum doc_id in each component.
@@ -378,16 +446,23 @@ def dup_clusters(
       path-compressed union-find, broadcast the label map back.  One job +
       one broadcast join — no fixpoint loop, the shape production dedup
       pipelines use.
-    - **Distributed min-label propagation** (larger graphs): each round
+    - **Large-star/small-star** (larger graphs — the distributed default,
+      :func:`_cc_star_labels`): O(log² n) rounds independent of graph
+      diameter (Kiveris et al. 2014).
+    - **Distributed min-label propagation** (``cc_method="minlabel"``,
+      kept for A/B and for graphs known to have tiny diameter): each round
       joins labels to the bidirectional edge list, takes the neighbourhood
       min, and stops when the (monotonically decreasing) label sum is
       unchanged.  Rounds = graph diameter.  Each round is
       ``localCheckpoint``-ed: without it the self-referential join lineage
       doubles per round and the planner, not the data, becomes the
-      bottleneck.  At extreme scale swap the inner loop for the
-      large-star/small-star variant (Kiveris et al. 2014); the outer
-      fixpoint shape is identical.
+      bottleneck.
+
+    ``cc_method``: "auto" (driver when the edge list fits, else star),
+    or force "driver" / "minlabel" / "star".
     """
+    if cc_method not in ("auto", "driver", "minlabel", "star"):
+        raise ValueError(f"unknown cc_method {cc_method!r}")
     if pairs is None:
         pairs = lsh_near_dups(docs, threshold=threshold, k=k, bands=bands, n=n)
     pair_ids = pairs.select("doc_a", "doc_b").cache()
@@ -397,12 +472,18 @@ def dup_clusters(
     # so the driver path is the overwhelmingly common case and saving its
     # extra action is one whole LSH-pipeline materialization fewer.
     head: list[tuple[int, int]] = []
-    overflow = False
-    for r in pair_ids.toLocalIterator():
-        head.append((r["doc_a"], r["doc_b"]))
-        if len(head) > driver_max_edges:
-            overflow = True
-            break
+    overflow = cc_method in ("minlabel", "star")
+    if not overflow:
+        for r in pair_ids.toLocalIterator():
+            head.append((r["doc_a"], r["doc_b"]))
+            if len(head) > driver_max_edges:
+                if cc_method == "driver":
+                    raise ValueError(
+                        f"cc_method='driver' but edge list exceeds "
+                        f"{driver_max_edges}"
+                    )
+                overflow = True
+                break
 
     if not overflow:
         mapping = _union_find(iter(head))
@@ -417,6 +498,14 @@ def dup_clusters(
             )
         else:
             labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    elif cc_method != "minlabel":
+        # distributed default: large-star/small-star, O(log² n) rounds
+        # independent of graph diameter
+        lab = _cc_star_labels(pair_ids, max_iters=max_iters)
+        pair_ids.unpersist()
+        labels = docs.join(lab, "doc_id", "left").select(
+            "doc_id", F.coalesce("label", "doc_id").alias("label")
+        )
     else:
         edges = (
             pair_ids.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))

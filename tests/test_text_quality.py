@@ -125,6 +125,43 @@ def test_dup_clusters_distributed_path_matches_driver_path(spark):
     assert sorted(map(key, driver)) == sorted(map(key, dist))
 
 
+def test_dup_clusters_star_and_minlabel_match_driver_on_random_graph(spark):
+    import random
+
+    rnd = random.Random(7)
+    n = 60
+    docs = _docs(spark, [(i, f"doc {i}") for i in range(n)])
+    edges = [(a, b) for a, b in
+             ((rnd.randrange(n), rnd.randrange(n)) for _ in range(70)) if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    key = lambda r: (r["doc_id"], r["cluster_id"], r["cluster_size"])  # noqa: E731
+    want = sorted(
+        map(key, dup_clusters(docs, pairs=pairs, cc_method="driver").collect())
+    )
+    for method in ("star", "minlabel"):
+        got = sorted(
+            map(key, dup_clusters(docs, pairs=pairs, cc_method=method).collect())
+        )
+        assert got == want, method
+
+
+def test_star_cc_long_chain_in_logarithmic_rounds(spark):
+    """64-node chain, diameter 63: large-star/small-star must label it in
+    ~log rounds (min-label propagation would need 63) — the property that
+    makes it the extreme-scale path."""
+    from biggraphite_spark.operators.dedup import _cc_star_labels
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    lab = {
+        r["doc_id"]: r["label"]
+        for r in _cc_star_labels(pairs, max_iters=12).collect()
+    }
+    assert lab == {i: 0 for i in range(n)}
+
+
 # -- collocations (PMI phrase mining) ---------------------------------------
 
 def test_collocations_tiny_golden(spark):

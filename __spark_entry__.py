@@ -5838,6 +5838,106 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-4 additions: star CC under the gate, new render verbs, RAKE keywords
+# ---------------------------------------------------------------------------
+
+
+@_register("doc_dup_clusters_star", _dup_clusters_oracle())
+def doc_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH near-dup graph via the DISTRIBUTED
+    large-star/small-star path (Kiveris et al. 2014, O(log^2 n) rounds
+    independent of diameter) — same contract as doc_dup_clusters, which
+    takes the driver union-find path; this pins the extreme-scale algorithm
+    against the identical oracle."""
+    _utc(spark)
+    from biggraphite_spark.operators.dedup import dup_clusters
+
+    return dup_clusters(
+        _load_parallel(spark, sf_dir, "documents"), threshold=0.5,
+        cc_method="star",
+    )
+
+
+_TARGET_EXPR2 = "integralByInterval(highestCurrent(bg.purchase.*, 2), '6h')"
+
+_TARGET_EXPR2_ORACLE = f"""
+WITH {_series_cte("bg.purchase.*")},
+lastv AS (SELECT name, ROUND(arg_max(value, ts), 6) AS stat
+          FROM s WHERE value IS NOT NULL GROUP BY name),
+top2 AS (SELECT name FROM lastv ORDER BY stat DESC, name ASC LIMIT 2),
+k AS (SELECT s.* FROM s JOIN top2 USING (name))
+SELECT name, ts,
+       ROUND(sum(value) OVER (PARTITION BY name, ts - (ts % 21600)
+                              ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             6) AS value
+FROM k
+"""
+
+
+@_register("gr_target_expr2", _TARGET_EXPR2_ORACLE)
+def gr_target_expr2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 render verbs under the correctness gate: parse
+    ``{_TARGET_EXPR2}`` — safeLast ranking (highestCurrent) feeding
+    per-interval running integrals (integralByInterval) — and evaluate the
+    call tree onto the hourly finals; the oracle replays the pipeline as
+    plain SQL window algebra (arg_max ranking + partitioned running sum)."""
+    _utc(spark)
+    from biggraphite_spark.functions.targets import evaluate_target, parse_target
+
+    node = parse_target(_TARGET_EXPR2)
+    s = _hourly_finals(spark, sf_dir, "bg.purchase.*").select(
+        "name", "ts", F.round("value", 6).alias("value")
+    )
+    df = evaluate_target(node, fetch=lambda g: s, step=3600)
+    return df.select("name", "ts", F.round("value", 6).alias("value"))
+
+
+_RAKE_STOP = "('the', 'a', 'an', 'and', 'of', 'to', 'in', 'is')"
+
+_RAKE_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+p AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks FROM t),
+tok AS (SELECT doc_id, pos, toks[pos] AS tok FROM p WHERE toks[pos] <> ''),
+content AS (SELECT doc_id, pos, tok FROM tok WHERE tok NOT IN {_RAKE_STOP}),
+seg AS (SELECT doc_id, pos, tok,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS phrase_id
+        FROM content),
+plen AS (SELECT doc_id, phrase_id, count(*) AS plen,
+                string_agg(tok, ' ' ORDER BY pos) AS phrase
+         FROM seg GROUP BY 1, 2),
+ws AS (SELECT seg.doc_id, seg.tok,
+              sum(plen.plen) * 1.0 / count(*) AS wscore
+       FROM seg JOIN plen USING (doc_id, phrase_id)
+       GROUP BY 1, 2),
+ps AS (SELECT seg.doc_id, seg.phrase_id, ROUND(sum(ws.wscore), 6) AS score
+       FROM seg JOIN ws ON seg.doc_id = ws.doc_id AND seg.tok = ws.tok
+       GROUP BY 1, 2),
+r AS (SELECT ps.doc_id, plen.phrase, ps.score,
+             row_number() OVER (PARTITION BY ps.doc_id
+                                ORDER BY ps.score DESC, plen.phrase ASC) AS rank
+      FROM ps JOIN plen ON ps.doc_id = plen.doc_id
+                       AND ps.phrase_id = plen.phrase_id)
+SELECT doc_id, phrase, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
+@_register("doc_keywords_rake", _RAKE_ORACLE)
+def doc_keywords_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): stopword-boundary
+    candidate phrases, word score deg/freq over the document's candidates,
+    phrase score = sum of word scores, top-3 phrases per document.
+    Gaps-and-islands segmentation + two doc-keyed aggregations — postings
+    shape, linear in corpus tokens."""
+    _utc(spark)
+    from biggraphite_spark.operators.text import rake_keywords
+
+    return rake_keywords(_load_parallel(spark, sf_dir, "documents"), top_k=3)
+
+
+# ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
 

@@ -339,6 +339,37 @@ def lowest(series: DataFrame, n: int, how: str = "average") -> DataFrame:
     )
 
 
+def highest_current(series: DataFrame, n: int) -> DataFrame:
+    """``highestCurrent``: keep the n series whose last known value ranks
+    highest (graphite safeLast ranking; name tie-break)."""
+    stat = _last_known(series).select(
+        "name", F.round("last_value", 6).alias("stat")
+    )
+    w = Window.orderBy(F.desc("stat"), F.asc("name"))
+    top = (
+        stat.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= n)
+    )
+    return series.join(F.broadcast(top), "name").select(
+        "name", "ts", "value", "stat", "rank"
+    )
+
+
+def lowest_current(series: DataFrame, n: int) -> DataFrame:
+    """``lowestCurrent``: mirror of :func:`highest_current`."""
+    stat = _last_known(series).select(
+        "name", F.round("last_value", 6).alias("stat")
+    )
+    w = Window.orderBy(F.asc("stat"), F.asc("name"))
+    bottom = (
+        stat.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= n)
+    )
+    return series.join(F.broadcast(bottom), "name").select(
+        "name", "ts", "value", "stat", "rank"
+    )
+
+
 def remove_below_percentile(series: DataFrame, pct: float) -> DataFrame:
     """``removeBelowPercentile``: null out values below each series' own
     exact percentile.  ``pct`` is a graphite-style percent."""
@@ -382,7 +413,10 @@ def alias_by_node(series: DataFrame, *nodes: int) -> DataFrame:
     """``aliasByNode``: rename each series to the dot-join of the selected
     path components (0-based, as graphite counts them)."""
     parts = F.split(F.col("name"), r"\.")
-    picked = [F.element_at(parts, i + 1) for i in nodes]
+    # element_at is 1-based and supports negative indices from the end, so
+    # graphite's negative node numbers (aliasByNode(s, -1), aliasByMetric)
+    # map directly
+    picked = [F.element_at(parts, i + 1 if i >= 0 else i) for i in nodes]
     return series.withColumn("alias", F.concat_ws(".", *picked))
 
 

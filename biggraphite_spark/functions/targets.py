@@ -369,6 +369,79 @@ def evaluate_target(node, fetch, step: int, start: int = 0) -> DataFrame:
             return S.fallback_series(s, rest[0])
         if f == "unique":
             return S.unique_series(s, *rest)
+        # sort verbs: the render contract is (name, ts, value); the rank
+        # lives in graphite's series-list ORDER, which our JSON writer
+        # derives from name order — the rank/stat columns are an internal
+        # detail, so project them away at the language boundary
+        if f == "sortByTotal":
+            return S.sort_by_total(s).select("name", "ts", "value")
+        if f == "sortByMaxima":
+            return S.sort_by_maxima(s).select("name", "ts", "value")
+        if f == "sortByMinima":
+            return S.sort_by_minima(s).select("name", "ts", "value")
+        if f == "sortByName":
+            return S.sort_by_name(s)
+        if f == "highestCurrent":
+            return S.highest_current(s, _iarg(rest[0])).select("name", "ts", "value")
+        if f == "lowestCurrent":
+            return S.lowest_current(s, _iarg(rest[0])).select("name", "ts", "value")
+        if f == "aliasByMetric":
+            return S.alias_by_node(s, -1)
+        if f == "integralByInterval":
+            return S.integral_by_interval(s, parse_timespan(_sarg(rest[0])))
+        if f == "aggregateLine":
+            return S.aggregate_line(s, _sarg(rest[0]) if rest else "average")
+        if f == "divideSeriesLists":
+            if not rest or not isinstance(rest[0], DataFrame):
+                raise InvalidArgumentError(
+                    "divideSeriesLists: second argument must be a series list")
+            return S.divide_series_lists(s, rest[0])
+        if f == "group":
+            out = s
+            for extra in rest:
+                if not isinstance(extra, DataFrame):
+                    raise InvalidArgumentError(
+                        "group: every argument must be a series expression")
+                out = out.unionByName(extra)
+            return out
+        if f in (
+            "holtWintersForecast",
+            "holtWintersConfidenceBands",
+            "holtWintersAberration",
+        ):
+            # graphite render/functions.py holtWinters family over the
+            # fetched window (graphite additionally bootstraps with 7 days
+            # of history before the window; callers wanting that fetch the
+            # wider range and bootstrap_trim the result)
+            from .holtwinters import holt_winters
+
+            hw = holt_winters(s, step)
+            named = S.F.concat(
+                S.F.lit(f + "("), S.F.col("name"), S.F.lit(")")
+            )
+            if f == "holtWintersForecast":
+                return hw.select(
+                    named.alias("name"), "ts", S.F.col("forecast").alias("value")
+                )
+            if f == "holtWintersAberration":
+                return hw.select(
+                    named.alias("name"), "ts", S.F.col("aberration").alias("value")
+                )
+            upper = hw.select(
+                S.F.concat(
+                    S.F.lit("holtWintersConfidenceUpper("), S.F.col("name"), S.F.lit(")")
+                ).alias("name"),
+                "ts",
+                S.F.col("upper").alias("value"),
+            )
+            lower = hw.select(
+                S.F.concat(
+                    S.F.lit("holtWintersConfidenceLower("), S.F.col("name"), S.F.lit(")")
+                ).alias("name"),
+                "ts",
+                S.F.col("lower").alias("value"),
+            )
+            return upper.unionByName(lower)
         raise InvalidArgumentError(f"unsupported render function {f!r}")
 
     return ev(node)

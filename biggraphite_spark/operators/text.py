@@ -603,3 +603,67 @@ def nb_classifier(
         .select("doc_id", F.col("y").alias("pred"), F.round("score", 6).alias("score"))
     )
     return docs.select("doc_id", label_col).join(best, "doc_id")
+
+
+def rake_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = STOPWORDS,
+    top_k: int = 3,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are the
+    maximal stopword-free token runs; each word scores deg(w)/freq(w) over
+    the document's candidates (deg = Σ length of phrases containing w,
+    freq = occurrences in candidates); a phrase scores the sum of its word
+    scores.  Output: the ``top_k`` phrases per document by (score DESC,
+    phrase ASC).
+
+    Shape: posexplode -> gaps-and-islands window to segment phrases ->
+    two (doc, word)-keyed aggregations -> one per-doc rank window.  Every
+    relation stays keyed by doc_id (token postings scale), no broadcast of
+    anything corpus-sized — linear in corpus tokens at any scale.
+    """
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    content = toks.filter(~F.col("tok").isin(*stopwords))
+    # islands: consecutive non-stopword positions share (pos - rank)
+    w_pos = Window.partitionBy("doc_id").orderBy("pos")
+    seg = content.withColumn(
+        "phrase_id", F.col("pos") - F.row_number().over(w_pos)
+    )
+    # collect_list order is not guaranteed after the shuffle — sort by the
+    # carried position before joining the phrase text
+    plen = seg.groupBy("doc_id", "phrase_id").agg(
+        F.count("*").alias("plen"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    word_stats = (
+        seg.join(plen.select("doc_id", "phrase_id", "plen"), ["doc_id", "phrase_id"])
+        .groupBy("doc_id", "tok")
+        .agg(
+            F.count("*").alias("freq"),
+            F.sum("plen").alias("deg"),
+        )
+        .select("doc_id", "tok", (F.col("deg") / F.col("freq")).alias("wscore"))
+    )
+    phrase_scores = (
+        seg.join(word_stats, ["doc_id", "tok"])
+        .groupBy("doc_id", "phrase_id")
+        .agg(F.round(F.sum("wscore"), 6).alias("score"))
+        .join(plen.select("doc_id", "phrase_id", "phrase"), ["doc_id", "phrase_id"])
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("phrase")
+    )
+    return (
+        phrase_scores.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "phrase", "score", "rank")
+    )

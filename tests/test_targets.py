@@ -81,6 +81,80 @@ def test_unquoted_string_arg_in_scalar_position_is_400(spark):
             evaluate_target(parse_target(target), fetch=lambda g: df, step=60)
 
 
+def test_round4_verbs_match_direct_composition(spark):
+    from biggraphite_spark.functions import series as S
+
+    rows = [("a.x", t * 60, float(t)) for t in range(6)] + [
+        ("b.y", t * 60, 10.0 - t) for t in range(6)
+    ]
+    df = spark.createDataFrame(rows, ["name", "ts", "value"])
+    fetch = lambda g: df  # noqa: E731
+
+    def run(target):
+        return sorted(
+            tuple(r)
+            for r in evaluate_target(
+                parse_target(target), fetch=fetch, step=60
+            ).collect()
+        )
+
+    assert run("sortByTotal(x.*)") == sorted(
+        tuple(r)
+        for r in S.sort_by_total(df).select("name", "ts", "value").collect()
+    )
+    assert run("highestCurrent(x.*, 1)") == sorted(
+        tuple(r)
+        for r in S.highest_current(df, 1).select("name", "ts", "value").collect()
+    )
+    # highestCurrent(1) keeps b.y: last values are a.x=5, b.y=5 — name
+    # tie-break keeps a.x
+    kept = {t[0] for t in run("highestCurrent(x.*, 1)")}
+    assert kept == {"a.x"}
+    assert run("integralByInterval(x.*, '2min')") == sorted(
+        tuple(r) for r in S.integral_by_interval(df, 120).collect()
+    )
+    assert run("aggregateLine(x.*, 'max')") == sorted(
+        tuple(r) for r in S.aggregate_line(df, "max").collect()
+    )
+    # group() unions its series arguments
+    assert len(run("group(x.*, x.*)")) == 2 * df.count()
+
+
+def test_alias_by_metric_and_negative_nodes(spark):
+    df = spark.createDataFrame(
+        [("root.mid.leaf", 0, 1.0)], ["name", "ts", "value"]
+    )
+    out = evaluate_target(
+        parse_target("aliasByMetric(x.*)"), fetch=lambda g: df, step=60
+    ).collect()
+    assert out[0]["alias"] == "leaf"
+
+
+def test_holt_winters_verbs(spark):
+    from biggraphite_spark.functions.holtwinters import holt_winters
+
+    rows = [("m", t * 60, float(t % 5)) for t in range(30)]
+    df = spark.createDataFrame(rows, ["name", "ts", "value"])
+    direct = holt_winters(df, 60)
+    fc = evaluate_target(
+        parse_target("holtWintersForecast(x.*)"), fetch=lambda g: df, step=60
+    )
+    got = {r["ts"]: r["value"] for r in fc.collect()}
+    want = {r["ts"]: r["forecast"] for r in direct.collect()}
+    assert got == want
+    assert fc.first()["name"] == "holtWintersForecast(m)"
+
+    bands = evaluate_target(
+        parse_target("holtWintersConfidenceBands(x.*)"),
+        fetch=lambda g: df, step=60,
+    )
+    names = {r["name"] for r in bands.select("name").distinct().collect()}
+    assert names == {
+        "holtWintersConfidenceUpper(m)",
+        "holtWintersConfidenceLower(m)",
+    }
+
+
 def test_two_series_and_filter_verbs(spark):
     from biggraphite_spark.functions.series import divide_series, maximum_above
 

@@ -404,6 +404,23 @@ def evaluate_target(node, fetch, step: int, start: int = 0) -> DataFrame:
                         "group: every argument must be a series expression")
                 out = out.unionByName(extra)
             return out
+        if f == "reduceSeries":
+            try:
+                return S.reduce_series(
+                    s, _sarg(rest[0]), _iarg(rest[1]),
+                    *[_sarg(a) for a in rest[2:]],
+                )
+            except ValueError as ex:  # unknown reducer / matcher arity
+                raise InvalidArgumentError(str(ex))
+        if f == "exponentialMovingAverage":
+            from .holtwinters import exponential_moving_average
+
+            return exponential_moving_average(s, _iarg(rest[0]))
+        if f in ("averageSeriesWithWildcards", "sumSeriesWithWildcards"):
+            return S.combine_series_with_wildcards(
+                s, "average" if f.startswith("average") else "sum",
+                *[_iarg(a) for a in rest],
+            )
         if f in (
             "holtWintersForecast",
             "holtWintersConfidenceBands",

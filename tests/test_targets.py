@@ -130,6 +130,39 @@ def test_alias_by_metric_and_negative_nodes(spark):
     assert out[0]["alias"] == "leaf"
 
 
+def test_reduce_ema_wildcard_verbs(spark):
+    from biggraphite_spark.functions import series as S
+    from biggraphite_spark.functions.holtwinters import exponential_moving_average
+
+    rows = [
+        ("app.error.m", t * 60, float(t)) for t in range(6)
+    ] + [("app.purchase.m", t * 60, 2.0 * t + 1) for t in range(6)]
+    df = spark.createDataFrame(rows, ["name", "ts", "value"])
+    fetch = lambda g: df  # noqa: E731
+
+    def run(target):
+        return sorted(
+            tuple(r)
+            for r in evaluate_target(
+                parse_target(target), fetch=fetch, step=60
+            ).collect()
+        )
+
+    assert run("reduceSeries(x.*, 'asPercent', 1, 'error', 'purchase')") == sorted(
+        tuple(r)
+        for r in S.reduce_series(df, "asPercent", 1, "error", "purchase").collect()
+    )
+    with pytest.raises(InvalidArgumentError):
+        run("reduceSeries(x.*, 'noSuchReducer', 1, 'a', 'b')")
+    assert run("exponentialMovingAverage(x.*, 3)") == sorted(
+        tuple(r) for r in exponential_moving_average(df, 3).collect()
+    )
+    assert run("sumSeriesWithWildcards(x.*, 1)") == sorted(
+        tuple(r)
+        for r in S.combine_series_with_wildcards(df, "sum", 1).collect()
+    )
+
+
 def test_holt_winters_verbs(spark):
     from biggraphite_spark.functions.holtwinters import holt_winters
 

@@ -5937,6 +5937,62 @@ def doc_keywords_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rake_keywords(_load_parallel(spark, sf_dir, "documents"), top_k=3)
 
 
+_XSRC_ORACLE = """
+WITH h AS (SELECT doc_id, source, md5(text) AS h FROM documents)
+SELECT doc_id, source,
+       first_value(doc_id) OVER w AS kept_doc_id,
+       row_number() OVER w = 1 AS keep
+FROM h
+WINDOW w AS (PARTITION BY h ORDER BY source ASC, doc_id ASC)
+"""
+
+
+@_register("doc_dedup_cross_source", _XSRC_ORACLE)
+def doc_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dump exact dedup with source priority: identical-text groups
+    keep the copy from the best-ranked source (lexicographic here — the
+    operator takes a best-first priority list), then lowest doc_id — the
+    multi-crawl "keep the curated dump's copy" rule.  One content-hash
+    window, no joins."""
+    _utc(spark)
+    from biggraphite_spark.operators.dedup import cross_source_dedup
+
+    return cross_source_dedup(_load_parallel(spark, sf_dir, "documents"))
+
+
+_NOVELTY_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 3
+                     THEN list_distinct(list_transform(
+                            generate_series(1, len(toks) - 2),
+                            i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                     ELSE [array_to_string(toks, ' ')] END) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+SELECT doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       ROUND(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS novelty
+FROM g JOIN f USING (gram)
+GROUP BY doc_id
+"""
+
+
+@_register("doc_ngram_novelty", _NOVELTY_ORACLE)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty: fraction of a doc's distinct shingles
+    whose first corpus appearance (doc_id order) is this doc — the
+    marginal-contribution signal for ranking candidate documents against
+    an already-ingested corpus (data-valuation flavor of the
+    contamination shape; gram-keyed min-agg + join, linear)."""
+    _utc(spark)
+    from biggraphite_spark.operators.curation import ngram_novelty
+
+    return ngram_novelty(_load_parallel(spark, sf_dir, "documents"), n=3)
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

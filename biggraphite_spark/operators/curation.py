@@ -601,3 +601,38 @@ def chunk_neardup(
             ).alias("n_kept"),
         )
     )
+
+
+def ngram_novelty(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's distinct
+    n-grams whose FIRST corpus appearance (by doc_id order) is this
+    document — the marginal-contribution signal data-valuation passes use
+    to rank candidate documents against an already-ingested corpus.
+
+    Output: doc_id, n_grams, n_novel, novelty.  Scale shape: one exploded
+    posting relation, one gram-keyed min-aggregation, one gram-keyed join
+    back — all linear in corpus grams, the contamination check's shape
+    with the corpus playing its own benchmark.
+    """
+    from .dedup import shingles_col
+
+    grams = docs.select(
+        "doc_id", F.explode(shingles_col(F.col(text_col), n)).alias("gram")
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+        )
+    )

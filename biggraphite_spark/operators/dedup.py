@@ -650,3 +650,43 @@ def simhash_near_pairs(
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def cross_source_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    priority: tuple[str, ...] = (),
+) -> DataFrame:
+    """Cross-dump exact dedup with source priority: documents with identical
+    text form a group; the copy from the highest-priority source survives
+    (then lowest doc_id — the multi-crawl "keep the curated dump's copy"
+    rule every multi-source corpus build applies).
+
+    ``priority`` lists sources best-first; unlisted sources rank after
+    listed ones in lexicographic order, so the default () is a pure
+    deterministic lexicographic rule.
+
+    Output: doc_id, source, kept_doc_id, keep.  Scale shape: one
+    hash-partition on the content hash + one window — linear, no joins.
+    """
+    rank = None
+    for i, src in enumerate(priority):
+        cond = F.col("source") == src
+        rank = F.when(cond, i) if rank is None else rank.when(cond, i)
+    rank = (
+        F.lit(len(priority))
+        if rank is None
+        else rank.otherwise(F.lit(len(priority)))
+    )
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy("h").orderBy(
+        rank.asc(), F.col("source").asc(), F.col("doc_id").asc()
+    )
+    return docs.select("doc_id", "source", h.alias("h")).select(
+        "doc_id",
+        "source",
+        F.first("doc_id").over(w).alias("kept_doc_id"),
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

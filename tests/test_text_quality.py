@@ -162,6 +162,68 @@ def test_star_cc_long_chain_in_logarithmic_rounds(spark):
     assert lab == {i: 0 for i in range(n)}
 
 
+def test_cross_source_dedup_priority(spark):
+    from biggraphite_spark.operators.dedup import cross_source_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", "web"),
+            (2, "same text", "books"),
+            (3, "same text", "curated"),
+            (4, "unique", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    # explicit priority: curated wins over the lexicographically-earlier books
+    out = {
+        r["doc_id"]: (r["kept_doc_id"], r["keep"])
+        for r in cross_source_dedup(docs, priority=("curated", "web")).collect()
+    }
+    assert out == {1: (3, False), 2: (3, False), 3: (3, True), 4: (4, True)}
+    # default: pure lexicographic source order -> books wins
+    out = {
+        r["doc_id"]: r["keep"] for r in cross_source_dedup(docs).collect()
+    }
+    assert out == {1: False, 2: True, 3: False, 4: True}
+
+
+def test_ngram_novelty_toy_golden(spark):
+    from biggraphite_spark.operators.curation import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # grams: abc, bcd  -> both first here
+            (2, "a b c e"),        # grams: abc (seen), bce (new)
+            (3, "x"),              # short doc -> whole-text gram, new
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in ngram_novelty(docs, n=3).collect()
+    }
+    assert out == {1: (2, 2, 1.0), 2: (2, 1, 0.5), 3: (1, 1, 1.0)}
+
+
+def test_rake_keywords_toy_golden(spark):
+    from biggraphite_spark.operators.text import rake_keywords
+
+    # "deep learning" phrase: deg(deep)=2, freq=1 -> 2; same for learning;
+    # phrase score 4.  "models" alone scores 1.
+    docs = spark.createDataFrame(
+        [(1, "deep learning and the models of deep learning")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["phrase"]: (r["score"], r["rank"])
+        for r in rake_keywords(docs, top_k=3).collect()
+    }
+    # phrases: "deep learning" (x2), "models", "deep learning"
+    # deg(deep)=2+2=4 freq=2 -> 2.0; learning same; phrase = 4.0
+    assert out["deep learning"] == (4.0, 1) or out["deep learning"] == (4.0, 2)
+    assert out["models"][0] == 1.0
+
+
 # -- collocations (PMI phrase mining) ---------------------------------------
 
 def test_collocations_tiny_golden(spark):

@@ -3183,7 +3183,7 @@ def emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(emb, _ND_HYPERPLANES, threshold=_ND_THRESHOLD)
 
 
-def _ann_ivf_oracle(nprobe: int = 2, k: int = 5) -> str:
+def _ann_ivf_oracle(nprobe: int = 2, k: int = 5, corpus_where: str = "") -> str:
     return f"""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cent AS (
@@ -3201,7 +3201,7 @@ scored AS (
   FROM n, cn
 ),
 assigned AS (
-  SELECT vec_id, v, nrm, label AS cell FROM scored
+  SELECT vec_id, v, nrm, label AS cell FROM scored {corpus_where}
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, label) = 1
 ),
 probes AS (
@@ -5991,6 +5991,29 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biggraphite_spark.operators.curation import ngram_novelty
 
     return ngram_novelty(_load_parallel(spark, sf_dir, "documents"), n=3)
+
+
+@_register(
+    "emb_ann_filtered",
+    _ann_ivf_oracle(corpus_where="WHERE vec_id % 2 = 0"),
+)
+def emb_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: IVF ANN restricted to corpus vectors
+    passing a metadata predicate (vec_id % 2 = 0 stands in for the
+    "WHERE lang='en'" filter), pre-filter semantics — codebook from the
+    full corpus, predicate applied before the probe join so the top-k is
+    exactly the filtered top-k."""
+    _utc(spark)
+    from biggraphite_spark.operators.similarity import ann_ivf_topk_filtered
+
+    emb = _load_parallel(spark, sf_dir, "embeddings")
+    return ann_ivf_topk_filtered(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        corpus_filter=F.col("vec_id") % 2 == 0,
+        nprobe=2,
+        k=5,
+    )
 
 
 # ---------------------------------------------------------------------------

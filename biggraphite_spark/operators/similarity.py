@@ -335,6 +335,38 @@ def _probe_topk(assigned: DataFrame, probed: DataFrame, k: int) -> DataFrame:
     )
 
 
+def ann_ivf_topk_filtered(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    corpus_filter: Column,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Filtered vector search: IVF top-k restricted to corpus vectors
+    satisfying a metadata predicate — the "WHERE lang='en'" every vector
+    store bolts onto ANN.
+
+    Pre-filtering semantics: the codebook comes from the FULL corpus (the
+    index is built once, filters vary per request) and the predicate is
+    applied to the corpus side BEFORE the probe join, so results are
+    exactly the filtered top-k — post-filtering a k-list can silently
+    return fewer than k rows.  At scale the predicate prunes row groups
+    inside each probed ``partitionBy(cell)`` partition, composing with the
+    IVF partition pruning; selectivity only shrinks the candidate set.
+    """
+    codebook = [
+        (r["label"], list(r["cv"]))
+        for r in centroid_vectors(embeddings, id_col, vec_col).collect()
+    ]
+    assigned = assign_cells(
+        embeddings.filter(corpus_filter), codebook, id_col, vec_col
+    )
+    probed = probe_cells(queries, codebook, nprobe, id_col, vec_col)
+    return _probe_topk(assigned, probed, k)
+
+
 def write_ivf_corpus(
     embeddings: DataFrame,
     path: str,

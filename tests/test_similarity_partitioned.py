@@ -105,3 +105,24 @@ def test_ivfpq_recall_against_exact(spark):
         len(exact_sets[qid] & {n for _, n in per_q[qid]}) for qid in exact_sets
     )
     assert hits / (5 * len(exact_sets)) >= 0.1
+
+
+def test_filtered_ann_pre_filter_semantics(spark):
+    """Filtered vector search returns exactly the filtered top-k: every
+    neighbor satisfies the predicate and the count stays k even when the
+    unfiltered top-k would have been dominated by excluded vectors."""
+    from biggraphite_spark.operators.similarity import ann_ivf_topk_filtered
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = ann_ivf_topk_filtered(
+        emb, queries, corpus_filter=F.col("vec_id") % 2 == 0, nprobe=2, k=5
+    ).collect()
+    assert len(out) == 3 * 5
+    assert all(r["neighbor_id"] % 2 == 0 for r in out)
+    # post-filtering the unfiltered result would differ: odd neighbors
+    # occupy top-k slots there
+    from biggraphite_spark.operators.similarity import ann_ivf_topk
+
+    unfiltered = ann_ivf_topk(emb, queries, nprobe=2, k=5).collect()
+    assert any(r["neighbor_id"] % 2 == 1 for r in unfiltered)

@@ -6016,6 +6016,25 @@ def emb_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("mm_ahash", _twin("mm_ahash_sql"))  # python-twin literal oracle
+def mm_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image fingerprints end to end: synthesize + decode BMPs,
+    then average-hash each image (integer-mean grayscale thresholded
+    against the image mean, bits packed MSB-first) entirely in JVM
+    higher-order functions — hamming distance between hashes is the
+    near-duplicate image signal, and dedup reuses the SimHash band join
+    unchanged."""
+    _utc(spark)
+    from biggraphite_spark.operators.multimodal import (
+        decode_image,
+        image_ahash,
+        synthesize_bmp_media,
+    )
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    return image_ahash(decode_image(synthesize_bmp_media(docs)))
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

@@ -575,3 +575,58 @@ def frame_sample(media: DataFrame, every_ms: int) -> DataFrame:
             )
 
     return media.mapInPandas(sample, FRAME_SCHEMA)
+
+
+def image_ahash(decoded: DataFrame) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint over :func:`decode_image`
+    output — the classic near-duplicate image signal: grayscale each pixel
+    (integer mean of R,G,B), threshold against the image's mean gray level,
+    pack the resulting bits row-major into a 64-bit integer.  Hamming
+    distance between hashes approximates visual similarity, so downstream
+    dedup reuses the SimHash band-join machinery unchanged.
+
+    Entirely JVM higher-order functions over the pixel array (no Python
+    stage): one transform to gray, one aggregate for the mean, one fold to
+    pack bits.  Per-row projection — no shuffle, scan-speed at any corpus
+    size.  Images larger than 8x8 would be resized first
+    (:func:`resize_image`); the bit budget caps at 64 pixels.
+    """
+    n_px = F.col("width") * F.col("height")
+    gray = F.transform(
+        F.sequence(F.lit(0), n_px - 1),
+        lambda i: (
+            F.element_at(F.col("pixels"), (i * 3 + 1).cast("int"))
+            + F.element_at(F.col("pixels"), (i * 3 + 2).cast("int"))
+            + F.element_at(F.col("pixels"), (i * 3 + 3).cast("int"))
+        ).cast("long")
+        / F.lit(3),
+    )
+    mean = F.aggregate(gray, F.lit(0.0), lambda a, x: a + x) / n_px
+    # bind gray + mean once via a struct so the packing fold reads them as
+    # lambda variables (bind_col pattern: no per-bit re-evaluation)
+    packed = F.element_at(
+        F.transform(
+            F.array(F.struct(gray.alias("g"), mean.alias("m"))),
+            lambda s: F.aggregate(
+                F.sequence(F.lit(0), F.size(s["g"]) - 1),
+                F.lit(0).cast("long"),
+                # shiftleft/bitwiseOR, not acc*2+b: packing the 64th bit
+                # overflows signed-long arithmetic under ANSI mode, while
+                # the bit ops wrap into two's complement as intended
+                lambda acc, i: F.shiftleft(acc, 1).bitwiseOR(
+                    F.when(
+                        F.element_at(s["g"], (i + 1).cast("int")) >= s["m"], 1
+                    )
+                    .otherwise(0)
+                    .cast("long")
+                ),
+            ),
+        ),
+        1,
+    )
+    return decoded.filter(F.col("error").isNull()).select(
+        "media_id",
+        "width",
+        "height",
+        packed.alias("ahash"),
+    )

@@ -279,3 +279,33 @@ def bpe_tokens_sql(sf_dir: str | None = None) -> str:
             ("tokens_per_word", "DOUBLE"),
         ],
     )
+
+
+@functools.lru_cache(maxsize=4)
+def mm_ahash_sql(sf_dir: str | None = None) -> str:
+    # mirrors image_ahash: integer-sum/3 grayscale, left-fold mean, MSB-first
+    # bit packing — same fold order as Spark's aggregate(), so the float
+    # comparisons are bit-identical
+    rows = []
+    for doc_id, text in _docs(sf_dir or _sf_dir()):
+        px = _md5_stream(text.encode(), 8 * 8 * 3)
+        gray = [(px[i * 3] + px[i * 3 + 1] + px[i * 3 + 2]) / 3 for i in range(64)]
+        acc = 0.0
+        for g in gray:
+            acc = acc + g
+        mean = acc / 64
+        h = 0
+        for g in gray:
+            h = ((h << 1) | (1 if g >= mean else 0)) & 0xFFFFFFFFFFFFFFFF
+        if h >= 1 << 63:  # Spark packs into a signed long (two's complement)
+            h -= 1 << 64
+        rows.append((doc_id, 8, 8, h))
+    return _values_sql(
+        rows,
+        [
+            ("media_id", "BIGINT"),
+            ("width", "INTEGER"),
+            ("height", "INTEGER"),
+            ("ahash", "BIGINT"),
+        ],
+    )

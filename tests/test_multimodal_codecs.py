@@ -240,3 +240,37 @@ def test_resize_rejects_bad_dims(spark):
     decoded = decode_image(synthesize_bmp_media(docs))
     with pytest.raises(ValueError):
         resize_image(decoded, 0, 4)
+
+
+def test_image_ahash_matches_python_golden(spark):
+    from biggraphite_spark.operators.multimodal import (
+        decode_image,
+        image_ahash,
+        synthesize_bmp_media,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(6)
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    out = {
+        r["media_id"]: r["ahash"]
+        for r in image_ahash(decode_image(synthesize_bmp_media(docs))).collect()
+    }
+    assert len(out) == 6
+    for mid, text in texts.items():
+        seed = text.encode()
+        buf = bytearray()
+        counter = 0
+        while len(buf) < 192:
+            buf += hashlib.md5(seed + counter.to_bytes(4, "little")).digest()
+            counter += 1
+        px = bytes(buf[:192])
+        gray = [(px[i * 3] + px[i * 3 + 1] + px[i * 3 + 2]) / 3 for i in range(64)]
+        mean = sum(gray) / 64
+        h = 0
+        for g in gray:
+            h = ((h << 1) | (1 if g >= mean else 0)) & 0xFFFFFFFFFFFFFFFF
+        if h >= 1 << 63:
+            h -= 1 << 64
+        assert out[mid] == h
+    # identical images hash identically; the population is not constant
+    assert len(set(out.values())) > 1

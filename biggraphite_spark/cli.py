@@ -280,9 +280,12 @@ def _dispatch(args, eng) -> int:
         )
     elif args.cmd == "web":
         from .sources.events import NOW
-        from .web import CatalogWeb, make_server
+        from .web import BgUtilHttp, CatalogWeb, make_server
 
-        server = make_server(CatalogWeb(eng.catalog.cache(), NOW), args.port)
+        server = make_server(
+            CatalogWeb(eng.catalog.cache(), NOW, bgutil=BgUtilHttp(args.sf_dir)),
+            args.port,
+        )
         print(f"# serving on http://127.0.0.1:{server.server_address[1]}")
         try:
             server.serve_forever()

@@ -34,9 +34,12 @@ from .operators.find import glob_metric_names
 class CatalogWeb:
     """The app behind the handler: catalog lookups + functional updates."""
 
-    def __init__(self, catalog: DataFrame, now: int):
+    def __init__(
+        self, catalog: DataFrame, now: int, bgutil: "BgUtilHttp | None" = None
+    ):
         self.catalog = catalog
         self.now = now
+        self.bgutil = bgutil
         self._write_lock = threading.Lock()
 
     # -- reads -------------------------------------------------------------
@@ -91,6 +94,84 @@ class CatalogWeb:
         return True
 
 
+#: bgutil sub-commands servable over HTTP — the batch verbs only; the
+#: interactive/server verbs (shell, web, graphite-web) cannot run inside a
+#: request
+BGUTIL_HTTP_COMMANDS = frozenset({
+    "list", "read", "du", "stats", "clean", "repair", "write", "delete",
+    "copy", "syncdb", "expire", "refresh", "info", "test",
+})
+
+
+class UnknownBgUtilCommand(Exception):
+    pass
+
+
+class BgUtilHttp:
+    """bgutil-over-HTTP (``cli/web/namespaces/bgutil.py:116-213``): POST a
+    sub-command with an argument list, run it against this server's data
+    directory, return the captured output.  ``/bgutil/async/<cmd>`` submits
+    a background thread instead; ``/bgutil/tasks`` lists every submitted
+    task with lifecycle timestamps — the reference's task_runner surface
+    with threads in place of its worker process."""
+
+    def __init__(self, sf_dir: str):
+        self.sf_dir = sf_dir
+        self.tasks: list[dict] = []
+        self._lock = threading.Lock()
+
+    def run(self, command: str, arguments: list[str]) -> str:
+        import contextlib
+        import io
+
+        from . import cli
+
+        if command not in BGUTIL_HTTP_COMMANDS:
+            raise UnknownBgUtilCommand(f"unknown command {command!r}")
+        buf = io.StringIO()
+        try:
+            with contextlib.redirect_stdout(buf):
+                rc = cli.main(["--sf-dir", self.sf_dir, command, *arguments])
+        except SystemExit as ex:  # argparse rejects the argument list
+            raise InvalidArgumentError(f"bad arguments for {command}: {ex}")
+        if rc != 0:
+            raise InvalidArgumentError(
+                f"{command} exited {rc}: {buf.getvalue()[:200]}"
+            )
+        return buf.getvalue()
+
+    def submit(self, command: str, arguments: list[str]) -> dict:
+        import datetime
+
+        def now() -> str:
+            return datetime.datetime.now(datetime.timezone.utc).isoformat()
+
+        if command not in BGUTIL_HTTP_COMMANDS:
+            raise UnknownBgUtilCommand(f"unknown command {command!r}")
+        task = {
+            "label": f"{command} {' '.join(arguments)}".strip(),
+            "submitted_on": now(),
+            "started_on": None,
+            "completed_on": None,
+            "status": "submitted",
+            "result": None,
+        }
+        with self._lock:
+            self.tasks.append(task)
+
+        def work():
+            task["started_on"], task["status"] = now(), "running"
+            try:
+                task["result"] = self.run(command, arguments)
+                task["status"] = "done"
+            except Exception as ex:  # noqa: BLE001 — recorded, not raised
+                task["result"], task["status"] = str(ex), "failed"
+            task["completed_on"] = now()
+
+        threading.Thread(target=work, daemon=True).start()
+        return task
+
+
 class _Handler(BaseHTTPRequestHandler):
     app: CatalogWeb  # set by make_server
 
@@ -122,6 +203,9 @@ class _Handler(BaseHTTPRequestHandler):
                 q = parse_qs(url.query)
                 pattern = q.get("pattern", [""])[0]
                 return self._send(200, {"metrics": self.app.glob(pattern)})
+            if parts[:2] == ["bgutil", "tasks"] and self.app.bgutil is not None:
+                with self.app.bgutil._lock:
+                    return self._send(200, list(self.app.bgutil.tasks))
         except (InvalidArgumentError, TooManyMetrics) as ex:
             return self._send(400, {"message": str(ex)})
         return self._send(404, {"message": "unknown route"})
@@ -129,6 +213,28 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self):
         url = urlparse(self.path)
         parts = [p for p in url.path.split("/") if p]
+        if (
+            len(parts) == 3
+            and parts[0] == "bgutil"
+            and parts[1] in ("run", "async")
+            and self.app.bgutil is not None
+        ):
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                arguments = [str(a) for a in payload.get("arguments", [])]
+                if parts[1] == "run":
+                    out = self.app.bgutil.run(unquote(parts[2]), arguments)
+                    return self._send(200, {"result": out})
+                task = self.app.bgutil.submit(unquote(parts[2]), arguments)
+                return self._send(
+                    201,
+                    {"message": "Running in background.", "label": task["label"]},
+                )
+            except UnknownBgUtilCommand as ex:
+                return self._send(404, {"message": str(ex)})
+            except (InvalidArgumentError, ValueError) as ex:
+                return self._send(400, {"message": str(ex)})
         if not (len(parts) == 3 and parts[0] == "biggraphite" and parts[1] == "metric"):
             return self._send(404, {"message": "unknown route"})
         try:

@@ -20,9 +20,9 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def server(spark):
     from biggraphite_spark.sources.events import NOW, load_catalog
-    from biggraphite_spark.web import CatalogWeb, make_server
+    from biggraphite_spark.web import BgUtilHttp, CatalogWeb, make_server
 
-    app = CatalogWeb(load_catalog(spark, SF).cache(), NOW)
+    app = CatalogWeb(load_catalog(spark, SF).cache(), NOW, bgutil=BgUtilHttp(SF))
     srv = make_server(app, port=0)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -42,6 +42,54 @@ def _post(url, payload):
     )
     with urllib.request.urlopen(req) as r:
         return r.status
+
+
+def _post_json(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_bgutil_over_http(server):
+    """bgutil-over-HTTP (reference cli/web/namespaces/bgutil.py): sync run
+    returns captured output; unknown command 404; bad arguments 400; async
+    submit 201 + task lifecycle visible at /bgutil/tasks."""
+    import time
+
+    status, body = _post_json(
+        f"{server}/bgutil/run/list", {"arguments": ["bg.click.u*"]}
+    )
+    assert status == 200
+    names = body["result"].splitlines()
+    assert names and all(n.startswith("bg.click.u") for n in names)
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_json(f"{server}/bgutil/run/nosuchcmd", {"arguments": []})
+    assert e.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_json(f"{server}/bgutil/run/read", {"arguments": ["--bogus-flag"]})
+    assert e.value.code == 400
+    # server verbs are not servable over HTTP
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_json(f"{server}/bgutil/run/shell", {"arguments": []})
+    assert e.value.code == 404
+
+    status, body = _post_json(f"{server}/bgutil/async/stats", {"arguments": []})
+    assert status == 201 and body["label"] == "stats"
+    deadline = time.time() + 90
+    t = None
+    while time.time() < deadline:
+        _, tasks = _get(f"{server}/bgutil/tasks")
+        t = next(x for x in tasks if x["label"] == "stats")
+        if t["status"] in ("done", "failed"):
+            break
+        time.sleep(0.5)
+    assert t and t["status"] == "done", t
+    assert "namespace" in t["result"]
+    assert t["submitted_on"] and t["started_on"] and t["completed_on"]
 
 
 def test_glob_list(server):

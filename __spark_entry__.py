@@ -6035,6 +6035,32 @@ def mm_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_ahash(decode_image(synthesize_bmp_media(docs)))
 
 
+@_register("mm_ahash_neardups", _twin("mm_ahash_neardups_sql"))  # python-twin literal oracle
+def mm_ahash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection end to end: the corpus re-enters every
+    doc_id % 7 == 0 image a second time (exact duplicate), then banded
+    hamming join over the perceptual hashes (Manku band-blocking on
+    16-bit aHash slices, bit_count(xor) verify <= 6) — the multimodal
+    twin of the SimHash text pipeline, one (band, slice)-keyed
+    self-join."""
+    _utc(spark)
+    from biggraphite_spark.operators.multimodal import (
+        ahash_near_dups,
+        decode_image,
+        image_ahash,
+        synthesize_bmp_media,
+    )
+
+    docs = _load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    hashed = image_ahash(
+        decode_image(synthesize_bmp_media(docs.unionByName(dup)))
+    )
+    return ahash_near_dups(hashed, bands=4, max_hamming=6)
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

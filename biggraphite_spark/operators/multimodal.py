@@ -630,3 +630,62 @@ def image_ahash(decoded: DataFrame) -> DataFrame:
         "height",
         packed.alias("ahash"),
     )
+
+
+def ahash_near_dups(
+    hashed: DataFrame, bands: int = 4, max_hamming: int = 6
+) -> DataFrame:
+    """Near-duplicate image pairs over :func:`image_ahash` output — the
+    Manku et al. 2007 band-blocking applied to the 64-bit perceptual hash:
+    split each hash into ``bands`` equal bit-slices, candidates share at
+    least one exact slice, verify with ``bit_count(xor)``.
+
+    Pigeonhole guarantee: every pair within ``bands - 1`` flipped bits
+    shares an untouched slice, so recall is exact below that distance;
+    larger ``max_hamming`` values keep the same candidate set and verify
+    more loosely (document the recall change when tuning).
+
+    Scale shape: the corpus explodes to ``bands`` rows per image and
+    self-joins on (band, slice) — the SimHash near-pair plan reused
+    verbatim, bucket-local at scale when the table is written
+    ``partitionBy(band, key)``.
+    """
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    b = hashed.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("ahash", i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "ahash", "bk.band", "bk.key")
+    x, y = b.alias("x"), b.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.media_id") < F.col("y.media_id")),
+        )
+        .select(
+            F.col("x.media_id").alias("id_a"),
+            F.col("y.media_id").alias("id_b"),
+            F.bit_count(
+                F.col("x.ahash").bitwiseXOR(F.col("y.ahash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

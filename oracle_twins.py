@@ -281,25 +281,29 @@ def bpe_tokens_sql(sf_dir: str | None = None) -> str:
     )
 
 
+def _ahash(text: str) -> int:
+    # mirrors image_ahash: integer-sum/3 grayscale, left-fold mean, MSB-first
+    # bit packing into a SIGNED long (two's complement) — same fold order as
+    # Spark's aggregate(), so the float comparisons are bit-identical
+    px = _md5_stream(text.encode(), 8 * 8 * 3)
+    gray = [(px[i * 3] + px[i * 3 + 1] + px[i * 3 + 2]) / 3 for i in range(64)]
+    acc = 0.0
+    for g in gray:
+        acc = acc + g
+    mean = acc / 64
+    h = 0
+    for g in gray:
+        h = ((h << 1) | (1 if g >= mean else 0)) & 0xFFFFFFFFFFFFFFFF
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h
+
+
 @functools.lru_cache(maxsize=4)
 def mm_ahash_sql(sf_dir: str | None = None) -> str:
-    # mirrors image_ahash: integer-sum/3 grayscale, left-fold mean, MSB-first
-    # bit packing — same fold order as Spark's aggregate(), so the float
-    # comparisons are bit-identical
-    rows = []
-    for doc_id, text in _docs(sf_dir or _sf_dir()):
-        px = _md5_stream(text.encode(), 8 * 8 * 3)
-        gray = [(px[i * 3] + px[i * 3 + 1] + px[i * 3 + 2]) / 3 for i in range(64)]
-        acc = 0.0
-        for g in gray:
-            acc = acc + g
-        mean = acc / 64
-        h = 0
-        for g in gray:
-            h = ((h << 1) | (1 if g >= mean else 0)) & 0xFFFFFFFFFFFFFFFF
-        if h >= 1 << 63:  # Spark packs into a signed long (two's complement)
-            h -= 1 << 64
-        rows.append((doc_id, 8, 8, h))
+    rows = [
+        (doc_id, 8, 8, _ahash(text)) for doc_id, text in _docs(sf_dir or _sf_dir())
+    ]
     return _values_sql(
         rows,
         [
@@ -308,4 +312,36 @@ def mm_ahash_sql(sf_dir: str | None = None) -> str:
             ("height", "INTEGER"),
             ("ahash", "BIGINT"),
         ],
+    )
+
+
+@functools.lru_cache(maxsize=4)
+def mm_ahash_neardups_sql(sf_dir: str | None = None) -> str:
+    # mirrors ahash_near_dups over the duplicated-corpus contract query:
+    # every doc_id % 7 == 0 re-enters as doc_id + 1_000_000 (an exact-dup
+    # image), candidates share a 16-bit hash slice, hamming <= 6 verifies
+    from collections import defaultdict
+
+    items = list(_docs(sf_dir or _sf_dir()))
+    items += [(doc_id + 1_000_000, text) for doc_id, text in items if doc_id % 7 == 0]
+    hashes = {mid: _ahash(text) for mid, text in items}
+    buckets: dict = defaultdict(list)
+    for mid, h in hashes.items():
+        hu = h & 0xFFFFFFFFFFFFFFFF
+        for band in range(4):
+            buckets[(band, (hu >> (band * 16)) & 0xFFFF)].append(mid)
+    cand = set()
+    for ids in buckets.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    rows = []
+    for a, b in sorted(cand):
+        ham = bin((hashes[a] ^ hashes[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+        if ham <= 6:
+            rows.append((a, b, ham))
+    return _values_sql(
+        rows,
+        [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("hamming", "INTEGER")],
     )

@@ -6061,6 +6061,32 @@ def mm_ahash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ahash_near_dups(hashed, bands=4, max_hamming=6)
 
 
+@_register("events_kmv_merge", _KMV_ORACLE)
+def events_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch MERGE algebra under the gate: per-(event_type, day)
+    k-minima partials (the synopsis a daily job would persist) merged back
+    to per-event-type estimates — the union-retake-k merge is exact, so
+    the result matches the direct single-pass sketch bit-for-bit and
+    shares events_distinct_kmv's oracle verbatim.  The merge input is
+    synopsis-sized: ≤k hashes per partial regardless of raw volume."""
+    _utc(spark)
+    from biggraphite_spark.operators.sketches import kmv_merge, kmv_partials
+    from biggraphite_spark.sources.events import event_ts_seconds, load_events
+
+    ev = load_events(spark, sf_dir)
+    daily = kmv_partials(
+        ev.select(
+            "event_type",
+            "user_id",
+            (event_ts_seconds(ev) / 86400).cast("long").alias("day"),
+        ),
+        "user_id",
+        ("event_type", "day"),
+        k=_KMV_K,
+    )
+    return kmv_merge(daily, ("event_type",), k=_KMV_K)
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

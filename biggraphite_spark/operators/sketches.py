@@ -67,6 +67,14 @@ def kmv_distinct(
     hashes = df.select(
         *group_cols, _h32(F.col(value_col)).alias("__h")
     ).distinct()
+    return _kmv_estimate(hashes, group_cols, k)
+
+
+def _kmv_estimate(
+    hashes: DataFrame, group_cols: tuple[str, ...], k: int
+) -> DataFrame:
+    """(kth_hash, est_distinct) per group from a distinct-hash relation —
+    the shared tail of :func:`kmv_distinct` and :func:`kmv_merge`."""
     w = Window.partitionBy(*group_cols).orderBy("__h")
     ranked = hashes.select(
         *group_cols, "__h", F.row_number().over(w).alias("__r")
@@ -82,6 +90,50 @@ def kmv_distinct(
             4,
         ).alias("est_distinct"),
     )
+
+
+def kmv_partials(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 64,
+) -> DataFrame:
+    """Mergeable KMV state: the ≤k smallest distinct hashes per group as a
+    sorted array — the synopsis a per-day / per-partition / per-micro-batch
+    job persists instead of raw keys.
+
+    Union-then-retake-k is EXACT, not approximate-on-approximate: any
+    global k-minimum is a k-minimum of its own partial (were ≥k hashes in
+    its group smaller, they would be smaller globally too), so merging
+    partials reproduces the direct sketch bit-for-bit — pinned by
+    events_kmv_merge against the direct oracle.
+    """
+    hashes = df.select(
+        *group_cols, _h32(F.col(value_col)).alias("__h")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    ranked = hashes.select(
+        *group_cols, "__h", F.row_number().over(w).alias("__r")
+    ).filter(F.col("__r") <= k)
+    return ranked.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list("__h")).alias("minima")
+    )
+
+
+def kmv_merge(
+    partials: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    k: int = 64,
+) -> DataFrame:
+    """Merge KMV partials down to ``group_cols`` (daily → weekly, partition
+    → global, micro-batch → table): union the minima arrays, retake the k
+    smallest, re-estimate with the same (k-1)/U rule.  Input is
+    synopsis-sized (≤k hashes per partial), so the merge is a
+    metadata-scale job no matter how large the raw data was."""
+    hashes = partials.select(
+        *group_cols, F.explode("minima").alias("__h")
+    ).distinct()
+    return _kmv_estimate(hashes, group_cols, k)
 
 
 def cm_heavy_hitters(

@@ -160,3 +160,28 @@ def test_cm_min_count_filters(spark):
     df = _df(spark, rows, "item string")
     got = cm_heavy_hitters(df, "item", depth=4, width=256, min_count=10).collect()
     assert [r["item"] for r in got] == ["hot"]
+
+
+def test_kmv_merge_is_exact_vs_direct(spark):
+    """The union-retake-k merge reproduces the direct sketch bit-for-bit:
+    every global k-minimum is a k-minimum of its own partial."""
+    from biggraphite_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_merge,
+        kmv_partials,
+    )
+
+    rows = [("g", d, d * 37 + i) for d in range(5) for i in range(300)]
+    df = _df(spark, rows, "g string, day int, v int")
+    direct = {
+        (r["g"],): (r["kth_hash"], r["est_distinct"])
+        for r in kmv_distinct(df, "v", ("g",), k=64).collect()
+    }
+    partials = kmv_partials(df, "v", ("g", "day"), k=64)
+    # partials are synopsis-sized
+    assert all(len(r["minima"]) <= 64 for r in partials.collect())
+    merged = {
+        (r["g"],): (r["kth_hash"], r["est_distinct"])
+        for r in kmv_merge(partials, ("g",), k=64).collect()
+    }
+    assert merged == direct

@@ -6087,6 +6087,42 @@ def events_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_merge(daily, ("event_type",), k=_KMV_K)
 
 
+_WFUNNEL_W = 3600
+
+_WFUNNEL_ORACLE = f"""
+WITH e AS (SELECT user_id, event_type, {ORACLE_TS} AS sec FROM events),
+v AS (SELECT user_id, min(sec) AS t_view FROM e
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.sec) AS t_click FROM e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.sec > v.t_view
+        AND e.sec <= v.t_view + {_WFUNNEL_W} GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.sec) AS t_purchase FROM e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.sec > c.t_click
+        AND e.sec <= c.t_click + {_WFUNNEL_W} GROUP BY e.user_id)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+       CAST(1 + (CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS steps
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+@_register("events_funnel_windowed", _WFUNNEL_ORACLE)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded ordered funnel (view -> click -> purchase, 1h
+    conversion window per step, Amplitude/Mixpanel semantics): the
+    windowed_funnel operator — per-step conditional min-aggs chained by
+    user-keyed equi-joins, the unbounded events_funnel plan plus one
+    bound filter per step."""
+    _utc(spark)
+    from biggraphite_spark.operators.funnel import windowed_funnel
+    from biggraphite_spark.sources.events import event_ts_seconds, load_events
+
+    ev = load_events(spark, sf_dir)
+    e = ev.select("user_id", "event_type", event_ts_seconds(ev).alias("sec"))
+    return windowed_funnel(e, ["view", "click", "purchase"], _WFUNNEL_W)
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

@@ -185,3 +185,34 @@ def test_kmv_merge_is_exact_vs_direct(spark):
         for r in kmv_merge(partials, ("g",), k=64).collect()
     }
     assert merged == direct
+
+
+def test_windowed_funnel_bounds_and_greedy_semantics(spark):
+    from biggraphite_spark.operators.funnel import windowed_funnel
+
+    rows = [
+        # u1: full chain inside windows
+        ("u1", "a", 0), ("u1", "b", 50), ("u1", "c", 90),
+        # u2: step b arrives after the window -> chain breaks at a
+        ("u2", "a", 0), ("u2", "b", 200), ("u2", "c", 210),
+        # u3: greedy-earliest — the first b at 80 leaves no c within its
+        # window even though the later b at 120 would have converted
+        ("u3", "a", 0), ("u3", "b", 80), ("u3", "b", 120), ("u3", "c", 190),
+        # u4: same-timestamp events are NOT strictly after -> break
+        ("u4", "a", 10), ("u4", "b", 10),
+    ]
+    df = _df(spark, rows, "user_id string, event_type string, sec long")
+    out = {
+        r["user_id"]: (r["t_a"], r["t_b"], r["t_c"], r["steps"])
+        for r in windowed_funnel(df, ["a", "b", "c"], 100).collect()
+    }
+    assert out["u1"] == (0, 50, 90, 3)
+    assert out["u2"] == (0, None, None, 1)
+    assert out["u3"] == (0, 80, None, 2)
+    assert out["u4"] == (10, None, None, 1)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        windowed_funnel(df, ["a"], 100)
+    with _pytest.raises(ValueError):
+        windowed_funnel(df, ["a", "b"], 0)

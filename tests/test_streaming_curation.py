@@ -114,3 +114,61 @@ def test_streaming_exact_dedup_within_watermark(spark, docdirs):
         r["text_hash"] for r in spark.createDataFrame(rows, DOC_SCHEMA)
         .withColumn("text_hash", F.md5("text")).collect()
     }
+
+
+def test_streaming_kmv_partials_merge_to_batch_answer(spark, docdirs):
+    """Sketch algebra across micro-batches: each foreachBatch persists only
+    the synopsis-sized KMV partials, and merging every persisted partial
+    reproduces the single-pass batch sketch bit-for-bit — the pattern a
+    streaming cardinality dashboard runs at any volume."""
+    from biggraphite_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_merge,
+        kmv_partials,
+    )
+
+    schema = "g string, v long, ts timestamp"
+    a = [("g1", i, None) for i in range(400)] + [("g2", i, None) for i in range(50)]
+    b = [("g1", i, None) for i in range(300, 700)]  # overlaps batch a
+    for part, rows in (("a", a), ("b", b)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(docdirs["in"], part))
+
+    partials_path = docdirs["out"]
+
+    def sink(batch_df, _bid):
+        kmv_partials(batch_df, "v", ("g",), k=64).write.mode("append").parquet(
+            partials_path
+        )
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docdirs["in"])
+    )
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", docdirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    partials = spark.read.parquet(partials_path)
+    assert partials.count() >= 3  # >= 2 micro-batches x live groups
+    merged = {
+        r["g"]: (r["kth_hash"], r["est_distinct"])
+        for r in kmv_merge(partials, ("g",), k=64).collect()
+    }
+    full = (
+        spark.read.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(docdirs["in"])
+    )
+    direct = {
+        r["g"]: (r["kth_hash"], r["est_distinct"])
+        for r in kmv_distinct(full, "v", ("g",), k=64).collect()
+    }
+    assert merged == direct

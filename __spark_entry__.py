@@ -2703,7 +2703,7 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_load_parallel(spark, sf_dir, "documents"))
 
 
-def _dup_clusters_oracle(k: int = 16, bands: int = 4) -> str:
+def _dup_clusters_oracle(k: int = 16, bands: int = 4, final_select: str | None = None) -> str:
     """Transitive closure over the MinHash-LSH near-dup pairs as a DuckDB
     recursive CTE — a fully independent replay of signature, banding,
     verification, AND the connected-components fixpoint."""
@@ -2717,6 +2717,11 @@ def _dup_clusters_oracle(k: int = 16, bands: int = 4) -> str:
             b=b, key=" || ".join(f"h{b * r + j}" for j in range(r))
         )
         for b in range(bands)
+    )
+    final = final_select or (
+        "SELECT l.doc_id, l.cluster_id, c.n AS cluster_size\n"
+        "FROM lab l JOIN (SELECT cluster_id, COUNT(*) AS n FROM lab "
+        "GROUP BY 1) c USING (cluster_id)"
     )
     return f"""
 WITH RECURSIVE
@@ -2738,8 +2743,7 @@ reach AS (SELECT doc_id, doc_id AS root FROM documents
           UNION
           SELECT e.b AS doc_id, reach.root FROM reach JOIN edges e ON e.a = reach.doc_id),
 lab AS (SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id)
-SELECT l.doc_id, l.cluster_id, c.n AS cluster_size
-FROM lab l JOIN (SELECT cluster_id, COUNT(*) AS n FROM lab GROUP BY 1) c USING (cluster_id)
+{final}
 """
 
 
@@ -6121,6 +6125,31 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     e = ev.select("user_id", "event_type", event_ts_seconds(ev).alias("sec"))
     return windowed_funnel(e, ["view", "click", "purchase"], _WFUNNEL_W)
+
+
+_SPLIT_FINAL = """
+SELECT doc_id, cluster_id,
+       CASE WHEN frac < 0.8 THEN 'train'
+            WHEN frac < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, cluster_id,
+             CAST(concat('0x', substr(md5('split:' || CAST(cluster_id AS VARCHAR)),
+                                      1, 8)) AS BIGINT) / 4294967296.0 AS frac
+      FROM lab)
+"""
+
+
+@_register("doc_split_leakage_free", _dup_clusters_oracle(final_select=_SPLIT_FINAL))
+def doc_split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware 80/10/10 train/val/test split: near-dup clusters are
+    the split unit (no near-duplicate pair straddles a boundary — the
+    structural fix for Lee et al. 2022's train-test leakage), assigned by
+    a seedless md5 threshold on the cluster id.  The oracle replays the
+    full LSH + connected-components pipeline and the threshold rule."""
+    _utc(spark)
+    from biggraphite_spark.operators.curation import leakage_free_split
+
+    return leakage_free_split(_load_parallel(spark, sf_dir, "documents"), threshold=0.5)
 
 
 # ---------------------------------------------------------------------------

@@ -636,3 +636,53 @@ def ngram_novelty(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFr
             F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
         )
     )
+
+
+def leakage_free_split(
+    docs: DataFrame,
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    pairs: DataFrame | None = None,
+    **dedup_kwargs,
+) -> DataFrame:
+    """Cluster-aware train/val/test split: the near-dup CLUSTER is the
+    split unit, so no near-duplicate pair ever straddles a split boundary
+    — the structural fix for the train-test leakage Lee et al. 2022
+    measured when documents are split independently.
+
+    Assignment is a seedless md5 threshold on the cluster id (the
+    stratified-sample rule applied to clusters): deterministic, engine
+    replayable, and stable under corpus growth for unchanged clusters.
+
+    Output: doc_id, cluster_id, split.  Scale shape: dup_clusters' cost
+    plus one projection; the split itself adds no shuffle.
+    """
+    if len(weights) != len(names) or not names:
+        raise ValueError("weights and names must align")
+    if abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError("weights must sum to 1")
+    from .dedup import dup_clusters
+
+    clusters = dup_clusters(docs, pairs=pairs, **dedup_kwargs).select(
+        "doc_id", "cluster_id"
+    )
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(1 << 32))
+    )
+    split = None
+    hi = 0.0
+    for w, name in zip(weights[:-1], names[:-1]):
+        hi += w
+        cond = frac < hi
+        split = F.when(cond, name) if split is None else split.when(cond, name)
+    split = F.lit(names[0]) if split is None else split.otherwise(names[-1])
+    return clusters.select("doc_id", "cluster_id", split.alias("split"))

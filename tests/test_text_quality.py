@@ -435,3 +435,26 @@ def test_normalize_and_pii_idempotent(spark):
         assert r.n1 == r.n2, ("normalize not idempotent", r.i, r.n1, r.n2)
         assert r.p1 == r.p2, ("pii_mask not idempotent", r.i, r.p1, r.p2)
         assert r.c1 == r.c2, ("pipeline not idempotent", r.i, r.c1, r.c2)
+
+
+def test_leakage_free_split_keeps_clusters_together(spark):
+    from biggraphite_spark.operators.curation import leakage_free_split
+
+    docs = _docs(spark, [(i, f"doc {i}") for i in range(40)])
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21)], "doc_a long, doc_b long"
+    )
+    out = leakage_free_split(docs, pairs=pairs).collect()
+    assert len(out) == 40
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    # the invariant: one split per cluster — no near-dup pair straddles
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        leakage_free_split(docs, weights=(0.5, 0.5), names=("a",), pairs=pairs)
+    with _pytest.raises(ValueError):
+        leakage_free_split(docs, weights=(0.5, 0.2), names=("a", "b"), pairs=pairs)

@@ -6152,6 +6152,47 @@ def doc_split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_free_split(_load_parallel(spark, sf_dir, "documents"), threshold=0.5)
 
 
+_SEASONAL_ORACLE = f"""
+WITH {_series_cte("bg.purchase.*")},
+b AS (SELECT name, ts, value,
+             CAST((ts % 86400) / 3600 AS BIGINT) AS phase,
+             CASE WHEN count(value) OVER w1 = 24 AND count(value) OVER w2 = 24
+                  THEN (avg(value) OVER w1 + avg(value) OVER w2) / 2
+             END AS trend
+      FROM s
+      WINDOW w1 AS (PARTITION BY name ORDER BY ts
+                    ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING),
+             w2 AS (PARTITION BY name ORDER BY ts
+                    ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
+d AS (SELECT *, value - trend AS detr FROM b),
+pm AS (SELECT name, phase, avg(detr) AS pmean FROM d
+       WHERE detr IS NOT NULL GROUP BY 1, 2),
+ctr AS (SELECT name, avg(pmean) AS c FROM pm GROUP BY 1)
+SELECT d.name, d.ts, d.value,
+       ROUND(d.trend, 6) AS trend,
+       ROUND(pm.pmean - ctr.c, 6) AS seasonal,
+       ROUND(d.value - d.trend - (pm.pmean - ctr.c), 6) AS residual
+FROM d LEFT JOIN pm ON d.name = pm.name AND d.phase = pm.phase
+       LEFT JOIN ctr ON d.name = ctr.name
+"""
+
+
+@_register("gr_seasonal", _SEASONAL_ORACLE)
+def gr_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition over the hourly finals
+    (daily cycle, period 24, classical 2x24 centered MA trend emitted only
+    where complete): value = trend + per-phase centered seasonal +
+    residual — the capacity-planning / anomaly-triage decomposition, one
+    per-series window plus two keyed aggregations."""
+    _utc(spark)
+    from biggraphite_spark.functions.series import seasonal_decompose
+
+    s = _hourly_finals(spark, sf_dir, "bg.purchase.*").select(
+        "name", "ts", F.round("value", 6).alias("value")
+    )
+    return seasonal_decompose(s, step=3600, period=24)
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

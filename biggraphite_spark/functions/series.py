@@ -1090,3 +1090,67 @@ def zscore_outliers(series: DataFrame, threshold: float = 2.0) -> DataFrame:
         z.alias("z"),
         F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_outlier"),
     )
+
+
+def seasonal_decompose(
+    series: DataFrame, step: int, period: int
+) -> DataFrame:
+    """Additive seasonal decomposition (classical moving-average method):
+    ``value = trend + seasonal + residual``.
+
+    - trend: centered moving average covering exactly one period — a plain
+      ``period``-bucket window when the period is odd, the classical
+      2x``period`` MA (two offset period windows averaged) when even, so
+      every phase contributes equal weight and a planted cycle cannot
+      leak into the trend.  Emitted only where the frames are complete
+      and gap-free — edges and null-holed windows stay null;
+    - seasonal: per-phase mean of the detrended values (phase = bucket
+      index mod ``period``), centered so the seasonal component sums to
+      ~zero over a period;
+    - residual: what neither explains.
+
+    The capacity-planning / anomaly-triage decomposition ops dashboards
+    run on daily-cycling metrics.  Shape: one per-series window + two
+    small keyed aggregations joined back — no driver loops, no UDFs,
+    scales with the series count like every other verb here.
+    """
+    if period < 2:
+        raise ValueError("period must cover at least 2 buckets")
+    half = period // 2
+    if period % 2 == 1:
+        win = Window.partitionBy("name").orderBy("ts").rowsBetween(-half, half)
+        trend = F.when(
+            F.count("value").over(win) == period, F.avg("value").over(win)
+        )
+    else:
+        w1 = Window.partitionBy("name").orderBy("ts").rowsBetween(-half, half - 1)
+        w2 = Window.partitionBy("name").orderBy("ts").rowsBetween(-half + 1, half)
+        trend = F.when(
+            (F.count("value").over(w1) == period)
+            & (F.count("value").over(w2) == period),
+            (F.avg("value").over(w1) + F.avg("value").over(w2)) / 2,
+        )
+    phase = ((F.col("ts") % (step * period)) / step).cast("long")
+    base = series.select(
+        "name", "ts", "value", phase.alias("phase"), trend.alias("trend")
+    ).withColumn("detr", F.col("value") - F.col("trend"))
+    pm = (
+        base.filter(F.col("detr").isNotNull())
+        .groupBy("name", "phase")
+        .agg(F.avg("detr").alias("pmean"))
+    )
+    ctr = pm.groupBy("name").agg(F.avg("pmean").alias("c"))
+    return (
+        base.join(pm, ["name", "phase"], "left")
+        .join(ctr, "name", "left")
+        .select(
+            "name",
+            "ts",
+            "value",
+            F.round("trend", 6).alias("trend"),
+            F.round(F.col("pmean") - F.col("c"), 6).alias("seasonal"),
+            F.round(
+                F.col("value") - F.col("trend") - (F.col("pmean") - F.col("c")), 6
+            ).alias("residual"),
+        )
+    )

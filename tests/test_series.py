@@ -553,3 +553,33 @@ def test_zscore_outliers_golden(spark):
     assert got[("m", 4)].is_outlier is True
     # flat series: sd == 0 -> null z, never flagged
     assert got[("flat", 0)].z is None and got[("flat", 0)].is_outlier is False
+
+
+def test_seasonal_decompose_recovers_planted_cycle(spark):
+    """A pure sine-free synthetic: value = linear trend + fixed per-phase
+    offset.  The decomposition must recover the phase offsets (centered)
+    and leave ~zero residual away from the edges."""
+    import pytest as _pytest
+
+    from biggraphite_spark.functions.series import seasonal_decompose
+
+    period, step = 4, 60
+    offsets = [10.0, -2.0, 0.0, -8.0]  # sums to 0 -> already centered
+    rows = [
+        ("m", t * step, 100.0 + 0.0 * t + offsets[t % period])
+        for t in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["name", "ts", "value"])
+    out = {r["ts"]: r for r in seasonal_decompose(df, step, period).collect()}
+    # interior rows: trend = flat 100 (the window mean of a constant-trend
+    # series with balanced phases), seasonal = planted offset, residual ~ 0
+    for t in range(3, 37):
+        r = out[t * step]
+        assert r["trend"] == _pytest.approx(100.0, abs=1e-6)
+        assert r["seasonal"] == _pytest.approx(offsets[t % period], abs=1e-6)
+        assert r["residual"] == _pytest.approx(0.0, abs=1e-6)
+    # edges have no complete window -> null trend and residual
+    assert out[0]["trend"] is None and out[0]["residual"] is None
+
+    with _pytest.raises(ValueError):
+        seasonal_decompose(df, step, 1)

@@ -6193,6 +6193,40 @@ def gr_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_decompose(s, step=3600, period=24)
 
 
+_ATTR_W = 86400
+
+_ATTR_ORACLE = f"""
+WITH e AS (SELECT user_id, event_type, {ORACLE_TS} AS sec FROM events),
+conv AS (SELECT DISTINCT user_id, sec AS conv_sec FROM e
+         WHERE event_type = 'purchase'),
+t AS (SELECT e.user_id, conv_sec, e.sec AS touch_sec, e.event_type AS touch_type
+      FROM e JOIN conv USING (user_id)
+      WHERE e.event_type IN ('view', 'click')
+        AND e.sec <= conv_sec AND e.sec > conv_sec - {_ATTR_W})
+SELECT user_id, conv_sec, touch_sec, touch_type
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, conv_sec
+                                   ORDER BY touch_sec DESC, touch_type DESC)
+             AS rn
+      FROM t)
+WHERE rn = 1
+"""
+
+
+@_register("events_attribution", _ATTR_ORACLE)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase credits the most
+    recent view/click within the 1-day lookback (type tie-break via
+    struct max, deterministic across engines) — one user-keyed equi-join
+    with the window bound in the join filter plus one aggregation."""
+    _utc(spark)
+    from biggraphite_spark.operators.funnel import attribution
+    from biggraphite_spark.sources.events import event_ts_seconds, load_events
+
+    ev = load_events(spark, sf_dir)
+    e = ev.select("user_id", "event_type", event_ts_seconds(ev).alias("sec"))
+    return attribution(e, ["view", "click"], "purchase", _ATTR_W)
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

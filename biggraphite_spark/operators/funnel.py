@@ -64,3 +64,60 @@ def windowed_funnel(
     for col in cols[1:]:
         reached = reached + F.col(col).isNotNull().cast("int")
     return out.select(user_col, *cols, reached.cast("long").alias("steps"))
+
+
+def attribution(
+    events: DataFrame,
+    touch_types: list[str],
+    conversion_type: str,
+    window_s: int,
+    model: str = "last_touch",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "sec",
+) -> DataFrame:
+    """Single-touch conversion attribution: credit each conversion event to
+    one qualifying touch within ``window_s`` seconds before it (inclusive
+    of same-second touches) — last-touch or first-touch, the two
+    single-touch models marketing analytics defaults to.
+
+    Ties on the touch timestamp break by event type (max for last-touch,
+    min for first-touch) via struct ordering, so the credit is
+    deterministic across engines.  Output: one row per (user, conversion
+    time) that HAS a qualifying touch: user, conv ts, credited touch ts +
+    type.
+
+    Shape: one user-keyed equi-join with the window bound as a join-time
+    filter, then one (user, conversion) aggregation — co-partitioned on
+    the user key throughout, no window over the raw stream.
+    """
+    if model not in ("last_touch", "first_touch"):
+        raise ValueError(f"unknown attribution model {model!r}")
+    if window_s <= 0:
+        raise ValueError("window_s must be positive")
+    conv = (
+        events.filter(F.col(type_col) == conversion_type)
+        .select(user_col, F.col(ts_col).alias("conv_sec"))
+        .distinct()
+    )
+    touches = events.filter(F.col(type_col).isin(*touch_types)).select(
+        user_col,
+        F.col(ts_col).alias("touch_sec"),
+        F.col(type_col).alias("touch_type"),
+    )
+    j = touches.join(conv, user_col).filter(
+        (F.col("touch_sec") <= F.col("conv_sec"))
+        & (F.col("touch_sec") > F.col("conv_sec") - window_s)
+    )
+    pick = F.max if model == "last_touch" else F.min
+    best = pick(F.struct("touch_sec", "touch_type")).alias("b")
+    return (
+        j.groupBy(user_col, "conv_sec")
+        .agg(best)
+        .select(
+            user_col,
+            "conv_sec",
+            F.col("b.touch_sec").alias("touch_sec"),
+            F.col("b.touch_type").alias("touch_type"),
+        )
+    )

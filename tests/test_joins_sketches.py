@@ -216,3 +216,36 @@ def test_windowed_funnel_bounds_and_greedy_semantics(spark):
         windowed_funnel(df, ["a"], 100)
     with _pytest.raises(ValueError):
         windowed_funnel(df, ["a", "b"], 0)
+
+
+def test_attribution_models_and_window(spark):
+    from biggraphite_spark.operators.funnel import attribution
+
+    rows = [
+        ("u1", "view", 10), ("u1", "click", 20), ("u1", "purchase", 30),
+        # u2's only touch is outside the window
+        ("u2", "view", 0), ("u2", "purchase", 200),
+        # u3: tie at the same second -> type tie-break (view > click lexic.)
+        ("u3", "view", 50), ("u3", "click", 50), ("u3", "purchase", 60),
+    ]
+    df = _df(spark, rows, "user_id string, event_type string, sec long")
+    last = {
+        (r["user_id"], r["conv_sec"]): (r["touch_sec"], r["touch_type"])
+        for r in attribution(df, ["view", "click"], "purchase", 100).collect()
+    }
+    assert last[("u1", 30)] == (20, "click")
+    assert ("u2", 200) not in last  # no qualifying touch
+    assert last[("u3", 60)] == (50, "view")  # ts tie -> lexicographic max
+
+    first = {
+        (r["user_id"], r["conv_sec"]): (r["touch_sec"], r["touch_type"])
+        for r in attribution(
+            df, ["view", "click"], "purchase", 100, model="first_touch"
+        ).collect()
+    }
+    assert first[("u1", 30)] == (10, "view")
+    assert first[("u3", 60)] == (50, "click")  # ts tie -> lexicographic min
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        attribution(df, ["view"], "purchase", 100, model="nope")

@@ -6152,7 +6152,7 @@ def doc_split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_free_split(_load_parallel(spark, sf_dir, "documents"), threshold=0.5)
 
 
-_SEASONAL_ORACLE = f"""
+_SEASONAL_CTES = f"""
 WITH {_series_cte("bg.purchase.*")},
 b AS (SELECT name, ts, value,
              CAST((ts % 86400) / 3600 AS BIGINT) AS phase,
@@ -6167,13 +6167,16 @@ b AS (SELECT name, ts, value,
 d AS (SELECT *, value - trend AS detr FROM b),
 pm AS (SELECT name, phase, avg(detr) AS pmean FROM d
        WHERE detr IS NOT NULL GROUP BY 1, 2),
-ctr AS (SELECT name, avg(pmean) AS c FROM pm GROUP BY 1)
-SELECT d.name, d.ts, d.value,
-       ROUND(d.trend, 6) AS trend,
-       ROUND(pm.pmean - ctr.c, 6) AS seasonal,
-       ROUND(d.value - d.trend - (pm.pmean - ctr.c), 6) AS residual
-FROM d LEFT JOIN pm ON d.name = pm.name AND d.phase = pm.phase
-       LEFT JOIN ctr ON d.name = ctr.name
+ctr AS (SELECT name, avg(pmean) AS c FROM pm GROUP BY 1),
+sd AS (SELECT d.name, d.ts, d.value,
+              ROUND(d.trend, 6) AS trend,
+              ROUND(pm.pmean - ctr.c, 6) AS seasonal,
+              ROUND(d.value - d.trend - (pm.pmean - ctr.c), 6) AS residual
+       FROM d LEFT JOIN pm ON d.name = pm.name AND d.phase = pm.phase
+              LEFT JOIN ctr ON d.name = ctr.name)"""
+
+_SEASONAL_ORACLE = _SEASONAL_CTES + """
+SELECT name, ts, value, trend, seasonal, residual FROM sd
 """
 
 
@@ -6225,6 +6228,80 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     e = ev.select("user_id", "event_type", event_ts_seconds(ev).alias("sec"))
     return attribution(e, ["view", "click"], "purchase", _ATTR_W)
+
+
+_SEASONAL_ANOM_ORACLE = _SEASONAL_CTES + """,
+rz AS (SELECT name, ts, residual,
+              ROUND(CASE WHEN stddev_samp(residual) OVER w > 0
+                    THEN (residual - avg(residual) OVER w)
+                         / stddev_samp(residual) OVER w END, 6) AS z
+       FROM sd WINDOW w AS (PARTITION BY name))
+SELECT name, ts, residual AS value, z,
+       COALESCE(abs(z) > 2.0, FALSE) AS is_outlier
+FROM rz
+"""
+
+
+@_register("gr_anomaly_seasonal", _SEASONAL_ANOM_ORACLE)
+def gr_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly flags: z-score the seasonal-decomposition
+    RESIDUALS instead of the raw series, so a point is anomalous relative
+    to its deseasonalized baseline — the daily-cycle traffic detector
+    that plain gr_zscore false-positives on.  Pure composition of the two
+    shared operators (seasonal_decompose -> zscore_outliers)."""
+    _utc(spark)
+    from biggraphite_spark.functions.series import (
+        seasonal_decompose,
+        zscore_outliers,
+    )
+
+    s = _hourly_finals(spark, sf_dir, "bg.purchase.*").select(
+        "name", "ts", F.round("value", 6).alias("value")
+    )
+    resid = seasonal_decompose(s, step=3600, period=24).select(
+        "name", "ts", F.col("residual").alias("value")
+    )
+    return zscore_outliers(resid, threshold=2.0)
+
+
+_HIST_ORACLE = f"""
+WITH e AS (SELECT event_type, value FROM events
+           WHERE value > 0 AND NOT isnan(value)),
+h AS (SELECT event_type, CAST(floor(log2(value)) AS BIGINT) AS bucket,
+             count(*) AS n
+      FROM e GROUP BY 1, 2),
+c AS (SELECT event_type, bucket, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS total
+      FROM h)
+SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total,
+       pow(2.0, min(CASE WHEN cum >= ceil(0.5 * total) THEN bucket END))
+         AS p50_est,
+       pow(2.0, min(CASE WHEN cum >= ceil(0.95 * total) THEN bucket END))
+         AS p95_est,
+       pow(2.0, min(CASE WHEN cum >= ceil(0.99 * total) THEN bucket END))
+         AS p99_est
+FROM c GROUP BY 1
+"""
+
+
+@_register("events_latency_hist", _HIST_ORACLE)
+def events_latency_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-style log2-bucket histogram + percentile reconstruction per
+    event type: the fixed-size, exactly-mergeable latency summary (merge
+    = sum counts; estimates = lower bound of the bucket reaching the
+    rank, deterministic integer math) — what a fleet reports instead of
+    shipping raw latencies.  NaN values are routed out like the exact
+    events_quantiles does."""
+    _utc(spark)
+    from biggraphite_spark.operators.sketches import hist_percentiles, log2_histogram
+    from biggraphite_spark.sources.events import load_events
+
+    ev = load_events(spark, sf_dir).filter(~F.isnan("value"))
+    h = log2_histogram(ev.select("event_type", "value"), "value", ("event_type",))
+    return hist_percentiles(h, (0.5, 0.95, 0.99), ("event_type",))
 
 
 # ---------------------------------------------------------------------------

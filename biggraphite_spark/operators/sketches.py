@@ -203,3 +203,56 @@ def _h32_salted(item: Column, d: Column) -> Column:
         16,
         10,
     ).cast("long")
+
+
+def log2_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """HDR-style log2-bucket histogram: positive values land in bucket
+    ``floor(log2(v))`` (so bucket b covers [2^b, 2^(b+1))), counted per
+    group — the fixed-size, exactly-mergeable latency summary (merging =
+    summing counts), unlike exact percentiles which need the raw data.
+
+    Output: group cols, bucket, n.  One hash aggregation over a
+    projection; non-positive/null values are excluded (a real pipeline
+    routes them to a quality counter first)."""
+    bucket = F.floor(F.log2(F.col(value_col))).cast("long")
+    return (
+        df.filter(F.col(value_col) > 0)
+        .groupBy(*group_cols, bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def hist_percentiles(
+    hist: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Percentile reconstruction from a :func:`log2_histogram`: the q-th
+    percentile estimate is the LOWER BOUND (2^bucket) of the first bucket
+    whose cumulative count reaches ceil(q*n) — deterministic integer rank
+    math, so the estimate is oracle-exact even though it is (by design) a
+    bucket-resolution approximation of the true percentile."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = F.sum("n").over(Window.partitionBy(*group_cols))
+    cum = F.sum("n").over(w)
+    enriched = hist.select(
+        *group_cols, "bucket", "n", cum.alias("cum"), total.alias("total")
+    )
+    aggs = [F.sum("n").alias("n_total")]
+    for q in qs:
+        rank = F.ceil(F.lit(q) * F.col("total"))
+        aggs.append(
+            F.pow(
+                F.lit(2.0),
+                F.min(F.when(F.col("cum") >= rank, F.col("bucket"))),
+            ).alias(f"p{int(q * 100)}_est")
+        )
+    return enriched.groupBy(*group_cols).agg(*aggs)

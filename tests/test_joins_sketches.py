@@ -249,3 +249,24 @@ def test_attribution_models_and_window(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         attribution(df, ["view"], "purchase", 100, model="nope")
+
+
+def test_log2_histogram_and_percentile_reconstruction(spark):
+    from biggraphite_spark.operators.sketches import hist_percentiles, log2_histogram
+
+    # 8 values in bucket 0 ([1,2)), 1 in bucket 3 ([8,16)), 1 in bucket 6
+    vals = [1.5] * 8 + [9.0, 100.0]
+    df = _df(spark, [("g", v) for v in vals], "g string, v double")
+    h = {r["bucket"]: r["n"] for r in log2_histogram(df, "v", ("g",)).collect()}
+    assert h == {0: 8, 3: 1, 6: 1}
+    p = hist_percentiles(
+        log2_histogram(df, "v", ("g",)), (0.5, 0.95, 0.99), ("g",)
+    ).collect()[0]
+    # ranks over 10: p50 -> 5th value (bucket 0), p95 -> 10th (bucket 6)
+    assert p["n_total"] == 10
+    assert p["p50_est"] == 1.0    # 2^0
+    assert p["p95_est"] == 64.0   # 2^6
+    assert p["p99_est"] == 64.0
+    # non-positive values are excluded
+    df2 = _df(spark, [("g", -1.0), ("g", 0.0), ("g", 2.0)], "g string, v double")
+    assert log2_histogram(df2, "v", ("g",)).count() == 1

@@ -270,3 +270,81 @@ def test_log2_histogram_and_percentile_reconstruction(spark):
     # non-positive values are excluded
     df2 = _df(spark, [("g", -1.0), ("g", 0.0), ("g", 2.0)], "g string, v double")
     assert log2_histogram(df2, "v", ("g",)).count() == 1
+
+
+def test_windowed_funnel_randomized_vs_python_bruteforce(spark):
+    """200 random users, random event streams, one Spark job — every
+    user's chain must match an independent greedy-earliest python walk."""
+    import random
+
+    from biggraphite_spark.operators.funnel import windowed_funnel
+
+    rnd = random.Random(42)
+    steps, window = ["a", "b", "c"], 50
+    rows = []
+    for u in range(200):
+        for _ in range(rnd.randrange(1, 12)):
+            rows.append((f"u{u}", rnd.choice("abcx"), rnd.randrange(0, 300)))
+    df = _df(spark, rows, "user_id string, event_type string, sec long")
+    got = {
+        r["user_id"]: (r["t_a"], r["t_b"], r["t_c"], r["steps"])
+        for r in windowed_funnel(df, steps, window).collect()
+    }
+
+    by_user: dict = {}
+    for u, t, s in rows:
+        by_user.setdefault(u, []).append((t, s))
+    want = {}
+    for u, evs in by_user.items():
+        t_prev = min((s for t, s in evs if t == "a"), default=None)
+        if t_prev is None:
+            continue
+        chain = [t_prev]
+        for step in steps[1:]:
+            nxt = min(
+                (s for t, s in evs
+                 if t == step and t_prev < s <= t_prev + window),
+                default=None,
+            )
+            chain.append(nxt)
+            if nxt is None:
+                break
+            t_prev = nxt
+        chain += [None] * (len(steps) - len(chain))
+        want[u] = (*chain, sum(1 for c in chain if c is not None))
+    assert got == want
+
+
+def test_attribution_randomized_vs_python_bruteforce(spark):
+    import random
+
+    from biggraphite_spark.operators.funnel import attribution
+
+    rnd = random.Random(7)
+    rows = []
+    for u in range(200):
+        for _ in range(rnd.randrange(1, 10)):
+            rows.append(
+                (f"u{u}", rnd.choice(["view", "click", "buy"]), rnd.randrange(0, 200))
+            )
+    df = _df(spark, rows, "user_id string, event_type string, sec long")
+    for model, pick in (("last_touch", max), ("first_touch", min)):
+        got = {
+            (r["user_id"], r["conv_sec"]): (r["touch_sec"], r["touch_type"])
+            for r in attribution(
+                df, ["view", "click"], "buy", 60, model=model
+            ).collect()
+        }
+        want = {}
+        by_user: dict = {}
+        for u, t, s in rows:
+            by_user.setdefault(u, []).append((t, s))
+        for u, evs in by_user.items():
+            for conv in {s for t, s in evs if t == "buy"}:
+                touches = [
+                    (s, t) for t, s in evs
+                    if t in ("view", "click") and conv - 60 < s <= conv
+                ]
+                if touches:
+                    want[(u, conv)] = pick(touches)
+        assert got == want, model

@@ -14,6 +14,7 @@ across engines from FP summation order.
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,7 +81,12 @@ def _twin(fn_name: str):
         here = os.path.dirname(os.path.abspath(__file__))
         if here not in sys.path:
             sys.path.insert(0, here)
-        return getattr(importlib.import_module("oracle_twins"), fn_name)()
+        twins = importlib.import_module("oracle_twins")
+        # resolve the sf_dir env var BEFORE the twin's lru_cache boundary —
+        # the *_sql twins cache on their argument, so caching on the
+        # sentinel None would return stale results if the env var changes
+        # mid-process (e.g. a future second-scale oracle pass)
+        return getattr(twins, fn_name)(twins._sf_dir())
 
     return thunk
 
@@ -6304,6 +6310,117 @@ def events_latency_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist_percentiles(h, (0.5, 0.95, 0.99), ("event_type",))
 
 
+# -- seriesByTag tag-query surface (reference plugins/tags.py:33-148 spec) --
+
+#: deterministic tagged-series corpus derived from events: path =
+#: ``bg.<event_type>``; tags shard (cardinality 4), user (high cardinality),
+#: vip (present only when user_id % 7 == 0, so the absent-tag rule has
+#: something to bite on).  Canonical form sorts tags by key (shard < user
+#: < vip), which both sides emit directly.
+_TAGGED_CORPUS_SQL = """
+SELECT DISTINCT
+       concat('bg.', event_type) AS path,
+       concat('s', CAST(user_id % 4 AS VARCHAR)) AS shard,
+       concat('u', CAST(user_id AS VARCHAR)) AS usr,
+       CASE WHEN user_id % 7 = 0 THEN 'true' ELSE '' END AS vip
+FROM events
+"""
+
+#: one matcher of each kind (tags.py:40-56): anchored regex on the implicit
+#: ``name`` tag, exact !=, anchored negative regex, and an empty-value =
+#: (matches series WITHOUT the vip tag — the absent-tag rule)
+TAG_FIND_SPECS = (
+    r"name=~bg\.(click|view)",
+    "shard!=s3",
+    "user!=~u1[0-9]",
+    "vip=",
+)
+
+_SERIES_BY_TAG_ORACLE = f"""
+WITH s AS ({_TAGGED_CORPUS_SQL}),
+t AS (
+  SELECT concat(path, ';shard=', shard, ';user=', usr,
+                CASE WHEN vip <> '' THEN concat(';vip=', vip) ELSE '' END)
+           AS series,
+         path, shard, usr, vip
+  FROM s
+)
+SELECT series, path, usr AS user_tag FROM t
+WHERE regexp_matches(path, '^(?:bg\\.(click|view))')
+  AND shard <> 's3'
+  AND NOT regexp_matches(usr, '^(?:u1[0-9])')
+  AND vip = ''
+"""
+
+
+def _tagged_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggraphite_spark.operators.tags import with_tags
+
+    ev = load_events(spark, sf_dir)
+    uid = F.col("user_id")
+    series = F.concat(
+        F.lit("bg."),
+        F.col("event_type"),
+        F.lit(";shard=s"),
+        (uid % 4).cast("string"),
+        F.lit(";user=u"),
+        uid.cast("string"),
+        F.when(uid % 7 == 0, F.lit(";vip=true")).otherwise(F.lit("")),
+    )
+    return with_tags(ev.select(series.alias("series")).distinct(), "series")
+
+
+@_register("bg_series_by_tag", _SERIES_BY_TAG_ORACLE)
+def bg_series_by_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seriesByTag find_series (reference plugins/tags.py:33-56 — the spec
+    is a docstring over an all-stub TagDB, so this is the documented
+    semantics, not ported behavior): all four matcher kinds conjoined over
+    a tag-parsed catalog, including the series-without-the-tag rule via
+    ``vip=``.  The tagged corpus goes through the real string->map parser
+    (with_tags) and the matcher compiler, so the oracle checks the whole
+    parse+match pipeline, not a shortcut."""
+    _utc(spark)
+    from biggraphite_spark.operators.tags import specs_predicate
+
+    t = _tagged_catalog(spark, sf_dir)
+    return (
+        t.filter(specs_predicate(list(TAG_FIND_SPECS)))
+        .select(
+            "series",
+            "path",
+            F.col("tags").getItem("user").alias("user_tag"),
+        )
+    )
+
+
+_TAG_VALUES_ORACLE = f"""
+WITH s AS ({_TAGGED_CORPUS_SQL}),
+t AS (
+  SELECT path, shard, usr, vip FROM s
+),
+kv AS (
+  SELECT 'name' AS tag, path AS value FROM t
+  UNION ALL SELECT 'shard', shard FROM t
+  UNION ALL SELECT 'user', usr FROM t
+  UNION ALL SELECT 'vip', vip FROM t WHERE vip <> ''
+)
+SELECT tag, value, CAST(count(*) AS BIGINT) AS series_count
+FROM kv GROUP BY 1, 2
+"""
+
+
+@_register("bg_tag_values", _TAG_VALUES_ORACLE)
+def bg_tag_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """list_tags / get_tag / list_values counts (plugins/tags.py:80-148):
+    per-(tag, value) series counts over the tag map, implicit ``name`` tag
+    included — one explode + hash aggregation, the shape that holds at a
+    100-TB catalog."""
+    _utc(spark)
+    from biggraphite_spark.operators.tags import tag_values
+
+    return tag_values(_tagged_catalog(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -6313,41 +6430,52 @@ def entry(spark: SparkSession) -> DataFrame:
     return bg_fetch_1d(spark, "/root/testdata/sf0.001")
 
 
-#: Names with a green row in a past driver CORRECTNESS gate (r1 ∪ r2 ∪ r3).
+#: Names with a green row in a past driver CORRECTNESS gate (r1 ∪ … ∪ r4 —
+#: every registered query has now been driver-checked green at least once).
 #: The driver checks the first 50 registered queries per round, so
-#: ``queries()`` front-loads everything NOT in this set — never-driver-checked
-#: queries (round-3 late additions, the four r3 dtype-artifact reds now fixed,
-#: the rows-only queries now carrying python-twin literal oracles, and
-#: mm_features / gr_holt_winters which r1 recorded as no_oracle) get gate
-#: slots first.  Correctness itself is order-independent; this only rotates
-#: which queries the driver's 50-query window lands on.
+#: ``queries()`` front-loads everything NOT in this set — new round-5
+#: additions get gate slots first.  Correctness itself is order-independent;
+#: this only rotates which queries the driver's 50-query window lands on.
 _DRIVER_GREEN = frozenset({
     "bg_carbonlink", "bg_catalog", "bg_clean", "bg_cluster_diff",
     "bg_copy_2h", "bg_downsample_1d", "bg_downsample_1h",
     "bg_downsample_dupslots", "bg_du", "bg_fetch_1d", "bg_find",
     "bg_find_dirs", "bg_find_dirs_globstar", "bg_find_timerange",
     "bg_gapfill_1d", "bg_latest_metadata", "bg_read_aligned", "bg_repair",
-    "bg_stats", "bg_xff_1d", "doc_bm25", "doc_collocations",
-    "doc_containment", "doc_corpus_novel", "doc_curate", "doc_dedup_exact",
-    "doc_dedup_minhash_lsh", "doc_dedup_ngram", "doc_dup_clusters",
-    "doc_fingerprint", "doc_lang_id", "doc_lsh_recall", "doc_pack",
-    "doc_perplexity", "doc_quality_rules", "doc_repetition", "doc_sample",
-    "doc_simhash", "doc_simhash_pairs", "doc_text_stats",
-    "doc_token_advanced", "doc_winnowing", "emb_ann_ivf", "emb_ann_ivfpq",
+    "bg_stats", "bg_xff_1d", "doc_bigram_lm", "doc_bm25", "doc_bpe_tokens",
+    "doc_bpe_vocab", "doc_chunk_dedup", "doc_chunk_neardup",
+    "doc_collocations", "doc_containment", "doc_contamination",
+    "doc_corpus_novel", "doc_curate", "doc_dataset_card",
+    "doc_dedup_cross_source", "doc_dedup_exact", "doc_dedup_minhash_lsh",
+    "doc_dedup_ngram", "doc_dup_clusters", "doc_dup_clusters_star",
+    "doc_fingerprint", "doc_keywords_rake", "doc_lang_id",
+    "doc_lsh_recall", "doc_mix_weights", "doc_nb_lang",
+    "doc_ngram_novelty", "doc_normalize", "doc_pack", "doc_perplexity",
+    "doc_quality_rules", "doc_repetition", "doc_sample", "doc_simhash",
+    "doc_simhash_pairs", "doc_source_overlap", "doc_split_leakage_free",
+    "doc_substring_dup", "doc_text_stats", "doc_token_advanced",
+    "doc_winnowing", "emb_ann_filtered", "emb_ann_ivf", "emb_ann_ivfpq",
     "emb_ann_lsh", "emb_ann_recall", "emb_centroids", "emb_cosine_topk",
-    "emb_kmeans", "emb_neardup", "emb_pq", "emb_quantize", "emb_semdedup",
-    "events_asof_join", "events_cohort", "events_distinct_kmv",
-    "events_funnel", "events_heavy_hitters", "events_json_props",
-    "events_pivot", "events_quantiles", "events_range_join", "events_rollup",
-    "events_session_window", "events_sessionize", "events_topk_users",
-    "gr_ema", "gr_filter_select", "gr_interp_arith", "gr_moving_deriv",
-    "gr_rate_shift", "gr_ratio_pct", "gr_reduce", "gr_render_misc",
-    "gr_render_tail", "gr_select_transform", "gr_series_combine",
-    "gr_sort_limit", "gr_summarize_ffill", "gr_topk_series",
-    "gr_window_stats", "tpch_q1", "tpch_q10", "tpch_q11", "tpch_q12",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
-    "tpch_q19", "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q22", "tpch_q3",
-    "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
+    "emb_kmeans", "emb_neardup", "emb_pq", "emb_quantize", "emb_rp_recall",
+    "emb_semdedup", "emb_truncate_recall", "events_anomaly",
+    "events_asof_join", "events_attribution", "events_cohort",
+    "events_distinct_kmv", "events_funnel", "events_funnel_windowed",
+    "events_heavy_hitters", "events_json_props", "events_kmv_merge",
+    "events_latency_hist", "events_pivot", "events_quantiles",
+    "events_range_join", "events_rollup", "events_session_window",
+    "events_sessionize", "events_topk_users", "gr_anomaly_seasonal",
+    "gr_ema", "gr_filter_select", "gr_holt_winters", "gr_interp_arith",
+    "gr_moving_deriv", "gr_rate_shift", "gr_ratio_pct", "gr_reduce",
+    "gr_render_misc", "gr_render_tail", "gr_seasonal",
+    "gr_select_transform", "gr_series_combine", "gr_sort_limit",
+    "gr_summarize_ffill", "gr_target_expr", "gr_target_expr2",
+    "gr_topk_series", "gr_window_stats", "gr_zscore", "mm_ahash",
+    "mm_ahash_neardups", "mm_audio", "mm_decode", "mm_features",
+    "mm_frames", "mm_resize", "tpch_q1", "tpch_q10", "tpch_q11",
+    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q18", "tpch_q19", "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q22",
+    "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
+    "tpch_q9",
 })
 
 
@@ -6373,7 +6501,14 @@ def oracle_sql() -> dict[str, str]:
             # oracle map — the r2 bench crash taught this failure mode
             try:
                 out[n] = o()
-            except Exception:  # noqa: BLE001
+            except Exception as ex:  # noqa: BLE001
+                # degrading silently would make a broken twin look like a
+                # deliberately-missing oracle; say which query and why
+                print(
+                    f"oracle_sql: twin for {n!r} failed "
+                    f"({type(ex).__name__}: {ex}); degrading to rows-only",
+                    file=sys.stderr,
+                )
                 continue
         else:
             out[n] = o

@@ -356,11 +356,14 @@ def highest_current(series: DataFrame, n: int) -> DataFrame:
 
 
 def lowest_current(series: DataFrame, n: int) -> DataFrame:
-    """``lowestCurrent``: mirror of :func:`highest_current`."""
+    """``lowestCurrent``: mirror of :func:`highest_current`.  All-null
+    series (safeLast undefined) sort last, not first — plain ``asc`` puts
+    NULLs ahead of every real value, which would hand them the top-n
+    slots and make the verb asymmetric with ``highestCurrent``."""
     stat = _last_known(series).select(
         "name", F.round("last_value", 6).alias("stat")
     )
-    w = Window.orderBy(F.asc("stat"), F.asc("name"))
+    w = Window.orderBy(F.asc_nulls_last("stat"), F.asc("name"))
     bottom = (
         stat.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= n)
@@ -1117,17 +1120,26 @@ def seasonal_decompose(
     if period < 2:
         raise ValueError("period must cover at least 2 buckets")
     half = period // 2
+    # A ROWS frame counts rows, not buckets: on a sparse grid a frame of
+    # ``period`` non-null rows can silently span non-contiguous timestamps.
+    # Require the frame's timestamp span to be exactly (period-1)*step as
+    # well, so a trend is only emitted over a genuinely gap-free window.
+    span = (period - 1) * step
     if period % 2 == 1:
         win = Window.partitionBy("name").orderBy("ts").rowsBetween(-half, half)
         trend = F.when(
-            F.count("value").over(win) == period, F.avg("value").over(win)
+            (F.count("value").over(win) == period)
+            & (F.max("ts").over(win) - F.min("ts").over(win) == span),
+            F.avg("value").over(win),
         )
     else:
         w1 = Window.partitionBy("name").orderBy("ts").rowsBetween(-half, half - 1)
         w2 = Window.partitionBy("name").orderBy("ts").rowsBetween(-half + 1, half)
         trend = F.when(
             (F.count("value").over(w1) == period)
-            & (F.count("value").over(w2) == period),
+            & (F.count("value").over(w2) == period)
+            & (F.max("ts").over(w1) - F.min("ts").over(w1) == span)
+            & (F.max("ts").over(w2) - F.min("ts").over(w2) == span),
             (F.avg("value").over(w1) + F.avg("value").over(w2)) / 2,
         )
     phase = ((F.col("ts") % (step * period)) / step).cast("long")

@@ -1,0 +1,225 @@
+"""Tag-based series search (``seriesByTag``) — the graphite TagDB surface.
+
+The reference ships ``plugins/tags.py:21-179`` (``BigGraphiteTagDB``) with
+every method stubbed to ``[]``; the only specification is the docstrings
+(``tags.py:40-56`` for the matcher grammar, ``:80-148`` for the tag/value
+listings).  This module implements those documented semantics Spark-first:
+
+- **Carbon tag format**: a tagged series is ``path;tag1=val1;tag2=val2``.
+  The path itself is exposed as the implicit tag ``name`` (graphite
+  convention), and the canonical form sorts tags by key.
+- **Matchers** (``tags.py:40-56``)::
+
+      tag=spec    tag value exactly matches spec
+      tag!=spec   tag value does not exactly match spec
+      tag=~spec   tag value matches the regular expression spec
+      tag!=~spec  tag value does not match the regular expression spec
+
+  Regular expressions are anchored at the start of the value (re.match
+  semantics).  Any spec that matches an empty value also matches series
+  that don't have that tag — implemented by evaluating every matcher
+  against ``coalesce(tags[tag], '')``, which makes the missing-tag rule
+  fall out of the empty-string case with no special-casing.  At least one
+  spec must require a non-empty value, else the query is rejected
+  (``InvalidArgumentError``), exactly as the docstring demands.
+
+Everything row-shaped is a Column expression over a ``map<string,string>``
+tags column: matcher conjunctions compile to one ``filter()`` (predicate
+pushdown applies to any materialized tag columns), and the tag/value
+listings are a single ``explode`` + hash aggregation — both scale as plain
+shuffle-on-key plans at 100-TB catalog sizes.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..model import InvalidArgumentError
+
+#: matcher grammar from the reference docstring (tags.py:40-56); the key may
+#: not contain ``;``/``!``/``=``, the op is one of  = != =~ !=~, the spec is
+#: everything after (may be empty)
+_SPEC_RE = re.compile(r"^([^;!=]+)(!?=~?)([^;]*)$")
+
+
+def parse_tag_spec(spec: str) -> tuple[str, str, str]:
+    """Parse one ``tag<op>spec`` string into ``(tag, op, spec)``.
+
+    Raises InvalidArgumentError on malformed input (empty tag, unknown op).
+    """
+    m = _SPEC_RE.match(spec)
+    if m is None:
+        raise InvalidArgumentError(f"invalid tag spec {spec!r}")
+    tag, op, value = m.group(1), m.group(2), m.group(3)
+    if op in ("=~", "!=~"):
+        try:
+            re.compile(value)
+        except re.error as ex:
+            raise InvalidArgumentError(f"invalid regex in {spec!r}: {ex}")
+    return tag, op, value
+
+
+def _matches_empty(op: str, spec: str) -> bool:
+    """Would this matcher accept a series that lacks the tag entirely?
+
+    The empty string stands in for "tag absent" (tags.py:47-48)."""
+    if op == "=":
+        return spec == ""
+    if op == "!=":
+        return spec != ""
+    if op == "=~":
+        return re.match(spec, "") is not None
+    return re.match(spec, "") is None  # !=~
+
+
+def parse_tag_specs(specs: list[str]) -> list[tuple[str, str, str]]:
+    """Parse + validate a spec list: ≥1 spec must require a non-empty value
+    (tags.py:50 — otherwise the query would match the whole catalog)."""
+    if not specs:
+        raise InvalidArgumentError("at least one tag spec is required")
+    parsed = [parse_tag_spec(s) for s in specs]
+    if all(_matches_empty(op, sp) for _, op, sp in parsed):
+        raise InvalidArgumentError(
+            "at least one tag spec must require a non-empty value"
+        )
+    return parsed
+
+
+def spec_predicate(tag: str, op: str, spec: str, tags_col: str = "tags") -> Column:
+    """One matcher as a Column predicate over a map<string,string> column.
+
+    ``coalesce(tags[tag], '')`` realizes the missing-tag-behaves-as-empty
+    rule; ``=~`` anchors at the start only (re.match semantics, tags.py:52).
+    """
+    val = F.coalesce(F.col(tags_col).getItem(tag), F.lit(""))
+    if op == "=":
+        return val == spec
+    if op == "!=":
+        return val != spec
+    anchored = "^(?:" + spec + ")"
+    if op == "=~":
+        return val.rlike(anchored)
+    return ~val.rlike(anchored)  # !=~
+
+
+def specs_predicate(specs: list[str], tags_col: str = "tags") -> Column:
+    """Validated conjunction of every matcher in ``specs``."""
+    pred = None
+    for tag, op, spec in parse_tag_specs(specs):
+        p = spec_predicate(tag, op, spec, tags_col)
+        pred = p if pred is None else (pred & p)
+    return pred
+
+
+# ---------------------------------------------------------------------------
+# Series-string <-> (path, tags) codecs
+# ---------------------------------------------------------------------------
+
+def parse_series(series: str) -> tuple[str, dict[str, str]]:
+    """Split ``path;k=v;...`` into path + tag dict (pure Python; used by
+    canonicalization and tests).  The implicit ``name`` tag is NOT added
+    here — it belongs to the query-time view, not the stored string."""
+    parts = [p for p in series.split(";") if p != ""]
+    if not parts or "=" in parts[0]:
+        raise InvalidArgumentError(f"invalid series {series!r}: missing path")
+    path = parts[0]
+    tags: dict[str, str] = {}
+    for p in parts[1:]:
+        k, sep, v = p.partition("=")
+        if not sep or not k:
+            raise InvalidArgumentError(f"invalid tag {p!r} in series {series!r}")
+        tags[k] = v  # last assignment wins, like graphite's dict build
+    return path, tags
+
+
+def format_series(path: str, tags: dict[str, str]) -> str:
+    """Canonical tagged form: tags sorted by key (graphite TaggedSeries)."""
+    return path + "".join(
+        f";{k}={v}" for k, v in sorted(tags.items()) if k != "name"
+    )
+
+
+def canonicalize_series(series: str) -> str:
+    """``tag_series`` semantics (tags.py:150-156): upsert is a no-op for a
+    derived catalog, so this returns the canonicalized series name."""
+    path, tags = parse_series(series)
+    return format_series(path, tags)
+
+
+def with_tags(df: DataFrame, series_col: str = "series") -> DataFrame:
+    """Add ``path`` and ``tags`` (map, incl. implicit ``name`` -> path) to a
+    DataFrame of tagged series strings.  Pure Column expressions: split on
+    ``;``, key = text before the first ``=``, value = text after it."""
+    parts = F.split(F.col(series_col), ";")
+    path = F.element_at(parts, 1)
+    pairs = F.filter(
+        F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))),
+        lambda p: p.contains("="),
+    )
+    entries = F.transform(
+        pairs,
+        lambda p: F.struct(
+            F.substring_index(p, "=", 1).alias("key"),
+            F.regexp_replace(p, r"^[^=]*=", "").alias("value"),
+        ),
+    )
+    # drop any explicit 'name' tag so the implicit one can't collide under
+    # ANSI map_concat duplicate-key checking
+    entries = F.filter(entries, lambda e: e.getField("key") != F.lit("name"))
+    tags = F.map_concat(
+        F.create_map(F.lit("name"), path), F.map_from_entries(entries)
+    )
+    return df.withColumn("path", path).withColumn("tags", tags)
+
+
+# ---------------------------------------------------------------------------
+# Query surface
+# ---------------------------------------------------------------------------
+
+def find_series(tagged: DataFrame, specs: list[str],
+                series_col: str = "series") -> DataFrame:
+    """``find_series`` (tags.py:33-56): matching canonical paths, sorted.
+
+    ``tagged`` must carry a ``tags`` map column (see :func:`with_tags`).
+    One filter over the catalog — Catalyst folds the conjunction into the
+    scan; no join, no shuffle beyond the final sort.
+    """
+    return (
+        tagged.filter(specs_predicate(specs))
+        .select(F.col(series_col).alias("series"))
+        .orderBy("series")
+    )
+
+
+def list_tags(tagged: DataFrame, tag_filter: str | None = None) -> DataFrame:
+    """``list_tags`` (tags.py:80-99): distinct tag names (+ series counts,
+    the "additional keys may be returned" allowance), optionally filtered
+    by an unanchored regex."""
+    out = (
+        tagged.select(F.explode(F.map_keys("tags")).alias("tag"))
+        .groupBy("tag")
+        .agg(F.count("*").cast("long").alias("series_count"))
+    )
+    if tag_filter:
+        out = out.filter(F.col("tag").rlike(tag_filter))
+    return out.orderBy("tag")
+
+
+def tag_values(tagged: DataFrame, tag: str | None = None,
+               value_filter: str | None = None) -> DataFrame:
+    """``get_tag`` / ``list_values`` (tags.py:101-148): per-(tag, value)
+    series counts.  ``tag=None`` lists every tag's values (the get_tag
+    response is one groupBy partition of this)."""
+    out = (
+        tagged.select(F.explode("tags").alias("tag", "value"))
+        .groupBy("tag", "value")
+        .agg(F.count("*").cast("long").alias("series_count"))
+    )
+    if tag is not None:
+        out = out.filter(F.col("tag") == tag)
+    if value_filter:
+        out = out.filter(F.col("value").rlike(value_filter))
+    return out.orderBy("tag", "value")

@@ -115,6 +115,15 @@ class BgUtilHttp:
     task with lifecycle timestamps — the reference's task_runner surface
     with threads in place of its worker process."""
 
+    #: ``run()`` captures output via ``contextlib.redirect_stdout``, which
+    #: swaps the process-global ``sys.stdout``; concurrent executions (the
+    #: server is threaded and async tasks run in daemon threads) would steal
+    #: each other's output or restore the wrong stdout.  One process-wide
+    #: lock serializes the swap–run–restore critical section — bgutil
+    #: commands share a single SparkSession, so serializing them costs
+    #: nothing real.
+    _RUN_LOCK = threading.Lock()
+
     def __init__(self, sf_dir: str):
         self.sf_dir = sf_dir
         self.tasks: list[dict] = []
@@ -130,7 +139,7 @@ class BgUtilHttp:
             raise UnknownBgUtilCommand(f"unknown command {command!r}")
         buf = io.StringIO()
         try:
-            with contextlib.redirect_stdout(buf):
+            with self._RUN_LOCK, contextlib.redirect_stdout(buf):
                 rc = cli.main(["--sf-dir", self.sf_dir, command, *arguments])
         except SystemExit as ex:  # argparse rejects the argument list
             raise InvalidArgumentError(f"bad arguments for {command}: {ex}")
@@ -272,10 +281,24 @@ class GraphiteWeb:
 
     ``from``/``until`` accept unix epochs or the relative ``-NN[smhd]``
     graphite shorthand.  Multiple ``target`` params render in one response.
+
+    The tag API (graphite-web's TagDB surface, stubbed in the reference —
+    plugins/tags.py:33-148) is served off a tag-parsed catalog::
+
+        GET /tags/findSeries?expr=tag=value&expr=...   -> matching series
+        GET /tags?filter=<re>                          -> tag list
+        GET /tags/<tag>?filter=<re>                    -> tag detail + values
+
+    ``tagged`` (a DataFrame with one ``series`` string column in carbon
+    ``path;k=v`` form) may be injected; by default the engine catalog's
+    names are used, which — being untagged — still answer ``name=`` queries
+    per the implicit-name-tag convention.
     """
 
-    def __init__(self, engine):
+    def __init__(self, engine, tagged=None):
         self.engine = engine
+        self._tagged_src = tagged
+        self._tagged_df = None
 
     # -- /metrics/find ------------------------------------------------------
     def find_nodes(self, query: str) -> list[dict]:
@@ -303,6 +326,43 @@ class GraphiteWeb:
             "leaf": int(leaf),
             "expandable": int(not leaf),
             "allowChildren": int(not leaf),
+        }
+
+    # -- /tags ---------------------------------------------------------------
+    def _tagged(self):
+        from .operators.tags import with_tags
+
+        if self._tagged_df is None:
+            src = self._tagged_src
+            if src is None:
+                src = self.engine.catalog.select(F.col("name").alias("series"))
+            self._tagged_df = with_tags(src)
+        return self._tagged_df
+
+    def find_series_by_tag(self, exprs: list[str]) -> list[str]:
+        from .operators.tags import find_series
+
+        return [r["series"] for r in find_series(self._tagged(), exprs).collect()]
+
+    def list_tags(self, tag_filter: str | None = None) -> list[dict]:
+        from .operators.tags import list_tags
+
+        return [
+            {"tag": r["tag"], "count": r["series_count"]}
+            for r in list_tags(self._tagged(), tag_filter).collect()
+        ]
+
+    def get_tag(self, tag: str, value_filter: str | None = None) -> dict | None:
+        from .operators.tags import tag_values
+
+        vals = tag_values(self._tagged(), tag=tag, value_filter=value_filter).collect()
+        if not vals:
+            return None
+        return {
+            "tag": tag,
+            "values": [
+                {"value": r["value"], "count": r["series_count"]} for r in vals
+            ],
         }
 
     # -- /render ------------------------------------------------------------
@@ -408,6 +468,19 @@ class _GraphiteHandler(BaseHTTPRequestHandler):
             if url.path == "/metrics/find":
                 query = q.get("query", [""])[0]
                 return self._send(200, self.app.find_nodes(query))
+            if url.path == "/tags/findSeries":
+                exprs = q.get("expr", []) + q.get("expr[]", [])
+                return self._send(200, self.app.find_series_by_tag(exprs))
+            if url.path == "/tags":
+                return self._send(
+                    200, self.app.list_tags(q.get("filter", [None])[0])
+                )
+            if url.path.startswith("/tags/"):
+                tag = unquote(url.path[len("/tags/"):])
+                res = self.app.get_tag(tag, q.get("filter", [None])[0])
+                if res is None:
+                    return self._send(404, {"message": "tag not found"})
+                return self._send(200, res)
             if url.path == "/render":
                 targets = q.get("target", [])
                 if not targets:

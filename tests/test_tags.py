@@ -1,0 +1,189 @@
+"""Matcher-semantics corpus for the seriesByTag surface.
+
+The reference's TagDB is fully stubbed (plugins/tags.py:57,68 return []);
+the spec is its find_series docstring (tags.py:40-56).  These tests pin
+each documented rule: the four matcher kinds, regex anchoring at the start
+of the value, the empty-value-matches-missing-tag rule, and the ≥1
+non-empty-requiring-spec validation — plus the series codec round-trip and
+the tag/value listings.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from biggraphite_spark.model import InvalidArgumentError
+from biggraphite_spark.operators.tags import (
+    canonicalize_series,
+    find_series,
+    format_series,
+    list_tags,
+    parse_series,
+    parse_tag_spec,
+    parse_tag_specs,
+    tag_values,
+    with_tags,
+)
+
+CORPUS = [
+    "disk.used;datacenter=dc1;rack=a1",
+    "disk.used;datacenter=dc1;rack=a2;ssd=true",
+    "disk.used;datacenter=dc2;rack=b1",
+    "disk.free;datacenter=dc1;rack=a1",
+    "cpu.idle;datacenter=dc2",
+    "cpu.idle",  # untagged series: only the implicit name tag
+]
+
+
+@pytest.fixture(scope="module")
+def tagged(spark):
+    df = spark.createDataFrame([(s,) for s in CORPUS], ["series"])
+    return with_tags(df).cache()
+
+
+def _find(tagged_df, specs):
+    return [r["series"] for r in find_series(tagged_df, specs).collect()]
+
+
+# -- spec parsing ------------------------------------------------------------
+
+def test_parse_tag_spec_ops():
+    assert parse_tag_spec("a=b") == ("a", "=", "b")
+    assert parse_tag_spec("a!=b") == ("a", "!=", "b")
+    assert parse_tag_spec("a=~b.*") == ("a", "=~", "b.*")
+    assert parse_tag_spec("a!=~b.*") == ("a", "!=~", "b.*")
+    assert parse_tag_spec("a=") == ("a", "=", "")
+
+
+@pytest.mark.parametrize("bad", ["", "=v", "a;b=v", "a!b", "a=~[", "!=v"])
+def test_parse_tag_spec_rejects(bad):
+    with pytest.raises(InvalidArgumentError):
+        parse_tag_spec(bad)
+
+
+def test_at_least_one_nonempty_required():
+    # every one of these matches the empty value, so the set is rejected
+    # (tags.py:50): = with empty spec, != with non-empty spec, =~ matching
+    # '', !=~ not matching ''
+    with pytest.raises(InvalidArgumentError):
+        parse_tag_specs(["ssd=", "rack!=zz", "datacenter=~.*", "rack!=~a"])
+    # one non-empty-requiring spec legitimizes the rest
+    assert len(parse_tag_specs(["ssd=", "datacenter=dc1"])) == 2
+    with pytest.raises(InvalidArgumentError):
+        parse_tag_specs([])
+
+
+# -- matcher semantics -------------------------------------------------------
+
+def test_exact_match(tagged):
+    assert _find(tagged, ["datacenter=dc1"]) == [
+        "disk.free;datacenter=dc1;rack=a1",
+        "disk.used;datacenter=dc1;rack=a1",
+        "disk.used;datacenter=dc1;rack=a2;ssd=true",
+    ]
+
+
+def test_name_is_implicit_tag(tagged):
+    assert _find(tagged, ["name=cpu.idle"]) == [
+        "cpu.idle",
+        "cpu.idle;datacenter=dc2",
+    ]
+
+
+def test_not_equal_includes_missing_tag(tagged):
+    # rack!=a1 matches series whose rack is NOT a1 — including series with
+    # no rack tag at all (missing = empty ≠ 'a1')
+    got = _find(tagged, ["name=~.+", "rack!=a1"])
+    assert "cpu.idle" in got and "disk.used;datacenter=dc2;rack=b1" in got
+    assert "disk.used;datacenter=dc1;rack=a1" not in got
+
+
+def test_regex_anchored_at_start_only(tagged):
+    # 'a' matches a1/a2 by prefix (re.match), but not b1
+    assert _find(tagged, ["rack=~a"]) == [
+        "disk.free;datacenter=dc1;rack=a1",
+        "disk.used;datacenter=dc1;rack=a1",
+        "disk.used;datacenter=dc1;rack=a2;ssd=true",
+    ]
+    # '1' is NOT a substring match: no rack starts with '1'
+    assert _find(tagged, ["rack=~1"]) == []
+
+
+def test_negative_regex(tagged):
+    got = _find(tagged, ["datacenter=~dc", "rack!=~a"])
+    assert got == [
+        "cpu.idle;datacenter=dc2",
+        "disk.used;datacenter=dc2;rack=b1",
+    ]
+
+
+def test_empty_value_spec_matches_missing_tag(tagged):
+    # ssd= requires the ssd tag to be absent (or empty)
+    got = _find(tagged, ["name=~disk", "ssd="])
+    assert got == [
+        "disk.free;datacenter=dc1;rack=a1",
+        "disk.used;datacenter=dc1;rack=a1",
+        "disk.used;datacenter=dc2;rack=b1",
+    ]
+
+
+def test_regex_matching_empty_includes_missing_tag(tagged):
+    # '.*' matches the empty value, so series without the tag qualify too
+    got = _find(tagged, ["name=~disk", "ssd=~.*"])
+    assert len(got) == 4  # every disk.* series
+
+
+def test_conjunction(tagged):
+    assert _find(tagged, ["datacenter=dc1", "rack=a2", "ssd=true"]) == [
+        "disk.used;datacenter=dc1;rack=a2;ssd=true"
+    ]
+
+
+# -- series codec ------------------------------------------------------------
+
+def test_parse_series_roundtrip():
+    path, tags = parse_series("disk.used;rack=a1;datacenter=dc1")
+    assert path == "disk.used"
+    assert tags == {"rack": "a1", "datacenter": "dc1"}
+    # canonical form sorts by key
+    assert format_series(path, tags) == "disk.used;datacenter=dc1;rack=a1"
+
+
+def test_canonicalize_series():
+    assert (
+        canonicalize_series("m;z=1;a=2") == "m;a=2;z=1"
+    )
+    assert canonicalize_series("m") == "m"
+    # values may contain '=' (split on the first one only)
+    assert canonicalize_series("m;k=a=b") == "m;k=a=b"
+    with pytest.raises(InvalidArgumentError):
+        parse_series(";k=v")
+    with pytest.raises(InvalidArgumentError):
+        parse_series("m;novalue")
+
+
+def test_with_tags_value_with_equals(spark):
+    df = with_tags(spark.createDataFrame([("m;k=a=b;j=x",)], ["series"]))
+    row = df.collect()[0]
+    assert row["tags"]["k"] == "a=b" and row["tags"]["j"] == "x"
+    assert row["tags"]["name"] == "m"
+
+
+# -- listings ----------------------------------------------------------------
+
+def test_list_tags(tagged):
+    rows = {r["tag"]: r["series_count"] for r in list_tags(tagged).collect()}
+    assert rows == {
+        "name": 6, "datacenter": 5, "rack": 4, "ssd": 1,
+    }
+    only = [r["tag"] for r in list_tags(tagged, tag_filter="^ra").collect()]
+    assert only == ["rack"]
+
+
+def test_tag_values(tagged):
+    rows = tag_values(tagged, tag="rack").collect()
+    assert [(r["value"], r["series_count"]) for r in rows] == [
+        ("a1", 2), ("a2", 1), ("b1", 1),
+    ]
+    filt = tag_values(tagged, tag="rack", value_filter="^a").collect()
+    assert [r["value"] for r in filt] == ["a1", "a2"]

@@ -300,3 +300,69 @@ def test_render_function_expression_targets(graphite_server):
             + urllib.parse.quote("colorize(bg.click.u0)")
         )
     assert ei.value.code == 400
+
+
+# ---------------------------------------------------------------------------
+# tag API (GraphiteWeb /tags — reference plugins/tags.py:33-148 spec)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tag_server(spark):
+    from biggraphite_spark.cli import build_engine
+    from biggraphite_spark.web import GraphiteWeb, make_graphite_server
+
+    corpus = [
+        "disk.used;datacenter=dc1;rack=a1",
+        "disk.used;datacenter=dc1;rack=a2;ssd=true",
+        "disk.used;datacenter=dc2;rack=b1",
+        "cpu.idle;datacenter=dc2",
+        "cpu.idle",
+    ]
+    tagged = spark.createDataFrame([(s,) for s in corpus], ["series"])
+    app = GraphiteWeb(build_engine(spark, SF), tagged=tagged)
+    srv = make_graphite_server(app, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_tags_find_series(tag_server):
+    q = urllib.parse.urlencode(
+        [("expr", "datacenter=dc1"), ("expr", "ssd=")], doseq=True
+    )
+    status, series = _get(f"{tag_server}/tags/findSeries?{q}")
+    assert status == 200
+    assert series == ["disk.used;datacenter=dc1;rack=a1"]
+
+    # expr[]= form is accepted too (graphite client convention)
+    q = urllib.parse.urlencode([("expr[]", "rack=~a")], doseq=True)
+    status, series = _get(f"{tag_server}/tags/findSeries?{q}")
+    assert status == 200 and len(series) == 2
+
+
+def test_tags_find_series_validation_400(tag_server):
+    # every spec matches empty -> the documented rejection (tags.py:50)
+    q = urllib.parse.urlencode([("expr", "ssd=")])
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(f"{tag_server}/tags/findSeries?{q}")
+    assert ei.value.code == 400
+
+
+def test_tags_list_and_detail(tag_server):
+    status, tags = _get(f"{tag_server}/tags")
+    assert status == 200
+    assert {t["tag"] for t in tags} == {"name", "datacenter", "rack", "ssd"}
+
+    status, tags = _get(f"{tag_server}/tags?filter=%5Era")  # ^ra
+    assert status == 200 and [t["tag"] for t in tags] == ["rack"]
+
+    status, detail = _get(f"{tag_server}/tags/rack")
+    assert status == 200 and detail["tag"] == "rack"
+    assert [(v["value"], v["count"]) for v in detail["values"]] == [
+        ("a1", 1), ("a2", 1), ("b1", 1),
+    ]
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(f"{tag_server}/tags/nosuchtag")
+    assert ei.value.code == 404

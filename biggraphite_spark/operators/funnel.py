@@ -6,11 +6,14 @@ the earliest qualifying event STRICTLY AFTER step *i-1* and within a
 conversion window of it; users are counted at the deepest step their
 earliest chain reaches (greedy-earliest matching).
 
-Scale shape: one conditional min-aggregation per step chained by
-equi-joins on the user key — every stage co-partitions on the same key so
-AQE reuses the exchange, and no window function ever scans the full event
-stream.  The unbounded funnel (events_funnel) is the window → ∞ special
-case of the same plan.
+Scale shape: ONE shuffle on the user key.  Events are filtered to the
+step types, grouped per user into a timestamp-sorted array, and the whole
+chain is computed by a single ``aggregate`` fold over that array — no
+per-step join, no window function over the raw stream.  Per-user state is
+the k-slot timestamp struct, and the per-user array is bounded by that
+user's own step-typed events (the same bound any sessionization carries).
+The unbounded funnel (events_funnel) is the window → ∞ special case of
+the same plan.
 """
 
 from __future__ import annotations
@@ -41,29 +44,71 @@ def windowed_funnel(
         raise ValueError("a funnel needs at least two steps")
     if window_s <= 0:
         raise ValueError("window_s must be positive")
-    e = events.select(user_col, type_col, ts_col)
     cols = [f"t_{s}" for s in steps]
-    out = (
-        e.filter(F.col(type_col) == steps[0])
-        .groupBy(user_col)
-        .agg(F.min(ts_col).alias(cols[0]))
-    )
-    for prev, (step, col) in zip(cols, list(zip(steps, cols))[1:]):
-        nxt = (
-            e.filter(F.col(type_col) == step)
-            .join(out.select(user_col, prev).filter(F.col(prev).isNotNull()), user_col)
-            .filter(
-                (F.col(ts_col) > F.col(prev))
-                & (F.col(ts_col) <= F.col(prev) + window_s)
+    # per-user timestamp-sorted event array: the only shuffle in the plan
+    evs = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).cast("long").alias("ts"),
+                F.col(type_col).alias("et"),
             )
-            .groupBy(user_col)
-            .agg(F.min(ts_col).alias(col))
         )
-        out = out.join(nxt, user_col, "left")
+    )
+    per_user = (
+        events.filter(F.col(type_col).isin(*steps))
+        .select(user_col, type_col, ts_col)
+        .groupBy(user_col)
+        .agg(evs.alias("__evs"))
+    )
+
+    # left-to-right fold: because the array is ts-ascending, the FIRST
+    # event that qualifies for step i (given the already-fixed t_{i-1}) is
+    # exactly the MIN the per-step join used to compute — greedy-earliest
+    # falls out of the scan order.  Each event credits at most one step
+    # (first matching branch wins), and ties at the same second order by
+    # (ts, et), which cannot change the result: a step-i event at
+    # ts == t_{i-1} is excluded by the strict `>` either way.
+    init = F.struct(*[F.lit(None).cast("long").alias(c) for c in cols])
+
+    def _advance(acc, x):
+        branch = None
+        for i, (s, c) in enumerate(zip(steps, cols)):
+            if i == 0:
+                cond = (x.getField("et") == s) & acc.getField(c).isNull()
+            else:
+                prev = acc.getField(cols[i - 1])
+                cond = (
+                    (x.getField("et") == s)
+                    & prev.isNotNull()
+                    & acc.getField(c).isNull()
+                    & (x.getField("ts") > prev)
+                    & (x.getField("ts") <= prev + window_s)
+                )
+            taken = F.struct(
+                *[
+                    (x.getField("ts") if j == i else acc.getField(cc)).alias(cc)
+                    for j, cc in enumerate(cols)
+                ]
+            )
+            branch = (
+                F.when(cond, taken) if branch is None else branch.when(cond, taken)
+            )
+        return branch.otherwise(acc)
+
+    folded = per_user.select(
+        user_col, F.aggregate("__evs", init, _advance).alias("__f")
+    )
     reached = F.lit(1)
-    for col in cols[1:]:
-        reached = reached + F.col(col).isNotNull().cast("int")
-    return out.select(user_col, *cols, reached.cast("long").alias("steps"))
+    for c in cols[1:]:
+        reached = reached + F.col("__f").getField(c).isNotNull().cast("int")
+    return (
+        folded.filter(F.col("__f").getField(cols[0]).isNotNull())
+        .select(
+            user_col,
+            *[F.col("__f").getField(c).alias(c) for c in cols],
+            reached.cast("long").alias("steps"),
+        )
+    )
 
 
 def attribution(

@@ -147,40 +147,39 @@ def cm_heavy_hitters(
     ``min_count``, with the estimate alongside the exact count so the
     overestimate bias is visible.
 
-    Two aggregations, both algebraic:
+    One pass over the raw data, then synopsis-sized algebra:
 
-    1. the sketch — counts per (hash row d, bucket) where bucket =
-       h32(d || item) % width: ``depth * width`` cells total, broadcast
-       back for the probe;
-    2. the per-item probe — each distinct item reads its ``depth``
-       cells and takes the min.
+    1. exact counts per distinct item — the ONLY aggregation that sees
+       the raw stream (map-side partial sums, one shuffle on the item);
+    2. the sketch — cell(d, b) = Σ exact_count over items hashing there
+       (identical to counting the raw stream into the cells, since every
+       occurrence of an item lands in the same ``depth`` cells): the
+       ×depth explode runs over DISTINCT items, not raw rows;
+    3. the per-item probe — each distinct item reads its ``depth``
+       cells (broadcast) and takes the min.
 
-    At 100 TB only step 1 sees the raw data (map-side partial sums into
-    <= d*w cells — effectively a metadata-sized shuffle); the probe runs
-    over distinct items.  ``estimate >= exact`` always (count-min never
-    undercounts), asserted in tests.
+    ``estimate >= exact`` always (count-min never undercounts), asserted
+    in tests.
     """
     d_rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("__d")
+    item_counts = df.groupBy(F.col(item_col).alias("__item")).agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
     cells = (
-        df.select(F.col(item_col).alias("__item"))
-        .select("__item", d_rows)
+        item_counts.select("__item", "exact_count", d_rows)
         .select(
             "__d",
             (_h32_salted(F.col("__item"), F.col("__d")) % width).alias("__b"),
+            "exact_count",
         )
         .groupBy("__d", "__b")
-        .agg(F.count(F.lit(1)).alias("__cell"))
+        .agg(F.sum("exact_count").alias("__cell"))
     )
-    items = (
-        df.groupBy(F.col(item_col).alias("__item"))
-        .agg(F.count(F.lit(1)).alias("exact_count"))
-        .select("__item", "exact_count", d_rows)
-        .select(
-            "__item",
-            "exact_count",
-            "__d",
-            (_h32_salted(F.col("__item"), F.col("__d")) % width).alias("__b"),
-        )
+    items = item_counts.select("__item", "exact_count", d_rows).select(
+        "__item",
+        "exact_count",
+        "__d",
+        (_h32_salted(F.col("__item"), F.col("__d")) % width).alias("__b"),
     )
     return (
         items.join(F.broadcast(cells), ["__d", "__b"])

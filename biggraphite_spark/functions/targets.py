@@ -404,6 +404,14 @@ def evaluate_target(node, fetch, step: int, start: int = 0) -> DataFrame:
                         "group: every argument must be a series expression")
                 out = out.unionByName(extra)
             return out
+        if f == "mapSeries":
+            # standalone mapSeries renders as the flattened input series
+            # (graphite returns the grouped list-of-lists, which the json
+            # renderer flattens right back); the grouping key only becomes
+            # visible when reduceSeries consumes it
+            return S.map_series(s, *[_iarg(a) for a in rest]).select(
+                "name", "ts", "value"
+            )
         if f == "reduceSeries":
             try:
                 return S.reduce_series(

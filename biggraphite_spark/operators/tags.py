@@ -44,6 +44,16 @@ from ..model import InvalidArgumentError
 #: everything after (may be empty)
 _SPEC_RE = re.compile(r"^([^;!=]+)(!?=~?)([^;]*)$")
 
+#: Regex matchers execute JVM-side (``rlike`` = java.util.regex), but are
+#: validated and empty-match-probed with Python ``re``.  The two dialects
+#: agree on the common subset graphite queries use; constructs that are
+#: valid in Python but absent or different in Java would pass validation
+#: and then blow up (or diverge) inside the executor, so they are rejected
+#: up front: named groups/backrefs ``(?P...)``, comments ``(?#...)``,
+#: conditionals ``(?(...)``, and ``\Z`` (end-of-string in Python, but
+#: before-final-newline in Java, where Python's meaning is spelled ``\z``).
+_PY_ONLY_RE = re.compile(r"\(\?P|\(\?#|\(\?\(|\\Z")
+
 
 def parse_tag_spec(spec: str) -> tuple[str, str, str]:
     """Parse one ``tag<op>spec`` string into ``(tag, op, spec)``.
@@ -59,6 +69,13 @@ def parse_tag_spec(spec: str) -> tuple[str, str, str]:
             re.compile(value)
         except re.error as ex:
             raise InvalidArgumentError(f"invalid regex in {spec!r}: {ex}")
+        m2 = _PY_ONLY_RE.search(value)
+        if m2:
+            raise InvalidArgumentError(
+                f"unsupported regex construct {m2.group(0)!r} in {spec!r}: "
+                "only the Python/Java-common regex subset is accepted "
+                "(matching runs on the JVM)"
+            )
     return tag, op, value
 
 
@@ -149,6 +166,73 @@ def canonicalize_series(series: str) -> str:
     return format_series(path, tags)
 
 
+class TagStore:
+    """Writable TagDB: the upsert half of the reference surface
+    (``tag_series`` / ``tag_multi_series`` / ``del_series``,
+    tags.py:149-179 — stubbed there; real here).
+
+    Backing is a parquet directory of canonical series strings.  The write
+    shapes are the 100-TB-safe ones:
+
+    - **tag_series / tag_multi_series** — canonicalize, then LEFT-ANTI
+      against the existing store and APPEND only the genuinely-new names.
+      Upsert-by-append is sound because the row is the canonical string
+      itself: two upserts of the same series are byte-identical, so
+      "update" degenerates to "already present".  No rewrite of existing
+      data, one broadcast-able anti-join.
+    - **del_series** — the rare path: rewrite-without (staging dir + swap),
+      the same tombstone-free compaction any immutable-file store uses.
+    """
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _existing(self) -> DataFrame:
+        try:
+            return self.spark.read.parquet(self.path).select("series")
+        except Exception:  # first write: empty store
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            return self.spark.createDataFrame(
+                [], StructType([StructField("series", StringType())])
+            )
+
+    def series(self) -> DataFrame:
+        """The stored catalog, tag-parsed and query-ready."""
+        return with_tags(self._existing())
+
+    def tag_multi_series(self, series: list[str]) -> list[str]:
+        """Upsert a batch; returns the canonical forms (reference
+        tag_multi_series contract)."""
+        canon = [canonicalize_series(s) for s in series]
+        new = self.spark.createDataFrame(
+            [(s,) for s in canon], "series string"
+        ).dropDuplicates(["series"])
+        # the STORE is the big side: find the already-present subset by
+        # broadcasting the (small) batch at it, then anti-join the batch
+        # against that (≤ batch-sized) result — both joins broadcast the
+        # small side, and the store is scanned once, never shuffled
+        present = self._existing().join(F.broadcast(new), "series", "left_semi")
+        delta = new.join(F.broadcast(present), "series", "left_anti")
+        delta.write.mode("append").parquet(self.path)
+        return canon
+
+    def tag_series(self, series: str) -> str:
+        return self.tag_multi_series([series])[0]
+
+    def del_series(self, series: list[str]) -> bool:
+        canon = {canonicalize_series(s) for s in series}
+        kept = self._existing().filter(~F.col("series").isin(*canon))
+        staging = self.path.rstrip("/") + ".staging"
+        kept.write.mode("overwrite").parquet(staging)
+        import shutil
+
+        shutil.rmtree(self.path, ignore_errors=True)
+        shutil.move(staging, self.path)
+        return True
+
+
 def with_tags(df: DataFrame, series_col: str = "series") -> DataFrame:
     """Add ``path`` and ``tags`` (map, incl. implicit ``name`` -> path) to a
     DataFrame of tagged series strings.  Pure Column expressions: split on
@@ -169,6 +253,17 @@ def with_tags(df: DataFrame, series_col: str = "series") -> DataFrame:
     # drop any explicit 'name' tag so the implicit one can't collide under
     # ANSI map_concat duplicate-key checking
     entries = F.filter(entries, lambda e: e.getField("key") != F.lit("name"))
+    # duplicate tag keys (e.g. 'm;k=1;k=2') resolve to the LAST occurrence,
+    # matching parse_series' dict build — without this, map_from_entries
+    # throws under the default mapKeyDedupPolicy=EXCEPTION, and one
+    # malformed catalog entry would fail every /tags query
+    entries = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + F.lit(2), F.size(entries)),
+            lambda later: later.getField("key") == e.getField("key"),
+        ),
+    )
     tags = F.map_concat(
         F.create_map(F.lit("name"), path), F.map_from_entries(entries)
     )
@@ -194,10 +289,12 @@ def find_series(tagged: DataFrame, specs: list[str],
     )
 
 
-def list_tags(tagged: DataFrame, tag_filter: str | None = None) -> DataFrame:
+def list_tags(tagged: DataFrame, tag_filter: str | None = None,
+              limit: int | None = None) -> DataFrame:
     """``list_tags`` (tags.py:80-99): distinct tag names (+ series counts,
     the "additional keys may be returned" allowance), optionally filtered
-    by an unanchored regex."""
+    by an unanchored regex.  ``limit`` mirrors the reference signature's
+    ``limit=None`` argument (applied after the sort, like graphite-web)."""
     out = (
         tagged.select(F.explode(F.map_keys("tags")).alias("tag"))
         .groupBy("tag")
@@ -205,14 +302,18 @@ def list_tags(tagged: DataFrame, tag_filter: str | None = None) -> DataFrame:
     )
     if tag_filter:
         out = out.filter(F.col("tag").rlike(tag_filter))
-    return out.orderBy("tag")
+    out = out.orderBy("tag")
+    return out.limit(limit) if limit else out
 
 
 def tag_values(tagged: DataFrame, tag: str | None = None,
-               value_filter: str | None = None) -> DataFrame:
+               value_filter: str | None = None,
+               limit: int | None = None) -> DataFrame:
     """``get_tag`` / ``list_values`` (tags.py:101-148): per-(tag, value)
     series counts.  ``tag=None`` lists every tag's values (the get_tag
-    response is one groupBy partition of this)."""
+    response is one groupBy partition of this).  ``limit`` bounds the
+    value list after the sort (reference ``get_tag``/``list_values``
+    signatures)."""
     out = (
         tagged.select(F.explode("tags").alias("tag", "value"))
         .groupBy("tag", "value")
@@ -222,4 +323,5 @@ def tag_values(tagged: DataFrame, tag: str | None = None,
         out = out.filter(F.col("tag") == tag)
     if value_filter:
         out = out.filter(F.col("value").rlike(value_filter))
-    return out.orderBy("tag", "value")
+    out = out.orderBy("tag", "value")
+    return out.limit(limit) if limit else out

@@ -267,6 +267,12 @@ def make_server(app: CatalogWeb, port: int = 0) -> ThreadingHTTPServer:
 # graphite-web read API
 # ---------------------------------------------------------------------------
 
+#: per-series bucket cap applied when the client sends no maxDataPoints:
+#: bounds the render collect without visibly consolidating any drawable
+#: window (10k points is past any screen/image width graphite renders at)
+DEFAULT_RENDER_MAX_POINTS = 10000
+
+
 class GraphiteWeb:
     """The graphite-web HTTP read surface served straight off the engine.
 
@@ -299,6 +305,7 @@ class GraphiteWeb:
         self.engine = engine
         self._tagged_src = tagged
         self._tagged_df = None
+        self._tagged_lock = threading.Lock()
 
     # -- /metrics/find ------------------------------------------------------
     def find_nodes(self, query: str) -> list[dict]:
@@ -332,30 +339,39 @@ class GraphiteWeb:
     def _tagged(self):
         from .operators.tags import with_tags
 
-        if self._tagged_df is None:
-            src = self._tagged_src
-            if src is None:
-                src = self.engine.catalog.select(F.col("name").alias("series"))
-            self._tagged_df = with_tags(src)
-        return self._tagged_df
+        # ThreadingHTTPServer: two concurrent first requests must not race
+        # the lazy build (same care BgUtilHttp._RUN_LOCK takes)
+        with self._tagged_lock:
+            if self._tagged_df is None:
+                src = self._tagged_src
+                if src is None:
+                    src = self.engine.catalog.select(
+                        F.col("name").alias("series")
+                    )
+                self._tagged_df = with_tags(src)
+            return self._tagged_df
 
     def find_series_by_tag(self, exprs: list[str]) -> list[str]:
         from .operators.tags import find_series
 
         return [r["series"] for r in find_series(self._tagged(), exprs).collect()]
 
-    def list_tags(self, tag_filter: str | None = None) -> list[dict]:
+    def list_tags(self, tag_filter: str | None = None,
+                  limit: int | None = None) -> list[dict]:
         from .operators.tags import list_tags
 
         return [
             {"tag": r["tag"], "count": r["series_count"]}
-            for r in list_tags(self._tagged(), tag_filter).collect()
+            for r in list_tags(self._tagged(), tag_filter, limit=limit).collect()
         ]
 
-    def get_tag(self, tag: str, value_filter: str | None = None) -> dict | None:
+    def get_tag(self, tag: str, value_filter: str | None = None,
+                limit: int | None = None) -> dict | None:
         from .operators.tags import tag_values
 
-        vals = tag_values(self._tagged(), tag=tag, value_filter=value_filter).collect()
+        vals = tag_values(
+            self._tagged(), tag=tag, value_filter=value_filter, limit=limit
+        ).collect()
         if not vals:
             return None
         return {
@@ -432,6 +448,13 @@ class GraphiteWeb:
                 rr = self.engine.read(target, start, end)
                 series_df = rr.series
             n_buckets = max(1, (rr.end - rr.start) // rr.step)
+            if max_points is None and n_buckets > DEFAULT_RENDER_MAX_POINTS:
+                # no maxDataPoints from the client: still bound the driver
+                # collect — a year-wide window over a 5000-series glob would
+                # otherwise serialize n_series x n_buckets rows through the
+                # driver.  graphite-web draws at image width anyway; 10k
+                # buckets per series is beyond any drawable resolution.
+                max_points = DEFAULT_RENDER_MAX_POINTS
             if max_points and max_points > 0 and n_buckets > max_points:
                 factor = -(-n_buckets // max_points)  # ceil
                 new_step = rr.step * factor
@@ -472,12 +495,22 @@ class _GraphiteHandler(BaseHTTPRequestHandler):
                 exprs = q.get("expr", []) + q.get("expr[]", [])
                 return self._send(200, self.app.find_series_by_tag(exprs))
             if url.path == "/tags":
+                lim_raw = q.get("limit", [""])[0]
                 return self._send(
-                    200, self.app.list_tags(q.get("filter", [None])[0])
+                    200,
+                    self.app.list_tags(
+                        q.get("filter", [None])[0],
+                        limit=int(lim_raw) if lim_raw else None,
+                    ),
                 )
             if url.path.startswith("/tags/"):
                 tag = unquote(url.path[len("/tags/"):])
-                res = self.app.get_tag(tag, q.get("filter", [None])[0])
+                lim_raw = q.get("limit", [""])[0]
+                res = self.app.get_tag(
+                    tag,
+                    q.get("filter", [None])[0],
+                    limit=int(lim_raw) if lim_raw else None,
+                )
                 if res is None:
                     return self._send(404, {"message": "tag not found"})
                 return self._send(200, res)

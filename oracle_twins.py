@@ -39,6 +39,21 @@ def _sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
+def _twin_cache(fn):
+    """Per-sf_dir memoization that resolves the ``sf_dir=None`` default
+    BEFORE the cache boundary: a bare ``lru_cache`` on ``fn(sf_dir=None)``
+    would key on ``None`` and keep serving SQL computed against whatever
+    ``$SPARK_GRAFT_ORACLE_SF_DIR`` was at first call — an env change
+    mid-process would silently compare against the wrong scale factor."""
+    cached = functools.lru_cache(maxsize=4)(fn)
+
+    @functools.wraps(fn)
+    def wrapper(sf_dir: str | None = None) -> str:
+        return cached(sf_dir or _sf_dir())
+
+    return wrapper
+
+
 @functools.lru_cache(maxsize=4)
 def _docs(sf_dir: str) -> tuple[tuple[int, str], ...]:
     import pyarrow.parquet as pq
@@ -94,7 +109,7 @@ def _values_sql(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=4)
+@_twin_cache
 def mm_features_sql(sf_dir: str | None = None) -> str:
     rows = []
     for doc_id, text in _docs(sf_dir or _sf_dir()):
@@ -130,7 +145,7 @@ _MM_DECODE_COLS = [
 ]
 
 
-@functools.lru_cache(maxsize=4)
+@_twin_cache
 def mm_decode_sql(sf_dir: str | None = None) -> str:
     rows = []
     for doc_id, text in _docs(sf_dir or _sf_dir()):
@@ -139,7 +154,7 @@ def mm_decode_sql(sf_dir: str | None = None) -> str:
     return _values_sql(rows, _MM_DECODE_COLS)
 
 
-@functools.lru_cache(maxsize=4)
+@_twin_cache
 def mm_resize_sql(sf_dir: str | None = None) -> str:
     rows = []
     for doc_id, text in _docs(sf_dir or _sf_dir()):
@@ -153,7 +168,7 @@ def mm_resize_sql(sf_dir: str | None = None) -> str:
     return _values_sql(rows, _MM_DECODE_COLS[:-1])
 
 
-@functools.lru_cache(maxsize=4)
+@_twin_cache
 def mm_frames_sql(sf_dir: str | None = None) -> str:
     # 4 frames at 250ms sampled every 500ms keeps frame_idx 0 and 2; the
     # contract query re-keys rows as media_id*1000 + frame_idx before decode
@@ -166,7 +181,7 @@ def mm_frames_sql(sf_dir: str | None = None) -> str:
     return _values_sql(rows, _MM_DECODE_COLS)
 
 
-@functools.lru_cache(maxsize=4)
+@_twin_cache
 def mm_audio_sql(sf_dir: str | None = None) -> str:
     rows = []
     for doc_id, text in _docs(sf_dir or _sf_dir()):
@@ -240,7 +255,7 @@ def _python_bpe(sf_dir: str, n_merges: int = 10):
     return freqs, words
 
 
-@functools.lru_cache(maxsize=4)
+@_twin_cache
 def bpe_vocab_sql(sf_dir: str | None = None) -> str:
     sf = sf_dir or _sf_dir()
     freqs, words = _python_bpe(sf)
@@ -252,7 +267,7 @@ def bpe_vocab_sql(sf_dir: str | None = None) -> str:
     return _values_sql(rows, [("symbol", "VARCHAR"), ("n", "BIGINT")])
 
 
-@functools.lru_cache(maxsize=4)
+@_twin_cache
 def bpe_tokens_sql(sf_dir: str | None = None) -> str:
     sf = sf_dir or _sf_dir()
     _freqs, words = _python_bpe(sf)
@@ -299,7 +314,7 @@ def _ahash(text: str) -> int:
     return h
 
 
-@functools.lru_cache(maxsize=4)
+@_twin_cache
 def mm_ahash_sql(sf_dir: str | None = None) -> str:
     rows = [
         (doc_id, 8, 8, _ahash(text)) for doc_id, text in _docs(sf_dir or _sf_dir())
@@ -315,7 +330,7 @@ def mm_ahash_sql(sf_dir: str | None = None) -> str:
     )
 
 
-@functools.lru_cache(maxsize=4)
+@_twin_cache
 def mm_ahash_neardups_sql(sf_dir: str | None = None) -> str:
     # mirrors ahash_near_dups over the duplicated-corpus contract query:
     # every doc_id % 7 == 0 re-enters as doc_id + 1_000_000 (an exact-dup

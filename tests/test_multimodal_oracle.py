@@ -50,3 +50,15 @@ def test_mm_features_matches_independent_python(spark):
         assert r["crc32"] == crc
         assert r["entropy_proxy"] == entropy  # exact: same float arithmetic
         assert r["head_hash"] == head
+
+
+def test_twin_cache_keys_on_resolved_sf_dir(monkeypatch):
+    # the sf_dir=None default must resolve BEFORE the memo boundary: an env
+    # change mid-process serves SQL for the new scale factor, not stale SQL
+    import oracle_twins as OT
+
+    explicit = OT.mm_features_sql("/root/testdata/sf0.001")
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
+    assert OT.mm_features_sql() == explicit
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    assert OT.mm_features_sql() != explicit

@@ -187,3 +187,53 @@ def test_tag_values(tagged):
     ]
     filt = tag_values(tagged, tag="rack", value_filter="^a").collect()
     assert [r["value"] for r in filt] == ["a1", "a2"]
+
+
+def test_list_tags_and_values_limit(tagged):
+    only = [r["tag"] for r in list_tags(tagged, limit=2).collect()]
+    assert only == ["datacenter", "name"]  # sorted, then capped
+    vals = tag_values(tagged, tag="rack", limit=2).collect()
+    assert [r["value"] for r in vals] == ["a1", "a2"]
+
+
+# -- hardening ---------------------------------------------------------------
+
+def test_with_tags_duplicate_key_last_wins(spark):
+    # parse_series documents last-wins for 'm;k=1;k=2'; the Column path must
+    # agree (and must not throw under mapKeyDedupPolicy=EXCEPTION)
+    df = with_tags(spark.createDataFrame([("m;k=1;k=2;j=x",)], ["series"]))
+    row = df.collect()[0]
+    assert row["tags"]["k"] == "2"
+    assert row["tags"]["j"] == "x"
+    p, t = parse_series("m;k=1;k=2;j=x")
+    assert t["k"] == "2"  # both codecs agree
+
+
+@pytest.mark.parametrize(
+    "bad", ["a=~(?P<n>x)", "a=~(?P=n)", "a=~x(?#c)", "a=~(?(1)y)", r"a=~x\Z"]
+)
+def test_python_only_regex_rejected(bad):
+    # matching executes on the JVM: Python-only constructs must be caught
+    # at parse time, not blow up inside an executor
+    with pytest.raises(InvalidArgumentError):
+        parse_tag_spec(bad)
+
+
+def test_tag_store_upsert_and_delete(spark, tmp_path):
+    from biggraphite_spark.operators.tags import TagStore
+
+    store = TagStore(spark, str(tmp_path / "tagdb"))
+    out = store.tag_multi_series(["m;b=2;a=1", "n;x=9"])
+    assert out == ["m;a=1;b=2", "n;x=9"]  # canonicalized (sorted tags)
+    # idempotent re-upsert: no duplicate rows
+    store.tag_series("m;a=1;b=2")
+    assert sorted(r["series"] for r in store._existing().collect()) == [
+        "m;a=1;b=2", "n;x=9",
+    ]
+    # the stored catalog is query-ready
+    assert [r["series"] for r in find_series(store.series(), ["a=1"]).collect()] == [
+        "m;a=1;b=2"
+    ]
+    # delete rewrites without the tombstoned series
+    assert store.del_series(["n;x=9"])
+    assert [r["series"] for r in store._existing().collect()] == ["m;a=1;b=2"]

@@ -152,6 +152,9 @@ def test_reduce_ema_wildcard_verbs(spark):
         tuple(r)
         for r in S.reduce_series(df, "asPercent", 1, "error", "purchase").collect()
     )
+    # standalone mapSeries renders as the flattened input series (graphite's
+    # json renderer flattens the grouped list-of-lists right back)
+    assert run("mapSeries(x.*, 0, 2)") == sorted(tuple(r) for r in df.collect())
     with pytest.raises(InvalidArgumentError):
         run("reduceSeries(x.*, 'noSuchReducer', 1, 'a', 'b')")
     assert run("exponentialMovingAverage(x.*, 3)") == sorted(

@@ -366,3 +366,34 @@ def test_tags_list_and_detail(tag_server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(f"{tag_server}/tags/nosuchtag")
     assert ei.value.code == 404
+
+
+def test_tags_limit_param(tag_server):
+    # /tags?limit=N caps the sorted tag list (reference list_tags limit arg)
+    status, tags = _get(f"{tag_server}/tags?limit=2")
+    assert status == 200
+    assert [t["tag"] for t in tags] == ["datacenter", "name"]
+
+    # /tags/<tag>?limit=N caps the sorted value list (reference get_tag)
+    status, detail = _get(f"{tag_server}/tags/rack?limit=2")
+    assert status == 200
+    assert [v["value"] for v in detail["values"]] == ["a1", "a2"]
+
+
+def test_render_default_consolidation_cap(graphite_server, monkeypatch):
+    # when the client sends no maxDataPoints, the driver collect is still
+    # bounded: windows wider than DEFAULT_RENDER_MAX_POINTS buckets
+    # consolidate exactly as if maxDataPoints=<cap> had been passed
+    import biggraphite_spark.web as web_mod
+
+    monkeypatch.setattr(web_mod, "DEFAULT_RENDER_MAX_POINTS", 10)
+    status, capped = _get(
+        f"{graphite_server}/render?target=bg.click.u0&from=-2d&until=now"
+    )
+    assert status == 200 and len(capped) == 1
+    assert 0 < len(capped[0]["datapoints"]) <= 10
+    _, explicit = _get(
+        f"{graphite_server}/render?target=bg.click.u0&from=-2d&until=now"
+        "&maxDataPoints=10"
+    )
+    assert capped[0]["datapoints"] == explicit[0]["datapoints"]

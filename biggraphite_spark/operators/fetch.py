@@ -62,21 +62,30 @@ def fetch_points(
         sliced = sliced.join(F.broadcast(metrics.select("name", "aggregator")), "name")
         count_col = None
     else:
-        count_col = F.col("count")
+        count_col = None  # bound below, after `sliced` is final
+
+    # dataset-bound references (sliced[...]), NOT F.col: a stage table built
+    # by joining the SAME catalog object that `metrics` derives from makes a
+    # by-name `aggregator` ambiguous under the analyzer's self-join dedup —
+    # binding to `sliced` pins every reference to the left side
+    if not source_is_raw:
+        count_col = sliced["count"]
 
     # aggregator joins the grouping key (functionally dependent on name, so
     # the groups are unchanged) instead of riding a first() aggregate: a
     # string agg buffer would demote the regroup to SortAggregate, and this
     # is the read path's one shuffle — see downsample_stage0
-    agg = F.col("aggregator")
+    agg = sliced["aggregator"]
     grouped = sliced.groupBy(
-        "name", "aggregator", bucket_col(F.col("ts"), target.precision).alias("ts")
+        sliced["name"],
+        agg.alias("aggregator"),
+        bucket_col(sliced["ts"], target.precision).alias("ts"),
     )
     if aggregated:
         return grouped.agg(
-            final_value_expr(agg, F.col("value"), count_col if count_col is not None else F.lit(1), F.col("ts")).alias("value")
+            final_value_expr(agg, sliced["value"], count_col if count_col is not None else F.lit(1), sliced["ts"]).alias("value")
         ).select("name", "ts", "value")
     return grouped.agg(
-        partial_value_expr(agg, F.col("value"), F.col("ts")).alias("value"),
-        partial_count_expr(F.col("value"), count_col).alias("count"),
+        partial_value_expr(agg, sliced["value"], sliced["ts"]).alias("value"),
+        partial_count_expr(sliced["value"], count_col).alias("count"),
     ).select("name", "ts", "value", "count")

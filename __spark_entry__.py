@@ -6421,6 +6421,30 @@ def bg_tag_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tag_values(_tagged_catalog(spark, sf_dir))
 
 
+_MAP_SERIES_EXPR = "mapSeries(bg.purchase.*, 0, 1)"
+
+_MAP_SERIES_ORACLE = f"""
+WITH {_series_cte("bg.purchase.*")}
+SELECT name, ts, value FROM s
+"""
+
+
+@_register("gr_map_series", _MAP_SERIES_ORACLE)
+def gr_map_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapSeries`` dispatched STANDALONE through the render grammar
+    (graphite render/functions.py mapSeries): grouping metadata only, so a
+    bare mapSeries renders as the flattened input series — graphite's json
+    renderer flattens the grouped list-of-lists right back.  The grouping
+    half's consumer path is pinned by gr_reduce (reduceSeries)."""
+    _utc(spark)
+    from biggraphite_spark.functions.targets import evaluate_target, parse_target
+
+    node = parse_target(_MAP_SERIES_EXPR)
+    s = _hourly_finals(spark, sf_dir, "bg.purchase.*")
+    df = evaluate_target(node, fetch=lambda g: s, step=3600)
+    return df.select("name", "ts", F.round("value", 6).alias("value"))
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -6430,13 +6454,14 @@ def entry(spark: SparkSession) -> DataFrame:
     return bg_fetch_1d(spark, "/root/testdata/sf0.001")
 
 
-#: Names with a green row in a past driver CORRECTNESS gate (r1 ∪ … ∪ r4 —
+#: Names with a green row in a past driver CORRECTNESS gate (r1 ∪ … ∪ r5 —
 #: every registered query has now been driver-checked green at least once).
 #: The driver checks the first 50 registered queries per round, so
-#: ``queries()`` front-loads everything NOT in this set — new round-5
+#: ``queries()`` front-loads everything NOT in this set — new round-6
 #: additions get gate slots first.  Correctness itself is order-independent;
 #: this only rotates which queries the driver's 50-query window lands on.
 _DRIVER_GREEN = frozenset({
+    "bg_series_by_tag", "bg_tag_values",
     "bg_carbonlink", "bg_catalog", "bg_clean", "bg_cluster_diff",
     "bg_copy_2h", "bg_downsample_1d", "bg_downsample_1h",
     "bg_downsample_dupslots", "bg_du", "bg_fetch_1d", "bg_find",

@@ -301,11 +301,14 @@ class GraphiteWeb:
     per the implicit-name-tag convention.
     """
 
-    def __init__(self, engine, tagged=None):
+    def __init__(self, engine, tagged=None, tag_store=None):
         self.engine = engine
         self._tagged_src = tagged
         self._tagged_df = None
         self._tagged_lock = threading.Lock()
+        #: optional writable TagDB (operators.tags.TagStore); enables the
+        #: POST half of the tag API (/tags/tagSeries, /tags/delSeries)
+        self.tag_store = tag_store
 
     # -- /metrics/find ------------------------------------------------------
     def find_nodes(self, query: str) -> list[dict]:
@@ -335,6 +338,38 @@ class GraphiteWeb:
             "allowChildren": int(not leaf),
         }
 
+    def expand(self, query: str) -> dict:
+        """graphite-web ``/metrics/expand``: every path (branch or leaf)
+        the glob matches, sorted — ``{"results": [...]}``."""
+        from .operators.find import find_directories
+
+        branches = [
+            r["directory"]
+            for r in find_directories(self.engine.catalog, query).collect()
+        ]
+        return {"results": sorted(set(branches) | set(self.engine.glob_names(query)))}
+
+    # -- /tags write half (requires a TagStore) -----------------------------
+    def _store(self):
+        if self.tag_store is None:
+            raise InvalidArgumentError("no writable TagDB configured")
+        return self.tag_store
+
+    def tag_series(self, path: str) -> str:
+        out = self._store().tag_series(path)
+        self._invalidate_tagged()
+        return out
+
+    def tag_multi_series(self, paths: list[str]) -> list[str]:
+        out = self._store().tag_multi_series(paths)
+        self._invalidate_tagged()
+        return out
+
+    def del_series(self, paths: list[str]) -> bool:
+        out = self._store().del_series(paths)
+        self._invalidate_tagged()
+        return out
+
     # -- /tags ---------------------------------------------------------------
     def _tagged(self):
         from .operators.tags import with_tags
@@ -344,12 +379,20 @@ class GraphiteWeb:
         with self._tagged_lock:
             if self._tagged_df is None:
                 src = self._tagged_src
+                if src is None and self.tag_store is not None:
+                    return_df = self.tag_store.series()
+                    self._tagged_df = return_df
+                    return return_df
                 if src is None:
                     src = self.engine.catalog.select(
                         F.col("name").alias("series")
                     )
                 self._tagged_df = with_tags(src)
             return self._tagged_df
+
+    def _invalidate_tagged(self) -> None:
+        with self._tagged_lock:
+            self._tagged_df = None
 
     def find_series_by_tag(self, exprs: list[str]) -> list[str]:
         from .operators.tags import find_series
@@ -478,11 +521,75 @@ class GraphiteWeb:
         return out
 
 
+def render_raw(series: list[dict]) -> str:
+    """graphite-web ``format=raw``: ``name,start,end,step|v1,v2,...`` per
+    series (the webapp's rawData renderer; null -> ``None``)."""
+    lines = []
+    for s in series:
+        pts = s["datapoints"]
+        if not pts:
+            continue
+        start = pts[0][1]
+        step = (pts[1][1] - pts[0][1]) if len(pts) > 1 else 1
+        end = pts[-1][1] + step
+        vals = ",".join("None" if v is None else repr(v) for v, _ in pts)
+        lines.append(f"{s['target']},{start},{end},{step}|{vals}")
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+def render_csv(series: list[dict]) -> str:
+    """graphite-web ``format=csv``: one ``name,timestamp,value`` row per
+    datapoint (UTC timestamps, empty value for null)."""
+    import datetime as _dt
+
+    lines = []
+    for s in series:
+        for v, ts in s["datapoints"]:
+            stamp = _dt.datetime.fromtimestamp(
+                ts, _dt.timezone.utc
+            ).strftime("%Y-%m-%d %H:%M:%S")
+            val = "" if v is None else repr(v)
+            lines.append(f"{s['target']},{stamp},{val}")
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
 class _GraphiteHandler(BaseHTTPRequestHandler):
     app: GraphiteWeb  # set by make_graphite_server
 
     _send = _Handler._send
     log_message = _Handler.log_message
+
+    def _send_text(self, code: int, text: str, ctype: str) -> None:
+        body = text.encode()
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_POST(self):
+        url = urlparse(self.path)
+        length = int(self.headers.get("Content-Length") or 0)
+        form = parse_qs(self.rfile.read(length).decode() if length else "")
+        try:
+            if url.path == "/tags/tagSeries":
+                path = form.get("path", [""])[0]
+                if not path:
+                    return self._send(400, {"message": "path required"})
+                return self._send(200, self.app.tag_series(path))
+            if url.path == "/tags/tagMultiSeries":
+                paths = form.get("path", []) + form.get("path[]", [])
+                if not paths:
+                    return self._send(400, {"message": "path required"})
+                return self._send(200, self.app.tag_multi_series(paths))
+            if url.path == "/tags/delSeries":
+                paths = form.get("path", []) + form.get("path[]", [])
+                if not paths:
+                    return self._send(400, {"message": "path required"})
+                return self._send(200, self.app.del_series(paths))
+        except (InvalidArgumentError, TooManyMetrics, ValueError) as ex:
+            return self._send(400, {"message": str(ex)})
+        return self._send(404, {"message": "unknown route"})
 
     def do_GET(self):
         url = urlparse(self.path)
@@ -491,6 +598,9 @@ class _GraphiteHandler(BaseHTTPRequestHandler):
             if url.path == "/metrics/find":
                 query = q.get("query", [""])[0]
                 return self._send(200, self.app.find_nodes(query))
+            if url.path == "/metrics/expand":
+                query = q.get("query", [""])[0]
+                return self._send(200, self.app.expand(query))
             if url.path == "/tags/findSeries":
                 exprs = q.get("expr", []) + q.get("expr[]", [])
                 return self._send(200, self.app.find_series_by_tag(exprs))
@@ -522,13 +632,16 @@ class _GraphiteHandler(BaseHTTPRequestHandler):
                 start = self.app.parse_time(q.get("from", [""])[0], now - 86400)
                 end = self.app.parse_time(q.get("until", [""])[0], now)
                 fmt = q.get("format", ["json"])[0]
-                if fmt != "json":
+                if fmt not in ("json", "raw", "csv"):
                     return self._send(400, {"message": f"format {fmt!r} unsupported"})
                 mdp_raw = q.get("maxDataPoints", [""])[0]
                 mdp = int(mdp_raw) if mdp_raw else None
-                return self._send(
-                    200, self.app.render(targets, start, end, max_points=mdp)
-                )
+                series = self.app.render(targets, start, end, max_points=mdp)
+                if fmt == "raw":
+                    return self._send_text(200, render_raw(series), "text/plain")
+                if fmt == "csv":
+                    return self._send_text(200, render_csv(series), "text/csv")
+                return self._send(200, series)
         except (InvalidArgumentError, TooManyMetrics, ValueError) as ex:
             return self._send(400, {"message": str(ex)})
         return self._send(404, {"message": "unknown route"})

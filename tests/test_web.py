@@ -397,3 +397,95 @@ def test_render_default_consolidation_cap(graphite_server, monkeypatch):
         "&maxDataPoints=10"
     )
     assert capped[0]["datapoints"] == explicit[0]["datapoints"]
+
+
+def test_metrics_expand(graphite_server):
+    status, out = _get(f"{graphite_server}/metrics/expand?query=bg.*")
+    assert status == 200
+    res = out["results"]
+    assert res == sorted(res) and res
+    assert all(p.startswith("bg.") for p in res)
+    # leaves expand too
+    status, out = _get(f"{graphite_server}/metrics/expand?query=bg.click.u0")
+    assert status == 200 and out["results"] == ["bg.click.u0"]
+
+
+def test_render_raw_and_csv_formats(graphite_server):
+    _, js = _get(
+        f"{graphite_server}/render?target=bg.click.u0&from=-1d&until=now"
+    )
+    with urllib.request.urlopen(
+        f"{graphite_server}/render?target=bg.click.u0&from=-1d&until=now"
+        "&format=raw"
+    ) as r:
+        raw = r.read().decode()
+    name, header = raw.split("|")[0].rsplit(",", 3)[0], raw.split("|")[0]
+    assert name == "bg.click.u0"
+    _, start_s, end_s, step_s = header.rsplit(",", 3)
+    pts = js[0]["datapoints"]
+    assert int(start_s) == pts[0][1]
+    assert int(step_s) == pts[1][1] - pts[0][1]
+    vals = raw.strip().split("|")[1].split(",")
+    assert len(vals) == len(pts)
+
+    with urllib.request.urlopen(
+        f"{graphite_server}/render?target=bg.click.u0&from=-1d&until=now"
+        "&format=csv"
+    ) as r:
+        csv = r.read().decode()
+    rows = [l for l in csv.strip().split("\n") if l]
+    assert len(rows) == len(pts)
+    assert rows[0].startswith("bg.click.u0,")
+
+
+def test_tag_write_endpoints(spark, tmp_path):
+    from biggraphite_spark.cli import build_engine
+    from biggraphite_spark.operators.tags import TagStore
+    from biggraphite_spark.web import GraphiteWeb, make_graphite_server
+
+    store = TagStore(spark, str(tmp_path / "tagdb"))
+    app = GraphiteWeb(build_engine(spark, SF), tag_store=store)
+    srv = make_graphite_server(app, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        status, out = _post_form(f"{base}/tags/tagSeries", {"path": "m;b=2;a=1"})
+        assert status == 200 and out == "m;a=1;b=2"
+        status, out = _post_form(
+            f"{base}/tags/tagMultiSeries", [("path", "n;x=9"), ("path", "o;y=1")]
+        )
+        assert status == 200 and out == ["n;x=9", "o;y=1"]
+        # the read surface sees the writes (tagged view invalidated)
+        status, series = _get(
+            f"{base}/tags/findSeries?" + urllib.parse.urlencode([("expr", "a=1")])
+        )
+        assert status == 200 and series == ["m;a=1;b=2"]
+        status, out = _post_form(f"{base}/tags/delSeries", {"path": "n;x=9"})
+        assert status == 200 and out is True
+        status, series = _get(
+            f"{base}/tags/findSeries?" + urllib.parse.urlencode([("expr", "x=9")])
+        )
+        assert status == 200 and series == []
+        # no path -> 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post_form(f"{base}/tags/tagSeries", {})
+        assert ei.value.code == 400
+    finally:
+        srv.shutdown()
+
+
+def test_tag_write_without_store_is_400(tag_server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post_form(f"{tag_server}/tags/tagSeries", {"path": "m;a=1"})
+    assert ei.value.code == 400
+
+
+def _post_form(url, data):
+    body = urllib.parse.urlencode(data, doseq=True).encode()
+    req = urllib.request.Request(
+        url, data=body,
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+    )
+    with urllib.request.urlopen(req) as r:
+        return r.status, json.loads(r.read().decode())

@@ -33,6 +33,7 @@ shuffle-on-key plans at 100-TB catalog sizes.
 from __future__ import annotations
 
 import re
+import threading
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -187,6 +188,13 @@ class TagStore:
     def __init__(self, spark, path: str):
         self.spark = spark
         self.path = path
+        # serialize mutations: two concurrent upserts would each anti-join
+        # against the same pre-write snapshot and append the same new
+        # series twice (HTTP tag writes arrive on ThreadingHTTPServer
+        # threads); a process-local lock is the right scope for a
+        # single-writer store — multi-writer deployments front this with a
+        # queue, as the reference does for carbon ingestion
+        self._write_lock = threading.Lock()
 
     def _existing(self) -> DataFrame:
         try:
@@ -209,13 +217,16 @@ class TagStore:
         new = self.spark.createDataFrame(
             [(s,) for s in canon], "series string"
         ).dropDuplicates(["series"])
-        # the STORE is the big side: find the already-present subset by
-        # broadcasting the (small) batch at it, then anti-join the batch
-        # against that (≤ batch-sized) result — both joins broadcast the
-        # small side, and the store is scanned once, never shuffled
-        present = self._existing().join(F.broadcast(new), "series", "left_semi")
-        delta = new.join(F.broadcast(present), "series", "left_anti")
-        delta.write.mode("append").parquet(self.path)
+        with self._write_lock:
+            # the STORE is the big side: find the already-present subset by
+            # broadcasting the (small) batch at it, then anti-join the batch
+            # against that (≤ batch-sized) result — both joins broadcast the
+            # small side, and the store is scanned once, never shuffled
+            present = self._existing().join(
+                F.broadcast(new), "series", "left_semi"
+            )
+            delta = new.join(F.broadcast(present), "series", "left_anti")
+            delta.write.mode("append").parquet(self.path)
         return canon
 
     def tag_series(self, series: str) -> str:
@@ -223,13 +234,14 @@ class TagStore:
 
     def del_series(self, series: list[str]) -> bool:
         canon = {canonicalize_series(s) for s in series}
-        kept = self._existing().filter(~F.col("series").isin(*canon))
-        staging = self.path.rstrip("/") + ".staging"
-        kept.write.mode("overwrite").parquet(staging)
-        import shutil
+        with self._write_lock:
+            kept = self._existing().filter(~F.col("series").isin(*canon))
+            staging = self.path.rstrip("/") + ".staging"
+            kept.write.mode("overwrite").parquet(staging)
+            import shutil
 
-        shutil.rmtree(self.path, ignore_errors=True)
-        shutil.move(staging, self.path)
+            shutil.rmtree(self.path, ignore_errors=True)
+            shutil.move(staging, self.path)
         return True
 
 

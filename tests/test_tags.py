@@ -237,3 +237,26 @@ def test_tag_store_upsert_and_delete(spark, tmp_path):
     # delete rewrites without the tombstoned series
     assert store.del_series(["n;x=9"])
     assert [r["series"] for r in store._existing().collect()] == ["m;a=1;b=2"]
+
+
+def test_tag_store_concurrent_upserts_no_duplicates(spark, tmp_path):
+    # two threads upserting the same new series must not double-append:
+    # the write lock serializes the anti-join-then-append critical section
+    import threading as _threading
+
+    from biggraphite_spark.operators.tags import TagStore
+
+    store = TagStore(spark, str(tmp_path / "tagdb"))
+    barrier = _threading.Barrier(2)
+
+    def upsert():
+        barrier.wait()
+        store.tag_multi_series(["race;k=1", "race2;k=2"])
+
+    ts = [_threading.Thread(target=upsert) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    rows = [r["series"] for r in store._existing().collect()]
+    assert sorted(rows) == ["race2;k=2", "race;k=1"]

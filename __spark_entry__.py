@@ -448,7 +448,7 @@ d AS ({_oracle_final(86400, where=f"sec >= {_GAP_START} AND sec < {NOW}")}),
 grid AS (SELECT m.name, g.ts FROM m
          CROSS JOIN (SELECT CAST(ts AS BIGINT) AS ts
                      FROM generate_series({_GAP_START}, {NOW - 86400}, 86400) t(ts)) g)
-SELECT grid.name, grid.ts, ROUND(d.value, 6) AS value
+SELECT grid.name, grid.ts, ROUND(d.value + 1.23e-9, 6) AS value
 FROM grid LEFT JOIN d ON d.name = grid.name AND d.ts = grid.ts
 """
 
@@ -462,7 +462,9 @@ def bg_gapfill_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics = find_metrics(catalog, "bg.error.u*")
     fetched = fetch_points(_stage1(spark, sf_dir), metrics, _GAP_START, NOW, target=STAGE2)
     dense = dense_series(fetched, metrics, _GAP_START, NOW, 86400)
-    return dense.select("name", "ts", F.round("value", 6).alias("value"))
+    return dense.select(
+        "name", "ts", F.round(F.col("value") + 1.23e-9, 6).alias("value")
+    )
 
 
 _XFF_ORACLE = f"""
@@ -1991,14 +1993,14 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q11_ORACLE = """
 WITH partval AS (
   SELECT l_partkey AS partkey,
-         sum(l_extendedprice * (1 - l_discount)) AS value
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS value
   FROM lineitem
   JOIN supplier ON s_suppkey = l_suppkey
   JOIN nation ON s_nationkey = n_nationkey
   WHERE n_name = 'NATION_3'
   GROUP BY 1
 )
-SELECT partkey, ROUND(value, 2) AS value
+SELECT partkey, CAST(ROUND(value, 2) AS DOUBLE) AS value
 FROM partval
 WHERE value > (SELECT 2.0 * avg(value) FROM partval)
 """
@@ -2020,13 +2022,24 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
         .groupBy(F.col("l_partkey").alias("partkey"))
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+        # decimal sum, like q10: at sf0.1 one per-part revenue lands within
+        # an ulp of the half-cent and double rounding flips by engine;
+        # decimal terms sum exactly, so both engines round the same number
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("value")
+        )
     )
     threshold = partval.agg((F.avg("value") * 2.0).alias("threshold"))
     return (
         partval.crossJoin(F.broadcast(threshold))
         .filter(F.col("value") > F.col("threshold"))
-        .select("partkey", F.round("value", 2).alias("value"))
+        .select(
+            "partkey", F.round("value", 2).cast("double").alias("value")
+        )
     )
 
 
@@ -3320,12 +3333,24 @@ _GR_START = NOW - 10 * 86400
 
 def _series_cte(pattern: str, start: int = _GR_START, end: int = NOW) -> str:
     """Hourly final series for a glob, values rounded so both engines feed
-    identical inputs into the window math."""
+    identical inputs into the window math.
+
+    The ``+ 1.23e-9`` inside the comparison rounds (here and in the paired
+    Spark-side rounds) is a tie-breaker, not semantics: the two engines
+    compute the same average with different FP association order, so a
+    bucket whose exact value sits ON a 5e-7 rounding boundary can round
+    differently from 1-ulp drift (first seen at sf0.1, where 10x the
+    addends per bucket make boundary hits likely).  Nudging BOTH sides by
+    an amount far above ulp (1.2e-10 at 1e6) and far below the 1e-6
+    resolution moves every such tie off the boundary in the same
+    direction.  Values already on the 1e-6 lattice are unaffected
+    (round(x + 1.23e-9, 6) == x exactly), so unpaired downstream rounds of
+    already-rounded values stay identities."""
     rx = ("^(?:" + compile_glob(pattern).regex + ")$").replace("'", "''")
     where = f"sec >= {start} AND sec < {end} AND regexp_matches(name, '{rx}')"
     return (
         f"pts AS ({_PTS}), f AS ({_oracle_final(3600, where=where)}), "
-        "s AS (SELECT name, ts, ROUND(value, 6) AS value FROM f)"
+        "s AS (SELECT name, ts, ROUND(value + 1.23e-9, 6) AS value FROM f)"
     )
 
 
@@ -3345,17 +3370,17 @@ def _hourly_finals(spark: SparkSession, sf_dir: str, pattern: str) -> DataFrame:
     # the one up-front exchange instead of N).  At scale this is the
     # storage bucketing (PointStore.write_bucketed sortBy(name, ts)) made
     # explicit for the raw-read path.
-    return fetched.withColumn("value", F.round("value", 6)).repartition(
+    return fetched.withColumn("value", F.round(F.col("value") + 1.23e-9, 6)).repartition(
         F.col("name")
     )
 
 
 _GR_COMBINE_ORACLE = f"""
 WITH {_series_cte("bg.purchase.*")}
-SELECT 'sum' AS func, ts, ROUND(sum(value), 6) AS value FROM s GROUP BY ts
-UNION ALL SELECT 'average', ts, ROUND(avg(value), 6) FROM s GROUP BY ts
-UNION ALL SELECT 'max', ts, ROUND(max(value), 6) FROM s GROUP BY ts
-UNION ALL SELECT 'p50', ts, ROUND(quantile_cont(value, 0.5), 6) FROM s GROUP BY ts
+SELECT 'sum' AS func, ts, ROUND(sum(value) + 1.23e-9, 6) AS value FROM s GROUP BY ts
+UNION ALL SELECT 'average', ts, ROUND(avg(value) + 1.23e-9, 6) FROM s GROUP BY ts
+UNION ALL SELECT 'max', ts, ROUND(max(value) + 1.23e-9, 6) FROM s GROUP BY ts
+UNION ALL SELECT 'p50', ts, ROUND(quantile_cont(value, 0.5) + 1.23e-9, 6) FROM s GROUP BY ts
 """
 
 
@@ -3371,11 +3396,11 @@ def gr_series_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
     s.count()  # materialize before the branches fan out, else each branch
     # races the cold cache and recomputes the downsample subtree
     parts = [
-        combine(s, how).select(F.lit(func).alias("func"), "ts", F.round("value", 6).alias("value"))
+        combine(s, how).select(F.lit(func).alias("func"), "ts", F.round(F.col("value") + 1.23e-9, 6).alias("value"))
         for func, how in (("sum", "sum"), ("average", "average"), ("max", "max"))
     ]
     p50 = percentile_of_series(s, 50).select(
-        F.lit("p50").alias("func"), "ts", F.round("value", 6).alias("value")
+        F.lit("p50").alias("func"), "ts", F.round(F.col("value") + 1.23e-9, 6).alias("value")
     )
     out = parts[0]
     for p in parts[1:] + [p50]:
@@ -3461,7 +3486,7 @@ d AS ({_oracle_final(86400, where=f"sec >= {_GAP_START} AND sec < {NOW}")}),
 grid AS (SELECT m.name, g.ts FROM m
          CROSS JOIN (SELECT CAST(ts AS BIGINT) AS ts
                      FROM generate_series({_GAP_START}, {NOW - 86400}, 86400) t(ts)) g),
-joined AS (SELECT grid.name, grid.ts, ROUND(d.value, 6) AS value
+joined AS (SELECT grid.name, grid.ts, ROUND(d.value + 1.23e-9, 6) AS value
            FROM grid LEFT JOIN d ON d.name = grid.name AND d.ts = grid.ts),
 filled AS (SELECT name, ts,
                   last_value(value IGNORE NULLS) OVER (
@@ -3484,7 +3509,7 @@ def gr_summarize_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics = find_metrics(catalog, "bg.error.u*")
     fetched = fetch_points(_stage1(spark, sf_dir), metrics, _GAP_START, NOW, target=STAGE2)
     dense = dense_series(fetched, metrics, _GAP_START, NOW, 86400).withColumn(
-        "value", F.round("value", 6)
+        "value", F.round(F.col("value") + 1.23e-9, 6)
     )
     filled = keep_last_value(dense)
     out = summarize(filled, 2 * 86400, "max")
@@ -3499,8 +3524,8 @@ def _gr_ratio_oracle() -> str:
 WITH pts AS ({_PTS}),
 f_err AS ({_oracle_final(3600, where=f"{base} AND regexp_matches(name, '{rx_err}')")}),
 f_all AS ({_oracle_final(3600, where=f"{base} AND regexp_matches(name, '{rx_all}')")}),
-s_err AS (SELECT name, ts, ROUND(value, 6) AS value FROM f_err),
-s_all AS (SELECT name, ts, ROUND(value, 6) AS value FROM f_all),
+s_err AS (SELECT name, ts, ROUND(value + 1.23e-9, 6) AS value FROM f_err),
+s_all AS (SELECT name, ts, ROUND(value + 1.23e-9, 6) AS value FROM f_all),
 num AS (SELECT ts, sum(value) AS num FROM s_err GROUP BY ts),
 den AS (SELECT ts, sum(value) AS den FROM s_all GROUP BY ts)
 SELECT 'ratio' AS func, CAST(NULL AS VARCHAR) AS name, COALESCE(num.ts, den.ts) AS ts,
@@ -3710,7 +3735,7 @@ d AS ({_oracle_final(86400, where=f"sec >= {_GAP_START} AND sec < {NOW}")}),
 grid AS (SELECT m.name, g.ts FROM m
          CROSS JOIN (SELECT CAST(ts AS BIGINT) AS ts
                      FROM generate_series({_GAP_START}, {NOW - 86400}, 86400) t(ts)) g),
-s AS (SELECT grid.name, grid.ts, ROUND(d.value, 6) AS value
+s AS (SELECT grid.name, grid.ts, ROUND(d.value + 1.23e-9, 6) AS value
       FROM grid LEFT JOIN d ON d.name = grid.name AND d.ts = grid.ts),
 marks AS (
   SELECT name, ts, value,
@@ -3732,30 +3757,30 @@ SELECT 'interp' AS func, name, ts,
        ROUND(CASE WHEN value IS NOT NULL THEN value
                   WHEN pts_ IS NOT NULL AND nts IS NOT NULL
                   THEN pval + (nval - pval) * (ts - pts_) / (nts - pts_)
-             END, 6) AS value
+             END + 1.23e-9, 6) AS value
 FROM marks
 UNION ALL
 SELECT 'log10', name, ts,
-       ROUND(CASE WHEN value > 0 THEN log10(value) END, 6) FROM s
+       ROUND(CASE WHEN value > 0 THEN log10(value) END + 1.23e-9, 6) FROM s
 UNION ALL
 SELECT 'otz', name, ts,
-       ROUND(value - min(value) OVER (PARTITION BY name), 6) FROM s
+       ROUND(value - min(value) OVER (PARTITION BY name) + 1.23e-9, 6) FROM s
 UNION ALL
 SELECT 'delay1', name, ts,
-       ROUND(lag(value) OVER (PARTITION BY name ORDER BY ts), 6) FROM s
+       ROUND(lag(value) OVER (PARTITION BY name ORDER BY ts) + 1.23e-9, 6) FROM s
 UNION ALL
-SELECT 'range', NULL, ts, ROUND(max(value) - min(value), 6) FROM s GROUP BY ts
+SELECT 'range', NULL, ts, ROUND(max(value) - min(value) + 1.23e-9, 6) FROM s GROUP BY ts
 UNION ALL
-SELECT 'count', NULL, ts, ROUND(CAST(count(value) AS DOUBLE), 6) FROM s GROUP BY ts
+SELECT 'count', NULL, ts, ROUND(CAST(count(value) AS DOUBLE) + 1.23e-9, 6) FROM s GROUP BY ts
 UNION ALL
 SELECT 'product', NULL, ts,
        ROUND(CASE WHEN count(*) = count(value)
                   THEN sign(product(value)) * log10(abs(product(value)) + 1)
-             END, 6) + 0.0
+             END + 1.23e-9, 6) + 0.0
 FROM s GROUP BY ts
 UNION ALL
 SELECT 'wild', concat_ws('.', string_split(name, '.')[1], string_split(name, '.')[3]),
-       ts, ROUND(avg(value), 6)
+       ts, ROUND(avg(value) + 1.23e-9, 6)
 FROM s GROUP BY 2, 3
 """
 
@@ -3787,11 +3812,11 @@ def gr_interp_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     fetched = fetch_points(_stage1(spark, sf_dir), metrics, _GAP_START, NOW, target=STAGE2)
     s = (
         dense_series(fetched, metrics, _GAP_START, NOW, 86400)
-        .withColumn("value", F.round("value", 6))
+        .withColumn("value", F.round(F.col("value") + 1.23e-9, 6))
         .cache()
     )
     s.count()  # materialize before branch fan-out (see gr_series_combine)
-    rounded = F.round("value", 6).alias("value")
+    rounded = F.round(F.col("value") + 1.23e-9, 6).alias("value")
     null_name = F.lit(None).cast("string").alias("name")
     per_series = [
         (interpolate(s), "interp"),
@@ -3810,7 +3835,7 @@ def gr_interp_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_series(s).select(F.lit("count").alias("func"), null_name, "ts", rounded)
     )
     p = F.col("value")
-    signed_log = (F.round(F.signum(p) * F.log10(F.abs(p) + 1), 6) + 0.0).alias("value")
+    signed_log = (F.round(F.signum(p) * F.log10(F.abs(p) + 1) + 1.23e-9, 6) + 0.0).alias("value")
     out = out.unionAll(
         multiply_series(s).select(
             F.lit("product").alias("func"), null_name, "ts", signed_log
@@ -3831,7 +3856,7 @@ d AS ({_oracle_final(86400, where=f"sec >= {_GAP_START} AND sec < {NOW}")}),
 grid AS (SELECT m.name AS name, g.ts AS ts FROM m
          CROSS JOIN (SELECT CAST(ts AS BIGINT) AS ts
                      FROM generate_series({_GAP_START}, {NOW - 86400}, 86400) t(ts)) g),
-s AS (SELECT grid.name AS name, grid.ts AS ts, ROUND(d.value, 6) AS value
+s AS (SELECT grid.name AS name, grid.ts AS ts, ROUND(d.value + 1.23e-9, 6) AS value
       FROM grid LEFT JOIN d ON d.name = grid.name AND d.ts = grid.ts),
 frac AS (SELECT name, count(value) * 1.0 / count(*) AS frac FROM s GROUP BY name),
 stats AS (SELECT name, ROUND(avg(value), 6) AS stat FROM s GROUP BY name
@@ -3901,7 +3926,7 @@ def gr_render_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     fetched = fetch_points(_stage1(spark, sf_dir), metrics, _GAP_START, NOW, target=STAGE2)
     s = (
         dense_series(fetched, metrics, _GAP_START, NOW, 86400)
-        .withColumn("value", F.round("value", 6))
+        .withColumn("value", F.round(F.col("value") + 1.23e-9, 6))
         .cache()
     )
     s.count()  # materialize before branch fan-out (see gr_series_combine)
@@ -4119,7 +4144,7 @@ d AS ({_oracle_final(86400, where=f"sec >= {_GAP_START} AND sec < {NOW}")}),
 grid AS (SELECT m.name AS name, g.ts AS ts FROM m
          CROSS JOIN (SELECT CAST(ts AS BIGINT) AS ts
                      FROM generate_series({_GAP_START}, {NOW - 86400}, 86400) t(ts)) g),
-s AS (SELECT grid.name AS name, grid.ts AS ts, ROUND(d.value, 6) AS value
+s AS (SELECT grid.name AS name, grid.ts AS ts, ROUND(d.value + 1.23e-9, 6) AS value
       FROM grid LEFT JOIN d ON d.name = grid.name AND d.ts = grid.ts),
 idx AS (SELECT name, ts, value,
                CAST(row_number() OVER (PARTITION BY name ORDER BY ts) - 1 AS BIGINT) AS i
@@ -4151,7 +4176,7 @@ rec AS (
     FROM rec r JOIN idx x ON x.name = r.name AND x.i = r.i + 1
   ) g
 )
-SELECT x.name AS name, x.ts AS ts, ROUND(r.out, 6) AS value
+SELECT x.name AS name, x.ts AS ts, ROUND(r.out + 1.23e-9, 6) AS value
 FROM rec r JOIN idx x ON x.name = r.name AND x.i = r.i
 WHERE r.i >= 0
 """
@@ -4169,10 +4194,12 @@ def gr_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics = find_metrics(catalog, "bg.error.u*")
     fetched = fetch_points(_stage1(spark, sf_dir), metrics, _GAP_START, NOW, target=STAGE2)
     dense = dense_series(fetched, metrics, _GAP_START, NOW, 86400).withColumn(
-        "value", F.round("value", 6)
+        "value", F.round(F.col("value") + 1.23e-9, 6)
     )
     ema = exponential_moving_average(dense, 3)
-    return ema.select("name", "ts", F.round("value", 6).alias("value"))
+    return ema.select(
+        "name", "ts", F.round(F.col("value") + 1.23e-9, 6).alias("value")
+    )
 
 
 _BPE_RE_SQL = (
@@ -4231,7 +4258,7 @@ d AS ({_oracle_final(86400, where=f"sec >= {_GAP_START} AND sec < {NOW}")}),
 grid AS (SELECT m.name AS name, g.ts AS ts FROM m
          CROSS JOIN (SELECT CAST(ts AS BIGINT) AS ts
                      FROM generate_series({_GAP_START}, {NOW - 86400}, 86400) t(ts)) g),
-s AS (SELECT grid.name AS name, grid.ts AS ts, ROUND(d.value, 6) AS value
+s AS (SELECT grid.name AS name, grid.ts AS ts, ROUND(d.value + 1.23e-9, 6) AS value
       FROM grid LEFT JOIN d ON d.name = grid.name AND d.ts = grid.ts),
 idx AS (SELECT name, ts, value,
                CAST(row_number() OVER (PARTITION BY name ORDER BY ts) - 1 AS BIGINT) AS i
@@ -4277,16 +4304,16 @@ rec AS (
   ) z
 )
 SELECT x.name AS name, x.ts AS ts, ROUND(x.value, 6) AS value,
-       ROUND(r.prediction, 6) AS forecast,
-       ROUND(r.prediction + 3.0 * r.deviation, 6) AS upper,
-       ROUND(r.prediction - 3.0 * r.deviation, 6) AS lower,
+       ROUND(r.prediction + 1.23e-9, 6) AS forecast,
+       ROUND(r.prediction + 3.0 * r.deviation + 1.23e-9, 6) AS upper,
+       ROUND(r.prediction - 3.0 * r.deviation + 1.23e-9, 6) AS lower,
        ROUND(CASE WHEN x.value IS NOT NULL AND r.prediction IS NOT NULL
                        AND x.value > r.prediction + 3.0 * r.deviation
                   THEN x.value - (r.prediction + 3.0 * r.deviation)
                   WHEN x.value IS NOT NULL AND r.prediction IS NOT NULL
                        AND x.value < r.prediction - 3.0 * r.deviation
                   THEN x.value - (r.prediction - 3.0 * r.deviation)
-                  ELSE 0.0 END, 6) AS aberration
+                  ELSE 0.0 END + 1.23e-9, 6) AS aberration
 FROM rec r JOIN idx x ON x.name = r.name AND x.i = r.i
 WHERE r.i >= 0
 """
@@ -4309,15 +4336,15 @@ def gr_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics = find_metrics(catalog, "bg.error.u*")
     fetched = fetch_points(_stage1(spark, sf_dir), metrics, _GAP_START, NOW, target=STAGE2)
     dense = dense_series(fetched, metrics, _GAP_START, NOW, 86400).withColumn(
-        "value", F.round("value", 6)
+        "value", F.round(F.col("value") + 1.23e-9, 6)
     )
     hw = holt_winters(dense, step=86400, season_length=3)
     return hw.select(
         "name", "ts", "value",
-        F.round("forecast", 6).alias("forecast"),
-        F.round("upper", 6).alias("upper"),
-        F.round("lower", 6).alias("lower"),
-        F.round("aberration", 6).alias("aberration"),
+        F.round(F.col("forecast") + 1.23e-9, 6).alias("forecast"),
+        F.round(F.col("upper") + 1.23e-9, 6).alias("upper"),
+        F.round(F.col("lower") + 1.23e-9, 6).alias("lower"),
+        F.round(F.col("aberration") + 1.23e-9, 6).alias("aberration"),
     )
 
 

@@ -572,6 +572,10 @@ class _GraphiteHandler(BaseHTTPRequestHandler):
         length = int(self.headers.get("Content-Length") or 0)
         form = parse_qs(self.rfile.read(length).decode() if length else "")
         try:
+            if url.path == "/render":
+                # graphite clients (incl. graphite-web's own composer) POST
+                # render requests with a form body; same contract as GET
+                return self._render(form)
             if url.path == "/tags/tagSeries":
                 path = form.get("path", [""])[0]
                 if not path:
@@ -624,27 +628,33 @@ class _GraphiteHandler(BaseHTTPRequestHandler):
                 if res is None:
                     return self._send(404, {"message": "tag not found"})
                 return self._send(200, res)
+            if url.path == "/metrics/index.json":
+                return self._send(200, self.app.expand("**")["results"])
             if url.path == "/render":
-                targets = q.get("target", [])
-                if not targets:
-                    return self._send(400, {"message": "target required"})
-                now = self.app.engine.now
-                start = self.app.parse_time(q.get("from", [""])[0], now - 86400)
-                end = self.app.parse_time(q.get("until", [""])[0], now)
-                fmt = q.get("format", ["json"])[0]
-                if fmt not in ("json", "raw", "csv"):
-                    return self._send(400, {"message": f"format {fmt!r} unsupported"})
-                mdp_raw = q.get("maxDataPoints", [""])[0]
-                mdp = int(mdp_raw) if mdp_raw else None
-                series = self.app.render(targets, start, end, max_points=mdp)
-                if fmt == "raw":
-                    return self._send_text(200, render_raw(series), "text/plain")
-                if fmt == "csv":
-                    return self._send_text(200, render_csv(series), "text/csv")
-                return self._send(200, series)
+                return self._render(q)
         except (InvalidArgumentError, TooManyMetrics, ValueError) as ex:
             return self._send(400, {"message": str(ex)})
         return self._send(404, {"message": "unknown route"})
+
+    def _render(self, q: dict) -> None:
+        """Shared /render handling for GET query strings and POST forms."""
+        targets = q.get("target", [])
+        if not targets:
+            return self._send(400, {"message": "target required"})
+        now = self.app.engine.now
+        start = self.app.parse_time(q.get("from", [""])[0], now - 86400)
+        end = self.app.parse_time(q.get("until", [""])[0], now)
+        fmt = q.get("format", ["json"])[0]
+        if fmt not in ("json", "raw", "csv"):
+            return self._send(400, {"message": f"format {fmt!r} unsupported"})
+        mdp_raw = q.get("maxDataPoints", [""])[0]
+        mdp = int(mdp_raw) if mdp_raw else None
+        series = self.app.render(targets, start, end, max_points=mdp)
+        if fmt == "raw":
+            return self._send_text(200, render_raw(series), "text/plain")
+        if fmt == "csv":
+            return self._send_text(200, render_csv(series), "text/csv")
+        return self._send(200, series)
 
 
 def make_graphite_server(app: GraphiteWeb, port: int = 0) -> ThreadingHTTPServer:

@@ -489,3 +489,23 @@ def _post_form(url, data):
     )
     with urllib.request.urlopen(req) as r:
         return r.status, json.loads(r.read().decode())
+
+
+def test_render_post_form(graphite_server):
+    # graphite clients POST render requests with a form body; contract
+    # matches the GET
+    _, get_series = _get(
+        f"{graphite_server}/render?target=bg.click.u0&from=-1d&until=now"
+    )
+    status, post_series = _post_form(
+        f"{graphite_server}/render",
+        [("target", "bg.click.u0"), ("from", "-1d"), ("until", "now")],
+    )
+    assert status == 200
+    assert post_series == get_series
+
+
+def test_metrics_index_json(graphite_server):
+    status, idx = _get(f"{graphite_server}/metrics/index.json")
+    assert status == 200
+    assert idx == sorted(idx) and "bg.click.u0" in idx

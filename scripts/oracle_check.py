@@ -68,7 +68,11 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        # driver testdata ships single parquet FILES; Spark-generated scale
+        # dirs (scripts/gen_sf1.py) are DIRECTORIES of part files
+        path = f"{SF_DIR}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     spark = get_spark("oracle-check")
     failures = 0

@@ -537,6 +537,33 @@ def render_raw(series: list[dict]) -> str:
     return "\n".join(lines) + ("\n" if lines else "")
 
 
+def render_pickle(series: list[dict]) -> bytes:
+    """graphite-web ``format=pickle`` — the CLUSTER_SERVERS federation wire
+    format: a pickled list of ``{name, start, end, step, values}`` dicts
+    (render/views.py pickle branch), protocol 2 for cross-version readers.
+    This is what lets a remote graphite-web treat this engine as a cluster
+    backend."""
+    import pickle
+
+    out = []
+    for s in series:
+        pts = s["datapoints"]
+        if not pts:
+            continue
+        start = pts[0][1]
+        step = (pts[1][1] - pts[0][1]) if len(pts) > 1 else 1
+        out.append(
+            {
+                "name": s["target"],
+                "start": start,
+                "end": pts[-1][1] + step,
+                "step": step,
+                "values": [v for v, _ in pts],
+            }
+        )
+    return pickle.dumps(out, protocol=2)
+
+
 def render_csv(series: list[dict]) -> str:
     """graphite-web ``format=csv``: one ``name,timestamp,value`` row per
     datapoint (UTC timestamps, empty value for null)."""
@@ -645,7 +672,7 @@ class _GraphiteHandler(BaseHTTPRequestHandler):
         start = self.app.parse_time(q.get("from", [""])[0], now - 86400)
         end = self.app.parse_time(q.get("until", [""])[0], now)
         fmt = q.get("format", ["json"])[0]
-        if fmt not in ("json", "raw", "csv"):
+        if fmt not in ("json", "raw", "csv", "pickle"):
             return self._send(400, {"message": f"format {fmt!r} unsupported"})
         mdp_raw = q.get("maxDataPoints", [""])[0]
         mdp = int(mdp_raw) if mdp_raw else None
@@ -654,6 +681,14 @@ class _GraphiteHandler(BaseHTTPRequestHandler):
             return self._send_text(200, render_raw(series), "text/plain")
         if fmt == "csv":
             return self._send_text(200, render_csv(series), "text/csv")
+        if fmt == "pickle":
+            body = render_pickle(series)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/pickle")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return None
         return self._send(200, series)
 
 

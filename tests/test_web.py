@@ -509,3 +509,25 @@ def test_metrics_index_json(graphite_server):
     status, idx = _get(f"{graphite_server}/metrics/index.json")
     assert status == 200
     assert idx == sorted(idx) and "bg.click.u0" in idx
+
+
+def test_render_pickle_format(graphite_server):
+    import pickle
+
+    _, js = _get(
+        f"{graphite_server}/render?target=bg.click.u0&from=-1d&until=now"
+    )
+    with urllib.request.urlopen(
+        f"{graphite_server}/render?target=bg.click.u0&from=-1d&until=now"
+        "&format=pickle"
+    ) as r:
+        assert r.headers["Content-Type"] == "application/pickle"
+        series = pickle.loads(r.read())
+    assert len(series) == 1
+    s = series[0]
+    pts = js[0]["datapoints"]
+    assert s["name"] == "bg.click.u0"
+    assert s["start"] == pts[0][1]
+    assert s["step"] == pts[1][1] - pts[0][1]
+    assert s["end"] == pts[-1][1] + s["step"]
+    assert s["values"] == [v for v, _ in pts]

@@ -628,7 +628,27 @@ class _GraphiteHandler(BaseHTTPRequestHandler):
         try:
             if url.path == "/metrics/find":
                 query = q.get("query", [""])[0]
-                return self._send(200, self.app.find_nodes(query))
+                nodes = self.app.find_nodes(query)
+                if q.get("format", ["treejson"])[0] == "pickle":
+                    # remote-finder federation format: pickled list of
+                    # {metric_path, isLeaf} (graphite-web views.py find
+                    # pickle branch), the companion of render's pickle
+                    import pickle
+
+                    body = pickle.dumps(
+                        [
+                            {"metric_path": n["id"], "isLeaf": bool(n["leaf"])}
+                            for n in nodes
+                        ],
+                        protocol=2,
+                    )
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/pickle")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return None
+                return self._send(200, nodes)
             if url.path == "/metrics/expand":
                 query = q.get("query", [""])[0]
                 return self._send(200, self.app.expand(query))

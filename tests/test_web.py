@@ -531,3 +531,16 @@ def test_render_pickle_format(graphite_server):
     assert s["step"] == pts[1][1] - pts[0][1]
     assert s["end"] == pts[-1][1] + s["step"]
     assert s["values"] == [v for v, _ in pts]
+
+
+def test_metrics_find_pickle_format(graphite_server):
+    import pickle
+
+    with urllib.request.urlopen(
+        f"{graphite_server}/metrics/find?query=bg.click.u*&format=pickle"
+    ) as r:
+        assert r.headers["Content-Type"] == "application/pickle"
+        nodes = pickle.loads(r.read())
+    assert nodes and all(set(n) == {"metric_path", "isLeaf"} for n in nodes)
+    assert all(n["isLeaf"] for n in nodes)
+    assert any(n["metric_path"] == "bg.click.u0" for n in nodes)

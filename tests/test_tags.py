@@ -260,3 +260,32 @@ def test_tag_store_concurrent_upserts_no_duplicates(spark, tmp_path):
         t.join()
     rows = [r["series"] for r in store._existing().collect()]
     assert sorted(rows) == ["race2;k=2", "race;k=1"]
+
+
+def test_tagged_carbon_ingest_to_tag_query(spark, tmp_path):
+    # graphite's carbon protocol carries tagged series as
+    # 'path;k=v;... value ts'; the ingest path canonicalizes (tags sorted)
+    # into the TagStore, and seriesByTag finds them — S5 -> S10 -> S9
+    from biggraphite_spark.operators.tags import TagStore
+    from biggraphite_spark.sources.carbon import parse_lines
+
+    lines = spark.createDataFrame(
+        [
+            ("disk.used;rack=a1;datacenter=dc1 42.0 1700000000",),
+            ("cpu.idle 7.0 1700000000",),
+            ("bad line",),
+        ],
+        ["value"],
+    )
+    pts = parse_lines(lines)
+    names = sorted(r["name"] for r in pts.select("name").distinct().collect())
+    assert names == ["cpu.idle", "disk.used;rack=a1;datacenter=dc1"]
+
+    store = TagStore(spark, str(tmp_path / "tagdb"))
+    canon = store.tag_multi_series(names)
+    assert "disk.used;datacenter=dc1;rack=a1" in canon  # sorted tags
+    found = [
+        r["series"]
+        for r in find_series(store.series(), ["datacenter=dc1"]).collect()
+    ]
+    assert found == ["disk.used;datacenter=dc1;rack=a1"]

@@ -147,42 +147,34 @@ def cm_heavy_hitters(
     ``min_count``, with the estimate alongside the exact count so the
     overestimate bias is visible.
 
-    One pass over the raw data, then synopsis-sized algebra:
+    ONE pass over the raw data, then synopsis-sized algebra with no join:
 
-    1. exact counts per distinct item — the ONLY aggregation that sees
+    1. exact counts per distinct item — the only aggregation that sees
        the raw stream (map-side partial sums, one shuffle on the item);
-    2. the sketch — cell(d, b) = Σ exact_count over items hashing there
-       (identical to counting the raw stream into the cells, since every
-       occurrence of an item lands in the same ``depth`` cells): the
-       ×depth explode runs over DISTINCT items, not raw rows;
-    3. the per-item probe — each distinct item reads its ``depth``
-       cells (broadcast) and takes the min.
+    2. explode × depth over DISTINCT items and compute cell(d, b) =
+       Σ exact_count as a window over (d, b) — identical to counting the
+       raw stream into the cells, since every occurrence of an item
+       lands in the same ``depth`` cells, and the window keeps each
+       item's row alongside its cell total, so no probe join is needed;
+    3. the per-item min over its ``depth`` cell totals.
 
-    ``estimate >= exact`` always (count-min never undercounts), asserted
-    in tests.
+    The raw input is scanned exactly ONCE (plan-asserted); everything
+    after step 1 is distinct-item-scale.  ``estimate >= exact`` always
+    (count-min never undercounts), asserted in tests.
     """
     d_rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("__d")
     item_counts = df.groupBy(F.col(item_col).alias("__item")).agg(
         F.count(F.lit(1)).alias("exact_count")
     )
-    cells = (
-        item_counts.select("__item", "exact_count", d_rows)
-        .select(
-            "__d",
-            (_h32_salted(F.col("__item"), F.col("__d")) % width).alias("__b"),
-            "exact_count",
-        )
-        .groupBy("__d", "__b")
-        .agg(F.sum("exact_count").alias("__cell"))
-    )
-    items = item_counts.select("__item", "exact_count", d_rows).select(
+    probed = item_counts.select("__item", "exact_count", d_rows).select(
         "__item",
         "exact_count",
         "__d",
         (_h32_salted(F.col("__item"), F.col("__d")) % width).alias("__b"),
     )
+    cell = F.sum("exact_count").over(Window.partitionBy("__d", "__b"))
     return (
-        items.join(F.broadcast(cells), ["__d", "__b"])
+        probed.withColumn("__cell", cell)
         .groupBy("__item", "exact_count")
         .agg(F.min("__cell").alias("cm_estimate"))
         .filter(F.col("cm_estimate") >= min_count)

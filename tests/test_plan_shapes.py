@@ -99,3 +99,37 @@ def test_python_stages_are_arrow_batched(plans):
     # the multimodal decode is the designed Python stage — it must be the
     # Arrow-batched operator, present exactly where intended
     assert "MapInPandas" in plans["mm_decode"]
+
+
+def test_windowed_funnel_is_one_exchange_zero_joins(spark):
+    # the round-6 fold contract: per-user chain semantics = ONE shuffle on
+    # the user key and no join of any kind (the old shape chained k-1
+    # user-keyed joins)
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from biggraphite_spark.operators.funnel import windowed_funnel
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "a", 5)],
+        "user_id long, event_type string, sec long",
+    )
+    plan = _plan(windowed_funnel(df, ["a", "b", "c"], 100))
+    # formatted explain prints each node twice (tree + detail): count the
+    # detail headers, which appear once per physical node
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "Join" not in plan
+
+
+def test_cm_heavy_hitters_scans_raw_once(spark, tmp_path):
+    # sketch cells are a window over the per-item exact counts, so the raw
+    # input is scanned exactly once and the plan has no join at all
+    from biggraphite_spark.operators.sketches import cm_heavy_hitters
+
+    src = str(tmp_path / "items")
+    spark.range(0, 1000).selectExpr(
+        "concat('it', id % 37) AS item"
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    plan = _plan(cm_heavy_hitters(df, "item", depth=4, width=64))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "Join" not in plan

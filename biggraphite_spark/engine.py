@@ -97,3 +97,24 @@ class Engine:
         fetched, start, end, stage = self.fetch(pattern, start, end)
         series = dense_series(fetched, metrics, start, end, stage.precision)
         return ReadResult(start=start, end=end, step=stage.precision, series=series)
+
+    def read_names(self, names: list[str], start: int, end: int) -> ReadResult:
+        """Render-style read for an explicit (already-resolved) name list —
+        the ``seriesByTag`` leaf path, where the TagDB has matched exact
+        carbon-encoded names that a glob could not express (``;`` is not
+        glob syntax).  Same aligned window + dense grid as :meth:`read`;
+        the name set is find-capped upstream, so isin stays a pushed-down
+        IN predicate."""
+        metrics = self.catalog.filter(F.col("name").isin(list(names)))
+        start, end, stage = self.retention.align_time_window(start, end, self.now)
+        fetched = fetch_points(
+            self.stage_df(stage),
+            metrics,
+            start,
+            end,
+            target=stage,
+            aggregated=True,
+            source_is_raw=stage.stage0,
+        )
+        series = dense_series(fetched, metrics, start, end, stage.precision)
+        return ReadResult(start=start, end=end, step=stage.precision, series=series)

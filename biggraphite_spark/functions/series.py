@@ -31,9 +31,119 @@ _COMBINE = {
 }
 
 
-def _check_how(how: str) -> None:
-    if how not in _COMBINE:
-        raise ValueError(f"unknown series function {how!r}; one of {sorted(_COMBINE)}")
+#: graphite accepts several spellings per aggregate (render/functions.py
+#: aggFuncNames/aggFuncAliases); normalize before lookup
+_AGG_ALIASES = {
+    "avg": "average",
+    "total": "sum",
+    "current": "last",
+    "rangeOf": "range",
+}
+
+#: aggregate names agg_expr accepts beyond the _COMBINE basics
+_AGG_EXTRAS = (
+    "avg_zero", "median", "stddev", "range", "multiply", "diff",
+    "first", "last",
+)
+
+
+def agg_expr(how: str, order: str = "name") -> Column:
+    """One Column aggregate over ``value`` for any graphite aggregate-
+    function name (the ``aggregate``/``aggregateLine``/``groupByTags``
+    function table, graphite render/functions.py ``aggFuncs``), with
+    graphite's ``safe*`` null semantics: nulls are ignored, an all-null
+    group yields null, except ``multiply`` which nulls the whole product
+    when ANY constituent is null (safeMul).
+
+    Order-sensitive aggregates (``diff`` = first minus the rest, ``first``/
+    ``last``) order by the ``order`` column: ``name`` for cross-series
+    combining (graphite's series-list order is our sorted-name order),
+    ``ts`` for within-series re-bucketing (``summarize``).  They build a
+    sorted array of (order, value) structs — group cardinality is a
+    dashboard's series count or a bucket's width, so the array stays tiny.
+
+    Usable in ``groupBy(...).agg`` and in unordered window frames alike
+    (the percentile-backed ``median`` is the one exception Spark bans over
+    a moving frame — ``movingWindow`` routes medians to
+    :func:`moving_median` instead).
+    """
+    how = _AGG_ALIASES.get(how, how)
+    v = F.col("value")
+    if how == "count":
+        return F.count(v).cast("double")
+    if how in _COMBINE:
+        return _COMBINE[how](v)
+    if how == "median":
+        return F.percentile(v, F.lit(0.5))
+    if how == "stddev":
+        return F.stddev_pop(v)
+    if how == "range":
+        return F.max(v) - F.min(v)
+    if how == "avg_zero":
+        return F.sum(F.coalesce(v, F.lit(0.0))) / F.count(F.lit(1))
+    if how == "multiply":
+        prod = F.aggregate(
+            F.collect_list(v), F.lit(1.0), lambda acc, x: acc * x
+        )
+        return F.when(F.count(F.lit(1)) == F.count(v), prod)
+    known = F.collect_list(
+        F.when(v.isNotNull(), F.struct(F.col(order).alias("o"), v.alias("v")))
+    )
+    if how == "first":
+        return F.element_at(F.array_sort(known), 1)["v"]
+    if how == "last":
+        return F.element_at(F.reverse(F.array_sort(known)), 1)["v"]
+    if how == "diff":
+        arr = F.array_sort(known)
+        head = F.element_at(arr, 1)["v"]
+        total = F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x["v"])
+        return F.when(F.size(arr) > 0, head * 2 - total)
+    raise ValueError(f"unknown aggregate function {how!r}")
+
+
+def agg_over(how: str, w) -> Column:
+    """Windowed counterpart of :func:`agg_expr` — ``.over(w)`` must apply
+    to each aggregate PRIMITIVE (Spark rejects a window over a composite
+    expression that nests collect_list), so the order-sensitive and
+    composite forms are re-spelled window-first here.  Frame order for
+    first/last/diff is the window's own ORDER BY (always ts in the
+    moving/aggregateLine callers); same safe* null semantics as
+    :func:`agg_expr`.  ``median`` intentionally raises over a moving
+    frame (Spark bans windowed percentile) — callers route it to
+    :func:`moving_median`."""
+    how = _AGG_ALIASES.get(how, how)
+    v = F.col("value")
+    if how == "count":
+        return F.count(v).over(w).cast("double")
+    if how in _COMBINE:
+        return _COMBINE[how](v).over(w)
+    if how == "median":
+        return F.percentile(v, F.lit(0.5)).over(w)
+    if how == "stddev":
+        return F.stddev_pop(v).over(w)
+    if how == "range":
+        return F.max(v).over(w) - F.min(v).over(w)
+    if how == "avg_zero":
+        return (
+            F.sum(F.coalesce(v, F.lit(0.0))).over(w)
+            / F.count(F.lit(1)).over(w)
+        )
+    if how == "first":
+        return F.first(v, ignorenulls=True).over(w)
+    if how == "last":
+        return F.last(v, ignorenulls=True).over(w)
+    if how == "diff":
+        # first non-null minus the rest = 2*first - sum (nulls skipped)
+        return (
+            F.lit(2.0) * F.first(v, ignorenulls=True).over(w)
+            - F.sum(v).over(w)
+        )
+    if how == "multiply":
+        arr = F.collect_list(v).over(w)  # skips nulls
+        cnt = F.count(F.lit(1)).over(w)
+        prod = F.aggregate(arr, F.lit(1.0), lambda acc, x: acc * x)
+        return F.when(F.size(arr) == cnt, prod)
+    raise ValueError(f"unknown aggregate function {how!r}")
 
 
 def _pct_frac(pct: float) -> float:
@@ -47,20 +157,20 @@ def _pct_frac(pct: float) -> float:
 
 def summarize(series: DataFrame, precision: int, how: str = "sum") -> DataFrame:
     """graphite ``summarize(series, interval, func)``: re-bucket each series
-    to ``precision`` seconds with the given combinator."""
-    _check_how(how)
+    to ``precision`` seconds with any aggregate-table combinator
+    (order-sensitive ones run in time order within the widened bucket)."""
     bucket = (F.col("ts") - (F.col("ts") % F.lit(precision))).alias("ts")
     return (
         series.groupBy("name", bucket)
-        .agg(_COMBINE[how]("value").alias("value"))
+        .agg(agg_expr(how, order="ts").alias("value"))
     )
 
 
 def combine(series: DataFrame, how: str = "sum", name: str | None = None) -> DataFrame:
-    """``sumSeries``/``averageSeries``/``minSeries``/``maxSeries``: collapse
-    all input series into one, bucket by bucket."""
-    _check_how(how)
-    out = series.groupBy("ts").agg(_COMBINE[how]("value").alias("value"))
+    """``sumSeries``/``averageSeries``/``minSeries``/``maxSeries`` and the
+    generic ``aggregate(seriesList, 'func')``: collapse all input series
+    into one, bucket by bucket, with any aggregate-table function."""
+    out = series.groupBy("ts").agg(agg_expr(how).alias("value"))
     if name is not None:
         out = out.select(F.lit(name).alias("name"), "ts", "value")
     return out
@@ -76,16 +186,20 @@ def percentile_of_series(series: DataFrame, pct: float) -> DataFrame:
 
 
 def moving(series: DataFrame, points: int, how: str = "average") -> DataFrame:
-    """``movingAverage``/``movingSum``/``movingMin``/``movingMax`` over the
-    trailing ``points`` buckets of each series (current bucket inclusive)."""
-    _check_how(how)
+    """``movingAverage``/``movingSum``/``movingMin``/``movingMax`` and the
+    generic ``movingWindow(series, n, 'func')`` over the trailing
+    ``points`` buckets of each series (current bucket inclusive).  Medians
+    route to :func:`moving_median` — Spark bans percentile aggregates over
+    a moving frame."""
+    if _AGG_ALIASES.get(how, how) == "median":
+        return moving_median(series, points)
     w = (
         Window.partitionBy("name")
         .orderBy("ts")
         .rowsBetween(-(points - 1), Window.currentRow)
     )
     return series.select(
-        "name", "ts", _COMBINE[how]("value").over(w).alias("value")
+        "name", "ts", agg_over(how, w).alias("value")
     )
 
 
@@ -170,12 +284,12 @@ def keep_last_value(series: DataFrame, limit: int | None = None) -> DataFrame:
 
 
 def highest(series: DataFrame, n: int, how: str = "average") -> DataFrame:
-    """``highestAverage``/``highestMax``: keep the n series ranking highest by
-    the given per-series statistic (rounded before ranking, name tie-break,
-    so the cut is reproducible across engines)."""
-    _check_how(how)
+    """``highestAverage``/``highestMax`` and the generic ``highest(series,
+    n, 'func')``: keep the n series ranking highest by the given per-series
+    statistic (rounded before ranking, name tie-break, so the cut is
+    reproducible across engines)."""
     stat = series.groupBy("name").agg(
-        F.round(_COMBINE[how]("value"), 6).alias("stat")
+        F.round(agg_expr(how, order="ts"), 6).alias("stat")
     )
     w = Window.orderBy(F.desc("stat"), F.asc("name"))
     top = (
@@ -270,7 +384,7 @@ def exclude(series: DataFrame, pattern: str) -> DataFrame:
 
 
 def _stat_filter(series: DataFrame, how: str, keep: Column) -> DataFrame:
-    stat = series.groupBy("name").agg(_COMBINE[how]("value").alias("stat"))
+    stat = series.groupBy("name").agg(agg_expr(how, order="ts").alias("stat"))
     kept = stat.filter(keep).select("name")
     return series.join(F.broadcast(kept), "name", "left_semi")
 
@@ -324,10 +438,10 @@ def transform_null(series: DataFrame, default: float = 0.0) -> DataFrame:
 
 
 def lowest(series: DataFrame, n: int, how: str = "average") -> DataFrame:
-    """``lowestAverage``/``lowestMax``: mirror of :func:`highest`."""
-    _check_how(how)
+    """``lowestAverage``/``lowestMax``/generic ``lowest``: mirror of
+    :func:`highest`."""
     stat = series.groupBy("name").agg(
-        F.round(_COMBINE[how]("value"), 6).alias("stat")
+        F.round(agg_expr(how, order="ts"), 6).alias("stat")
     )
     w = Window.orderBy(F.asc("stat"), F.asc("name"))
     bottom = (
@@ -404,11 +518,10 @@ def sort_by_name(series: DataFrame) -> DataFrame:
 def group_by_node(series: DataFrame, node: int, how: str = "sum") -> DataFrame:
     """``groupByNode``: combine series sharing the selected path component
     (0-based), the render-side analogue of an aggregated glob."""
-    _check_how(how)
     key = F.element_at(F.split(F.col("name"), r"\."), node + 1).alias("name")
     return (
         series.groupBy(key, "ts")
-        .agg(_COMBINE[how]("value").alias("value"))
+        .agg(agg_expr(how).alias("value"))
     )
 
 
@@ -607,18 +720,17 @@ def multiply_series(series: DataFrame) -> DataFrame:
 def combine_series_with_wildcards(
     series: DataFrame, how: str, *positions: int
 ) -> DataFrame:
-    """``sumSeriesWithWildcards`` / ``averageSeriesWithWildcards`` /
-    ``minSeriesWithWildcards`` / ``maxSeriesWithWildcards``: blank out the
-    given name components (0-based) and combine the series that collapse
-    together with the chosen function."""
-    _check_how(how)
+    """``sumSeriesWithWildcards`` / ``averageSeriesWithWildcards`` / … and
+    the generic ``aggregateWithWildcards(seriesList, 'func', *pos)``:
+    blank out the given name components (0-based) and combine the series
+    that collapse together with any aggregate-table function."""
     parts = F.split(F.col("name"), r"\.")
     kept = F.filter(
         F.transform(parts, lambda p, i: F.when(~i.isin(list(positions)), p)),
         lambda p: p.isNotNull(),
     )
     key = F.concat_ws(".", kept).alias("name")
-    return series.groupBy(key, "ts").agg(_COMBINE[how]("value").alias("value"))
+    return series.groupBy(key, "ts").agg(agg_expr(how).alias("value"))
 
 
 def average_series_with_wildcards(series: DataFrame, *positions: int) -> DataFrame:
@@ -841,10 +953,9 @@ def smart_summarize(
     """``smartSummarize``: like :func:`summarize` but buckets are aligned to
     ``origin`` (graphite aligns to the requested window start) instead of the
     epoch.  Pass the fetch window's start ts as ``origin``."""
-    _check_how(how)
     off = F.col("ts") - F.lit(origin)
     bucket = (F.lit(origin) + off - (off % F.lit(precision))).alias("ts")
-    return series.groupBy("name", bucket).agg(_COMBINE[how]("value").alias("value"))
+    return series.groupBy("name", bucket).agg(agg_expr(how, order="ts").alias("value"))
 
 
 def sort_by_minima(series: DataFrame) -> DataFrame:
@@ -912,12 +1023,15 @@ def current_below(series: DataFrame, n: float) -> DataFrame:
 def aggregate_line(series: DataFrame, how: str = "average") -> DataFrame:
     """``aggregateLine``: replace each bucket's value with the series-wide
     aggregate — a flat line at the statistic, emitted on the series' own
-    grid."""
-    _check_how(how)
-    agg = _COMBINE[how]
-    w = Window.partitionBy("name")
+    grid.  The frame is ordered + unbounded so order-sensitive aggregates
+    (first/last/diff) see time order, not shuffle order."""
+    w = (
+        Window.partitionBy("name")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     return series.select(
-        "name", "ts", agg("value").over(w).alias("value")
+        "name", "ts", agg_over(how, w).alias("value")
     )
 
 
@@ -961,12 +1075,11 @@ def divide_series_lists(dividends: DataFrame, divisors: DataFrame) -> DataFrame:
 def group_by_nodes(series: DataFrame, how: str, *nodes: int) -> DataFrame:
     """``groupByNodes``: aggregate series whose selected node components
     agree — the multi-node generalization of :func:`group_by_node`."""
-    _check_how(how)
     parts = F.split(F.col("name"), r"\.")
     key = F.concat_ws(".", *[F.element_at(parts, i + 1) for i in nodes])
     return (
         series.groupBy(key.alias("name"), "ts")
-        .agg(_COMBINE[how]("value").alias("value"))
+        .agg(agg_expr(how).alias("value"))
     )
 
 
@@ -1166,3 +1279,353 @@ def seasonal_decompose(
             ).alias("residual"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# generic filter / rank / value-transform verbs (graphite render/functions.py
+# filterSeries, sortBy, removeAboveValue family, …)
+# ---------------------------------------------------------------------------
+
+_FILTER_OPS = ("=", "!=", ">", ">=", "<", "<=")
+
+
+def _series_stat(series: DataFrame, how: str) -> DataFrame:
+    """Per-series scalar statistic (rounded at the oracle resolution) for
+    the filter/sort/rank family — ``last`` orders by ts, matching
+    graphite's safeLast."""
+    return series.groupBy("name").agg(
+        F.round(agg_expr(how, order="ts"), 6).alias("stat")
+    )
+
+
+def filter_series(series: DataFrame, how: str, op: str, n: float) -> DataFrame:
+    """``filterSeries(seriesList, func, operator, threshold)``: keep series
+    whose per-series statistic passes the comparison — the generic form of
+    averageAbove/currentBelow/… (graphite render/functions.py
+    filterSeries)."""
+    col = F.col("stat")
+    preds = {
+        "=": col == n, "!=": col != n,
+        ">": col > n, ">=": col >= n,
+        "<": col < n, "<=": col <= n,
+    }
+    if op not in preds:
+        raise ValueError(f"unknown operator {op!r}; one of {_FILTER_OPS}")
+    kept = _series_stat(series, how).filter(preds[op]).select("name")
+    return series.join(F.broadcast(kept), "name", "left_semi")
+
+
+def sort_by(series: DataFrame, how: str = "average",
+            reverse: bool = False) -> DataFrame:
+    """``sortBy(seriesList, func, reverse)``: rank series by any aggregate-
+    table statistic, ascending by default (the generic form of
+    sortByTotal/sortByMaxima; rank/stat ride along like the other sort
+    verbs and are projected away at the language boundary)."""
+    stat = _series_stat(series, how)
+    order = F.desc_nulls_last("stat") if reverse else F.asc_nulls_last("stat")
+    w = Window.orderBy(order, F.asc("name"))
+    ranked = stat.withColumn("rank", F.row_number().over(w).cast("long"))
+    return series.join(F.broadcast(ranked), "name").select(
+        "name", "ts", "value", "stat", "rank"
+    )
+
+
+def remove_above_value(series: DataFrame, n: float) -> DataFrame:
+    """``removeAboveValue``: null out datapoints greater than ``n``."""
+    return series.withColumn(
+        "value", F.when(F.col("value") <= n, F.col("value"))
+    )
+
+
+def remove_below_value(series: DataFrame, n: float) -> DataFrame:
+    """``removeBelowValue``: null out datapoints less than ``n``."""
+    return series.withColumn(
+        "value", F.when(F.col("value") >= n, F.col("value"))
+    )
+
+
+def maximum_below(series: DataFrame, n: float) -> DataFrame:
+    """``maximumBelow``: keep series whose max is below ``n``."""
+    return _stat_filter(series, "max", F.col("stat") < n)
+
+
+def minimum_above(series: DataFrame, n: float) -> DataFrame:
+    """``minimumAbove``: keep series whose min is above ``n``."""
+    return _stat_filter(series, "min", F.col("stat") > n)
+
+
+def remove_between_percentile(series: DataFrame, n: float) -> DataFrame:
+    """``removeBetweenPercentile``: drop series that never leave the
+    per-bucket [100-n, n] percentile band (n is folded above 50 first,
+    like graphite).  Percentiles use the same interpolated definition as
+    the rest of the percentile family.  One whole-partition window keyed
+    by ts + a broadcast semi-join — no driver loop."""
+    if n < 50:
+        n = 100 - n
+    w = Window.partitionBy("ts")
+    hi = F.percentile("value", F.lit(_pct_frac(n))).over(w)
+    lo = F.percentile("value", F.lit(1 - _pct_frac(n))).over(w)
+    out = F.when((F.col("value") > hi) | (F.col("value") < lo), 1).otherwise(0)
+    keep = (
+        series.select("name", out.alias("out"))
+        .groupBy("name").agg(F.max("out").alias("out"))
+        .filter(F.col("out") == 1)
+        .select("name")
+    )
+    return series.join(F.broadcast(keep), "name", "left_semi")
+
+
+def exp_series(series: DataFrame) -> DataFrame:
+    """``exp``: e ** value."""
+    return series.withColumn("value", F.exp("value"))
+
+
+def logit_series(series: DataFrame) -> DataFrame:
+    """``logit``: ln(v / (1 - v)); v == 1 yields null (graphite emits None
+    on the ZeroDivisionError)."""
+    v = F.col("value")
+    return series.withColumn(
+        "value", F.when(v != 1.0, F.log(v / (F.lit(1.0) - v)))
+    )
+
+
+def pow_series_fold(series: DataFrame, name: str) -> DataFrame:
+    """``powSeries``: per-bucket left-fold of exponentiation across series
+    in name order (graphite folds in series-list order; sorted dot-names
+    are the deterministic DataFrame analogue).  Like safePow, any null
+    constituent nulls the bucket."""
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("name").alias("o"), F.col("value").alias("v")))
+    )
+    folded = F.aggregate(
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.element_at(arr, 1)["v"],
+        lambda acc, x: F.when(acc >= 0, F.pow(acc, x["v"])),
+    )
+    complete = F.count(F.lit(1)) == F.count("value")
+    return series.groupBy("ts").agg(
+        F.when(complete, folded).alias("value")
+    ).select(F.lit(name).alias("name"), "ts", "value")
+
+
+# ---------------------------------------------------------------------------
+# pairwise seriesLists family (sumSeriesLists / diffSeriesLists /
+# multiplySeriesLists / aggregateSeriesLists)
+# ---------------------------------------------------------------------------
+
+
+def _paired_by_rank(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Zip two series lists positionally BY SORTED NAME (graphite zips the
+    fetched lists; dot-name order is the deterministic DataFrame analogue)
+    — rows (ts, v, w, name, name2); unmatched ranks drop."""
+    wn = Window.orderBy("name")
+
+    def ranked(df: DataFrame, v: str, alias: str) -> DataFrame:
+        names = df.select("name").distinct().withColumn(
+            "r", F.row_number().over(wn)
+        )
+        return df.join(F.broadcast(names), "name").select(
+            "r", "ts", F.col("value").alias(v), F.col("name").alias(alias)
+        )
+
+    return ranked(a, "v", "name").join(
+        ranked(b, "w", "name2"), ["r", "ts"]
+    )
+
+
+def aggregate_series_lists(a: DataFrame, b: DataFrame, how: str) -> DataFrame:
+    """``sumSeriesLists`` / ``diffSeriesLists`` / ``multiplySeriesLists`` /
+    ``aggregateSeriesLists(l1, l2, func)``: pair the two lists positionally
+    and combine bucket-wise with graphite's safe* pair semantics (nulls
+    ignored except multiply; order-sensitive funcs see (v, w) in list
+    order).  Output names follow graphite: ``<func>Series(n1,n2)``."""
+    how = _AGG_ALIASES.get(how, how)
+    v, w = F.col("v"), F.col("w")
+    both = v.isNotNull() & w.isNotNull()
+    either = v.isNotNull() | w.isNotNull()
+    nn = v.isNotNull().cast("int") + w.isNotNull().cast("int")
+    pair_avg = F.when(
+        either,
+        (F.coalesce(v, F.lit(0.0)) + F.coalesce(w, F.lit(0.0))) / nn,
+    )
+    exprs = {
+        "sum": F.when(either, F.coalesce(v, F.lit(0.0)) + F.coalesce(w, F.lit(0.0))),
+        "average": pair_avg,
+        "median": pair_avg,
+        "min": F.least(v, w),
+        "max": F.greatest(v, w),
+        "multiply": F.when(both, v * w),
+        "diff": F.when(both, v - w).when(v.isNotNull(), v).otherwise(w),
+        "first": F.coalesce(v, w),
+        "last": F.coalesce(w, v),
+        "count": nn.cast("double"),
+        "range": F.when(both, F.greatest(v, w) - F.least(v, w)).when(either, F.lit(0.0)),
+        "stddev": F.when(both, F.abs(v - w) / 2).when(either, F.lit(0.0)),
+    }
+    if how not in exprs:
+        raise ValueError(
+            f"unknown pairwise aggregate {how!r}; one of {sorted(exprs)}"
+        )
+    label = F.format_string(f"{how}Series(%s,%s)", F.col("name"), F.col("name2"))
+    return _paired_by_rank(a, b).select(
+        label.alias("name"), "ts", exprs[how].alias("value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# name-decorating verbs (cactiStyle / legendValue) and display passthroughs
+# ---------------------------------------------------------------------------
+
+
+def cacti_style(series: DataFrame) -> DataFrame:
+    """``cactiStyle``: suffix each name with Current / Max / Min at %.2f
+    (graphite additionally space-justifies the columns for its text
+    legend; the numbers and order match).  All-null series print NaN."""
+    wf = (
+        Window.partitionBy("name").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w = Window.partitionBy("name")
+    nan = F.lit(float("nan"))
+    label = F.format_string(
+        "%s Current:%.2f Max:%.2f Min:%.2f",
+        F.col("name"),
+        F.coalesce(F.last("value", ignorenulls=True).over(wf), nan),
+        F.coalesce(F.max("value").over(w), nan),
+        F.coalesce(F.min("value").over(w), nan),
+    )
+    return series.select(label.alias("name"), "ts", "value")
+
+
+def legend_value(series: DataFrame, *stats: str) -> DataFrame:
+    """``legendValue(seriesList, *valueTypes)``: append ``(stat: value)``
+    per requested statistic to each name (avg/total/min/max/last and the
+    rest of the aggregate table); values render rounded to 6 places.
+    Stats come from one per-series groupBy broadcast back onto the rows —
+    the order-sensitive aggregates (last/first/diff) can't nest inside a
+    window expression."""
+    cols = [
+        F.round(agg_expr(st, order="ts"), 6).alias(f"_s{i}")
+        for i, st in enumerate(stats)
+    ]
+    stat = series.groupBy("name").agg(*cols)
+    name_col = F.col("name")
+    for i, st in enumerate(stats):
+        name_col = F.concat(
+            name_col, F.lit(f" ({st}: "),
+            F.coalesce(F.col(f"_s{i}").cast("string"), F.lit("None")),
+            F.lit(")"),
+        )
+    return series.join(F.broadcast(stat), "name").select(
+        name_col.alias("name"), "ts", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# zero-series synthetics (constantLine's siblings)
+# ---------------------------------------------------------------------------
+
+
+def sin_function(spark, name: str, amplitude: float,
+                 start: int, end: int, step: int) -> DataFrame:
+    """``sinFunction``: amplitude * sin(ts / 10) on the render grid —
+    graphite's test-signal generator (its phase origin is the request
+    time; ours is the epoch, deterministic for oracles)."""
+    return spark.range(1).select(
+        F.lit(name).alias("name"),
+        F.explode(
+            F.sequence(F.lit(start), F.lit(end - 1), F.lit(step))
+        ).alias("ts"),
+    ).select(
+        "name", "ts",
+        (F.lit(float(amplitude)) * F.sin(F.col("ts") / F.lit(10.0))).alias("value"),
+    )
+
+
+def random_walk(spark, name: str, start: int, end: int, step: int) -> DataFrame:
+    """``randomWalkFunction``: cumulative sum of per-bucket steps uniform
+    in [-0.5, 0.5).  graphite draws real random numbers; a replayable
+    engine cannot, so the step stream is a fixed-seed hash of (name, ts)
+    — same shape, deterministic across runs and resumes."""
+    grid = spark.range(1).select(
+        F.lit(name).alias("name"),
+        F.explode(
+            F.sequence(F.lit(start), F.lit(end - 1), F.lit(step))
+        ).alias("ts"),
+    )
+    stepv = (
+        F.pmod(F.xxhash64(F.col("name"), F.col("ts")), F.lit(1000)) / 1000.0
+        - 0.5
+    )
+    w = (
+        Window.partitionBy("name").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.select(
+        "name", "ts", F.sum(stepv).over(w).alias("value")
+    )
+
+
+def vertical_line(spark, ts: int, label: str = "vertical_line") -> DataFrame:
+    """``verticalLine``: a single marker datapoint (value 1.0) at ``ts`` —
+    the renderer draws the vertical; the data contract is the marker
+    row."""
+    return spark.range(1).select(
+        F.lit(label).alias("name"),
+        F.lit(int(ts)).cast("long").alias("ts"),
+        F.lit(1.0).alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tag-aware verbs over the carbon name encoding (path;k=v;k2=v2) —
+# the render-language consumers of operators/tags.py's TagDB surface
+# ---------------------------------------------------------------------------
+
+
+def _tag_value(tag: str) -> Column:
+    """Value of ``tag`` parsed from the carbon-encoded name column; the
+    implicit ``name`` tag is the path before the first ``;`` (graphite
+    convention, operators/tags.py parse_series)."""
+    import re as _re
+
+    if tag == "name":
+        return F.element_at(F.split(F.col("name"), ";"), 1)
+    return F.regexp_extract(
+        F.col("name"), "(?:^|;)" + _re.escape(tag) + "=([^;]*)", 1
+    )
+
+
+def group_by_tags(series: DataFrame, how: str, *tags: str) -> DataFrame:
+    """``groupByTags(seriesList, func, *tags)``: aggregate series whose
+    selected tag values agree.  Output names follow graphite: the base is
+    the ``name`` tag when requested, else the function name, with each
+    (non-empty) grouped tag appended ``;tag=value`` in argument order."""
+    if not tags:
+        raise ValueError("groupByTags requires at least one tag")
+    base = _tag_value("name") if "name" in tags else F.lit(
+        _AGG_ALIASES.get(how, how)
+    )
+    label = base
+    for t in tags:
+        if t == "name":
+            continue
+        tv = _tag_value(t)
+        label = F.concat(
+            label,
+            F.when(tv != "", F.concat(F.lit(f";{t}="), tv)).otherwise(F.lit("")),
+        )
+    return (
+        series.groupBy(label.alias("name"), "ts")
+        .agg(agg_expr(how).alias("value"))
+    )
+
+
+def alias_by_tags(series: DataFrame, *tags: str) -> DataFrame:
+    """``aliasByTags``: rename each series to the dot-joined values of the
+    requested tags (the tag analogue of aliasByNode; missing tags
+    contribute empty components, like graphite's ``tags.get(tag, '')``)."""
+    if not tags:
+        raise ValueError("aliasByTags requires at least one tag")
+    label = F.concat_ws(".", *[_tag_value(t) for t in tags])
+    return series.select(label.alias("name"), "ts", "value")

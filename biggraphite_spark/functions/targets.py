@@ -9,10 +9,17 @@ implementations in :mod:`.series`, so one target expression becomes ONE
 Spark plan over the fetched series.
 
 Scope: the computational core of the target language — nested calls,
-glob leaves (brace groups included), numeric and quoted-string and
-timespan ("1h"/"2d") arguments.  Presentation-only verbs (color,
-lineWidth, …) are out of scope; unknown functions raise
-``InvalidArgumentError`` so callers get graphite's 400 contract.
+glob leaves (brace groups included), numeric / quoted-string / timespan
+("1h"/"2d") / bare-boolean arguments — plus the zero-series synthetics
+(constantLine, timeFunction, sinFunction, randomWalkFunction,
+verticalLine, seriesByTag), the generic aggregate-table verbs
+(aggregate, filterSeries, sortBy, highest/lowest, movingWindow,
+aggregateWithWildcards, groupByTags, …), the pairwise seriesLists
+family, and the presentation verbs whose data contract is a name
+decoration (cactiStyle, legendValue, dashed, stacked, …).
+consolidateBy/setXFilesFactor ride a ``meta`` side-channel to the
+renderer, which applies them at consolidation time.  Unknown functions
+raise ``InvalidArgumentError`` so callers get graphite's 400 contract.
 
 Evaluation returns frames with (name, ts, value): combining functions
 label their single output series with the expression text, exactly how
@@ -130,7 +137,17 @@ class _Parser:
             self.i = m.end()
             v = m.group(0)
             return float(v) if "." in v else int(v)
-        return self.parse_expr()
+        node = self.parse_expr()
+        # bare true/false/none argument literals (graphite's grammar has
+        # boolean/None tokens; a metric literally named "true" must be
+        # globbed as {true} or quoted upstream, same trade graphite makes)
+        if isinstance(node, Leaf):
+            lit = {"true": True, "false": False,
+                   "True": True, "False": False,
+                   "none": None, "None": None}
+            if node.glob in lit:
+                return lit[node.glob]
+        return node
 
     def parse_path(self):
         start = self.i
@@ -190,16 +207,113 @@ def _sarg(v) -> str:
     return str(_scalar(v))
 
 
-def evaluate_target(node, fetch, step: int, start: int = 0) -> DataFrame:
+#: functions that synthesize series from the render window instead of
+#: consuming one (graphite render/functions.py's requestContext-only verbs)
+_ZERO_SERIES = frozenset({
+    "constantLine", "threshold", "identity", "timeFunction", "time",
+    "sinFunction", "sin", "randomWalkFunction", "randomWalk",
+    "verticalLine", "seriesByTag",
+})
+
+
+def evaluate_target(node, fetch, step: int, start: int = 0,
+                    end: int | None = None, spark=None,
+                    tag_fetch=None, meta: dict | None = None) -> DataFrame:
     """Evaluate a parsed target: ``fetch(glob) -> DataFrame(name, ts,
     value)`` supplies the leaves; ``step`` is the fetched grid's bucket
     seconds (perSecond needs it) and ``start`` the aligned window start
-    (smartSummarize aligns its buckets to it, per graphite)."""
+    (smartSummarize aligns its buckets to it, per graphite).
+
+    ``end``/``spark`` power the zero-series synthetics (constantLine,
+    timeFunction, …) — without them those verbs raise graphite's 400.
+    ``tag_fetch(specs) -> DataFrame(name, ts, value)`` backs
+    ``seriesByTag`` leaves.  ``meta``, when supplied, collects render
+    hints that don't change the data (``consolidate`` from
+    consolidateBy/cumulative, ``xff`` from setXFilesFactor) for the
+    renderer to honor at consolidation time."""
     from . import series as S
+
+    if meta is None:
+        meta = {}
+
+    def _barg(v) -> bool:
+        return bool(_scalar(v))
+
+    def _window_points(v) -> int:
+        """moving* window argument: a point count, or a quoted timespan
+        that graphite divides by the series step."""
+        if isinstance(v, str):
+            return max(1, parse_timespan(v) // max(1, step))
+        return _iarg(v)
+
+    def _spark():
+        sp = spark
+        if sp is None:
+            from pyspark.sql import SparkSession
+
+            sp = SparkSession.getActiveSession()
+        if sp is None:
+            raise InvalidArgumentError(
+                "this render function needs a SparkSession")
+        return sp
+
+    def _window_end() -> int:
+        if end is None:
+            raise InvalidArgumentError(
+                "this render function needs the render window (end=)")
+        return end
+
+    def _zero_series(n, f: str) -> DataFrame:
+        from . import series as S
+
+        args = list(n.args)
+        if f == "seriesByTag":
+            if tag_fetch is None:
+                raise InvalidArgumentError(
+                    "seriesByTag requires a tag database (tag_fetch=)")
+            if not args:
+                raise InvalidArgumentError(
+                    "seriesByTag requires at least one matcher")
+            return tag_fetch([_sarg(a) for a in args])
+        if f in ("constantLine", "threshold"):
+            value = _farg(args[0])
+            out = S.constant_line(_spark(), value, start, _window_end(), step)
+            # graphite names both after the numeric value unless threshold
+            # got an explicit label (render/functions.py constantLine)
+            label = (
+                _sarg(args[1])
+                if f == "threshold" and len(args) > 1 and args[1]
+                else f"{value:g}"
+            )
+            return out.select(
+                S.F.lit(label).alias("name"), "ts", "value"
+            )
+        if f in ("identity", "timeFunction", "time"):
+            name = _sarg(args[0]) if args else f
+            return S.time_function(_spark(), name, start, _window_end(), step)
+        if f in ("sinFunction", "sin"):
+            name = _sarg(args[0]) if args else "sin"
+            amplitude = _farg(args[1]) if len(args) > 1 else 1.0
+            return S.sin_function(
+                _spark(), name, amplitude, start, _window_end(), step)
+        if f in ("randomWalkFunction", "randomWalk"):
+            name = _sarg(args[0]) if args else "randomWalk"
+            return S.random_walk(_spark(), name, start, _window_end(), step)
+        # verticalLine: marker at an absolute epoch ts (graphite also
+        # accepts its at-style time strings; epoch covers the API use)
+        ts = _iarg(args[0])
+        label = _sarg(args[1]) if len(args) > 1 else "vertical_line"
+        if not (start <= ts <= _window_end()):
+            raise InvalidArgumentError(
+                "verticalLine timestamp outside the render window")
+        return S.vertical_line(_spark(), ts, label)
 
     def ev(n) -> DataFrame:
         if isinstance(n, Leaf):
             return fetch(n.glob)
+        f = n.func
+        if f in _ZERO_SERIES:
+            return _zero_series(n, f)
         args = [ev(a) if isinstance(a, (Call, Leaf)) else a for a in n.args]
         if not args or not isinstance(args[0], DataFrame):
             raise InvalidArgumentError(
@@ -208,8 +322,6 @@ def evaluate_target(node, fetch, step: int, start: int = 0) -> DataFrame:
 
         def combined(how: str) -> DataFrame:
             return S.combine(s, how, name=n.text)
-
-        f = n.func
         if f == "sumSeries":
             return combined("sum")
         if f == "averageSeries":
@@ -224,9 +336,13 @@ def evaluate_target(node, fetch, step: int, start: int = 0) -> DataFrame:
                 S.F.lit(n.text).alias("name"), "ts", "value"
             )
         if f in ("movingAverage", "movingSum", "movingMin", "movingMax"):
-            return S.moving(s, _iarg(rest[0]), how=f[len("moving"):].lower())
+            return S.moving(s, _window_points(rest[0]),
+                            how=f[len("moving"):].lower())
         if f == "movingMedian":
-            return S.moving_median(s, _iarg(rest[0]))
+            return S.moving_median(s, _window_points(rest[0]))
+        if f == "movingWindow":
+            how = _sarg(rest[1]) if len(rest) > 1 else "average"
+            return S.moving(s, _window_points(rest[0]), how=how)
         if f == "scale":
             return S.scale(s, _farg(rest[0]))
         if f == "offset":
@@ -423,15 +539,21 @@ def evaluate_target(node, fetch, step: int, start: int = 0) -> DataFrame:
         if f == "exponentialMovingAverage":
             from .holtwinters import exponential_moving_average
 
-            return exponential_moving_average(s, _iarg(rest[0]))
-        if f in ("averageSeriesWithWildcards", "sumSeriesWithWildcards"):
+            return exponential_moving_average(s, _window_points(rest[0]))
+        if f.endswith("SeriesWithWildcards"):
+            # sum/average/min/max/multiplySeriesWithWildcards — any
+            # aggregate-table prefix
             return S.combine_series_with_wildcards(
-                s, "average" if f.startswith("average") else "sum",
-                *[_iarg(a) for a in rest],
+                s, f[: -len("SeriesWithWildcards")], *[_iarg(a) for a in rest]
+            )
+        if f == "aggregateWithWildcards":
+            return S.combine_series_with_wildcards(
+                s, _sarg(rest[0]), *[_iarg(a) for a in rest[1:]]
             )
         if f in (
             "holtWintersForecast",
             "holtWintersConfidenceBands",
+            "holtWintersConfidenceArea",
             "holtWintersAberration",
         ):
             # graphite render/functions.py holtWinters family over the
@@ -467,6 +589,178 @@ def evaluate_target(node, fetch, step: int, start: int = 0) -> DataFrame:
                 S.F.col("lower").alias("value"),
             )
             return upper.unionByName(lower)
+        # -- generic aggregate / filter / rank verbs ------------------------
+        if f == "aggregate":
+            # optional third xFilesFactor arg is a consolidation hint our
+            # dense-grid model doesn't need; accepted and ignored
+            try:
+                return combined(_sarg(rest[0]))
+            except ValueError as ex:
+                raise InvalidArgumentError(str(ex))
+        if f == "filterSeries":
+            try:
+                return S.filter_series(
+                    s, _sarg(rest[0]), _sarg(rest[1]), _farg(rest[2]))
+            except ValueError as ex:
+                raise InvalidArgumentError(str(ex))
+        if f in ("highest", "lowest"):
+            k = _iarg(rest[0]) if rest else 1
+            how = _sarg(rest[1]) if len(rest) > 1 else "average"
+            fn = S.highest if f == "highest" else S.lowest
+            return fn(s, k, how)
+        if f == "sortBy":
+            how = _sarg(rest[0]) if rest else "average"
+            rev = bool(_scalar(rest[1])) if len(rest) > 1 else False
+            return S.sort_by(s, how, rev).select("name", "ts", "value")
+        if f == "maximumBelow":
+            return S.maximum_below(s, _farg(rest[0]))
+        if f == "minimumAbove":
+            return S.minimum_above(s, _farg(rest[0]))
+        if f == "removeAboveValue":
+            return S.remove_above_value(s, _farg(rest[0]))
+        if f == "removeBelowValue":
+            return S.remove_below_value(s, _farg(rest[0]))
+        if f == "removeBetweenPercentile":
+            return S.remove_between_percentile(s, _farg(rest[0]))
+        # -- scalar value transforms ---------------------------------------
+        if f == "add":
+            return S.offset(s, _farg(rest[0]))
+        if f == "exp":
+            return S.exp_series(s)
+        if f == "logit":
+            return S.logit_series(s)
+        if f == "toLowerCase":
+            return s.select(S.F.lower("name").alias("name"), "ts", "value")
+        if f == "toUpperCase":
+            return s.select(S.F.upper("name").alias("name"), "ts", "value")
+        # -- seriesLists family --------------------------------------------
+        if f == "powSeries":
+            out = s
+            for extra in rest:
+                if not isinstance(extra, DataFrame):
+                    raise InvalidArgumentError(
+                        "powSeries: every argument must be a series expression")
+                out = out.unionByName(extra)
+            return S.pow_series_fold(out, n.text)
+        if f in ("sumSeriesLists", "diffSeriesLists", "multiplySeriesLists",
+                 "aggregateSeriesLists"):
+            if not rest or not isinstance(rest[0], DataFrame):
+                raise InvalidArgumentError(
+                    f"{f}: second argument must be a series list")
+            how = {
+                "sumSeriesLists": "sum",
+                "diffSeriesLists": "diff",
+                "multiplySeriesLists": "multiply",
+            }.get(f) or _sarg(rest[1])
+            try:
+                return S.aggregate_series_lists(s, rest[0], how)
+            except ValueError as ex:
+                raise InvalidArgumentError(str(ex))
+        # -- template / refetch verbs --------------------------------------
+        if f == "applyByNode":
+            node_i = _iarg(rest[0])
+            template = _sarg(rest[1])
+            new_name = _sarg(rest[2]) if len(rest) > 2 and rest[2] else None
+            # one render's worth of distinct prefixes (dashboard-sized);
+            # each prefix re-enters the evaluator with '%' substituted —
+            # graphite's applyByNode contract
+            prefixes = sorted({
+                ".".join(r["name"].split(".")[: node_i + 1])
+                for r in s.select("name").distinct().collect()
+            })
+            out = None
+            for p in prefixes:
+                sub = ev(parse_target(template.replace("%", p)))
+                if new_name:
+                    sub = sub.select(
+                        S.F.lit(new_name.replace("%", p)).alias("name"),
+                        "ts", "value",
+                    )
+                else:
+                    sub = sub.select("name", "ts", "value")
+                out = sub if out is None else out.unionByName(sub)
+            return out if out is not None else s.select("name", "ts", "value").limit(0)
+        if f == "useSeriesAbove":
+            cut = _farg(rest[0])
+            search, replace = _sarg(rest[1]), _sarg(rest[2])
+            names = sorted(
+                r["name"]
+                for r in S.maximum_above(s, cut).select("name").distinct().collect()
+            )
+            out = None
+            for nm in names:
+                sub = fetch(re.sub(search, replace, nm))
+                out = sub if out is None else out.unionByName(sub)
+            return out if out is not None else s.select("name", "ts", "value").limit(0)
+        # -- name-decorating legend verbs ----------------------------------
+        if f == "cactiStyle":
+            # optional system/units args tweak graphite's number formatting
+            # only; the stats and order are what the data contract carries
+            return S.cacti_style(s)
+        if f == "legendValue":
+            try:
+                return S.legend_value(s, *[_sarg(a) for a in rest])
+            except ValueError as ex:
+                raise InvalidArgumentError(str(ex))
+        # -- tag-aware verbs ------------------------------------------------
+        if f == "groupByTags":
+            try:
+                return S.group_by_tags(
+                    s, _sarg(rest[0]), *[_sarg(a) for a in rest[1:]])
+            except ValueError as ex:
+                raise InvalidArgumentError(str(ex))
+        if f == "aliasByTags":
+            try:
+                return S.alias_by_tags(s, *[_sarg(a) for a in rest])
+            except ValueError as ex:
+                raise InvalidArgumentError(str(ex))
+        # -- consolidation / render hints (meta channel) --------------------
+        if f in ("consolidateBy", "cumulative"):
+            how = _sarg(rest[0]) if f == "consolidateBy" else "sum"
+            if S._AGG_ALIASES.get(how, how) not in (
+                "average", "sum", "min", "max", "first", "last",
+            ):
+                raise InvalidArgumentError(
+                    f"unknown consolidation function {how!r}")
+            meta["consolidate"] = how
+            return s.select(
+                S.F.format_string(
+                    'consolidateBy(%s,"' + how + '")', S.F.col("name")
+                ).alias("name"),
+                "ts", "value",
+            )
+        if f in ("setXFilesFactor", "xFilesFactor"):
+            meta["xff"] = _farg(rest[0])
+            return s
+        # -- display-attribute passthroughs ---------------------------------
+        if f in ("alpha", "color", "lineWidth"):
+            # pure draw attributes; the data contract is unchanged
+            return s
+        if f == "dashed":
+            d = _farg(rest[0]) if rest else 5.0
+            return s.select(
+                S.F.concat(
+                    S.F.lit("dashed("), S.F.col("name"), S.F.lit(f",{d:g})")
+                ).alias("name"),
+                "ts", "value",
+            )
+        if f in ("drawAsInfinite", "secondYAxis"):
+            return s.select(
+                S.F.format_string(f"{f}(%s)", S.F.col("name")).alias("name"),
+                "ts", "value",
+            )
+        if f == "stacked":
+            if rest:  # named stack group: grouping is a draw attribute
+                return s
+            return s.select(
+                S.F.format_string("stacked(%s)", S.F.col("name")).alias("name"),
+                "ts", "value",
+            )
+        if f == "areaBetween":
+            # graphite renames both band series to the expression text
+            return s.select(
+                S.F.lit(n.text).alias("name"), "ts", "value"
+            )
         raise InvalidArgumentError(f"unsupported render function {f!r}")
 
     return ev(node)

@@ -479,17 +479,25 @@ class GraphiteWeb:
                 a_start, a_end, stage = self.engine.retention.align_time_window(
                     start, end, self.engine.now
                 )
+                meta = {}
                 series_df = T.evaluate_target(
                     node,
                     fetch=lambda g: self.engine.read(g, start, end).series,
                     step=stage.precision,
                     start=a_start,
+                    end=a_end,
+                    spark=self.engine.catalog.sparkSession,
+                    tag_fetch=lambda specs: self.engine.read_names(
+                        self.find_series_by_tag(specs), start, end
+                    ).series,
+                    meta=meta,
                 )
                 rr = type("RR", (), {"start": a_start, "end": a_end,
                                      "step": stage.precision})()
             else:
                 rr = self.engine.read(target, start, end)
                 series_df = rr.series
+                meta = {}
             n_buckets = max(1, (rr.end - rr.start) // rr.step)
             if max_points is None and n_buckets > DEFAULT_RENDER_MAX_POINTS:
                 # no maxDataPoints from the client: still bound the driver
@@ -506,9 +514,18 @@ class GraphiteWeb:
                     + F.floor((F.col("ts") - rr.start) / new_step)
                     * F.lit(new_step)
                 )
+                # consolidateBy/setXFilesFactor hints ride the meta channel
+                # (graphite applies them at consolidation, not at fetch)
+                from .functions.series import agg_expr
+
+                agg = agg_expr(meta.get("consolidate", "average"), order="ts")
+                xff = meta.get("xff")
+                if xff:
+                    frac = F.count("value") / F.count(F.lit(1))
+                    agg = F.when(frac >= F.lit(float(xff)), agg)
                 series_df = (
                     series_df.groupBy("name", bucket.alias("ts"))
-                    .agg(F.avg("value").alias("value"))
+                    .agg(agg.alias("value"))
                 )
             rows = series_df.orderBy("name", "ts").collect()
             series: dict[str, list] = {}

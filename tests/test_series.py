@@ -79,7 +79,7 @@ def test_keep_last_value_limit(spark):
 
 
 def test_summarize_rejects_unknown_func(two_series):
-    with pytest.raises(ValueError, match="unknown series function"):
+    with pytest.raises(ValueError, match="unknown aggregate function"):
         S.summarize(two_series, 120, "p99")
 
 

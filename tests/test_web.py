@@ -544,3 +544,79 @@ def test_metrics_find_pickle_format(graphite_server):
     assert nodes and all(set(n) == {"metric_path", "isLeaf"} for n in nodes)
     assert all(n["isLeaf"] for n in nodes)
     assert any(n["metric_path"] == "bg.click.u0" for n in nodes)
+
+
+# ---------------------------------------------------------------------------
+# round-6 render-language expansion through the HTTP surface
+# ---------------------------------------------------------------------------
+
+
+def test_render_series_by_tag_target(graphite_server):
+    """seriesByTag as a render leaf: the TagDB resolves matchers (implicit
+    name tag over the engine catalog) and the engine reads those exact
+    names — the graphite tagged-render path end-to-end."""
+    status, series = _get(
+        f"{graphite_server}/render?target="
+        + urllib.parse.quote("seriesByTag('name=~bg\\.click\\.u[01]$')")
+        + "&from=-1d"
+    )
+    assert status == 200
+    assert sorted(s["target"] for s in series) == ["bg.click.u0", "bg.click.u1"]
+    assert all(s["datapoints"] for s in series)
+
+    # composable as a leaf under combining verbs
+    status, series = _get(
+        f"{graphite_server}/render?target="
+        + urllib.parse.quote(
+            "sumSeries(seriesByTag('name=~bg\\.click\\.u[01]$'))")
+        + "&from=-1d"
+    )
+    assert status == 200 and len(series) == 1
+
+
+def test_render_zero_series_targets(graphite_server):
+    status, series = _get(
+        f"{graphite_server}/render?target="
+        + urllib.parse.quote("constantLine(5)") + "&from=-1d"
+    )
+    assert status == 200 and len(series) == 1
+    assert series[0]["target"] == "5"
+    assert {v for v, _ in series[0]["datapoints"]} == {5.0}
+
+    status, series = _get(
+        f"{graphite_server}/render?target="
+        + urllib.parse.quote("threshold(9, 'alert')") + "&from=-1d"
+    )
+    assert status == 200 and series[0]["target"] == "alert"
+
+
+def test_render_consolidate_by_is_honored(graphite_server):
+    """consolidateBy('max') must change the maxDataPoints consolidation
+    aggregate, not just the name (graphite render/datalib semantics)."""
+    base = (
+        f"{graphite_server}/render?from=-8w&until=now&maxDataPoints=5&target="
+    )
+    _, avg = _get(base + urllib.parse.quote("bg.click.u0"))
+    _, mx = _get(
+        base + urllib.parse.quote("consolidateBy(bg.click.u0, 'max')")
+    )
+    assert mx[0]["target"].startswith('consolidateBy(')
+    a = {t: v for v, t in avg[0]["datapoints"] if v is not None}
+    m = {t: v for v, t in mx[0]["datapoints"] if v is not None}
+    assert m and all(m[t] >= a[t] for t in m if t in a)
+    # and strictly greater somewhere, else consolidation had no effect
+    assert any(m[t] > a[t] for t in m if t in a)
+
+
+def test_render_generic_aggregate_target(graphite_server):
+    status, series = _get(
+        f"{graphite_server}/render?target="
+        + urllib.parse.quote("aggregate(bg.click.u*, 'max')") + "&from=-1d"
+    )
+    assert status == 200 and len(series) == 1
+    status, by_tag = _get(
+        f"{graphite_server}/render?target="
+        + urllib.parse.quote("groupByTags(bg.click.u0, 'sum', 'name')")
+        + "&from=-1d"
+    )
+    assert status == 200 and by_tag[0]["target"] == "bg.click.u0"

@@ -6473,6 +6473,134 @@ def gr_map_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-6 render-language expansion: generic aggregate table, seriesLists
+# pairing, tag-aware grouping (functions/series.py agg_expr + friends)
+# ---------------------------------------------------------------------------
+
+_TARGET_EXPR3 = "aggregate(filterSeries(bg.purchase.*, 'max', '>', 100), 'median')"
+
+_TARGET_EXPR3_ORACLE = f"""
+WITH {_series_cte("bg.purchase.*")},
+st AS (SELECT name, max(value) AS stat FROM s GROUP BY name),
+k AS (SELECT s.* FROM s JOIN (SELECT name FROM st WHERE stat > 100) USING (name))
+SELECT '{_TARGET_EXPR3.replace("'", "''")}' AS name, ts,
+       ROUND(median(value) + 1.23e-9, 6) AS value
+FROM k GROUP BY ts
+"""
+
+
+@_register("gr_target_expr3", _TARGET_EXPR3_ORACLE)
+def gr_target_expr3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GENERIC half of the render function table under the gate
+    (graphite render/functions.py aggregate/filterSeries, the verbs behind
+    every named alias): per-series max statistic filter feeding a
+    cross-series interpolated median — the aggregate-table paths
+    (functions/series.py agg_expr) the named verbs don't reach.  The
+    +1.23e-9 nudge is the documented PAIRED tie-breaker (_series_cte): an
+    even-count median is the mean of two lattice values and can land ON a
+    5e-7 rounding boundary."""
+    _utc(spark)
+    from biggraphite_spark.functions.targets import evaluate_target, parse_target
+
+    node = parse_target(_TARGET_EXPR3)
+    s = _hourly_finals(spark, sf_dir, "bg.purchase.*")
+    df = evaluate_target(node, fetch=lambda g: s, step=3600)
+    return df.select(
+        "name", "ts", F.round(F.col("value") + 1.23e-9, 6).alias("value")
+    )
+
+
+_SERIES_LISTS_EXPR = (
+    "diffSeriesLists(summarize(bg.click.u1*, '1d', 'sum'), "
+    "summarize(bg.view.u1*, '1d', 'sum'))"
+)
+
+_SL_GLOB = "bg.{click,view}.u1*"
+
+_SERIES_LISTS_ORACLE = f"""
+WITH {_series_cte(_SL_GLOB)},
+d AS (SELECT name, ts - (ts % 86400) AS ts, sum(value) AS value
+      FROM s GROUP BY 1, 2),
+a AS (SELECT * FROM d WHERE name LIKE 'bg.click.%'),
+b AS (SELECT * FROM d WHERE name LIKE 'bg.view.%'),
+ra AS (SELECT name, row_number() OVER (ORDER BY name) AS r
+       FROM (SELECT DISTINCT name FROM a)),
+rb AS (SELECT name AS name2, row_number() OVER (ORDER BY name) AS r
+       FROM (SELECT DISTINCT name FROM b)),
+pa AS (SELECT ra.r, a.ts, a.value AS v, a.name FROM a JOIN ra USING (name)),
+pb AS (SELECT rb.r, b.ts, b.value AS w, rb.name2
+       FROM b JOIN rb ON b.name = rb.name2)
+SELECT 'diffSeries(' || pa.name || ',' || pb.name2 || ')' AS name, pa.ts,
+       ROUND((CASE WHEN v IS NOT NULL AND w IS NOT NULL THEN v - w
+                   WHEN v IS NOT NULL THEN v ELSE w END) + 1.23e-9, 6) AS value
+FROM pa JOIN pb ON pa.r = pb.r AND pa.ts = pb.ts
+"""
+
+
+@_register("gr_series_lists", _SERIES_LISTS_ORACLE)
+def gr_series_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pairwise seriesLists family (graphite render/functions.py
+    sumSeriesLists/diffSeriesLists/aggregateSeriesLists): two series lists
+    zipped POSITIONALLY by sorted-name rank — not joined by name — then
+    combined bucket-wise with safe* pair semantics (diff keeps the
+    non-null side).  Each list is first re-bucketed daily (summarize) so
+    the sparse hourly finals actually collide positionally.  The oracle
+    replays the zip as row_number-over-distinct-names joins; the daily
+    sums are FP-association-sensitive, so the PAIRED +1.23e-9 tie-breaker
+    applies (see _series_cte)."""
+    _utc(spark)
+    from biggraphite_spark.functions.targets import evaluate_target, parse_target
+
+    node = parse_target(_SERIES_LISTS_EXPR)
+    df = evaluate_target(
+        node, fetch=lambda g: _hourly_finals(spark, sf_dir, g), step=3600
+    )
+    return df.select(
+        "name", "ts", F.round(F.col("value") + 1.23e-9, 6).alias("value")
+    )
+
+
+_GBT_EXPR = "groupByTags(tagged.clicks.*, 'avg', 'dc')"
+
+_GBT_ORACLE = f"""
+WITH {_series_cte("bg.click.u1*")},
+t AS (SELECT CAST(regexp_extract(name, 'u(\\d+)$', 1) AS INT) AS u, ts, value
+      FROM s)
+SELECT 'average;dc=dc' || CAST(u % 3 AS VARCHAR) AS name, ts,
+       ROUND(avg(value) + 1.23e-9, 6) AS value
+FROM t GROUP BY 1, 2
+"""
+
+
+@_register("gr_group_by_tags", _GBT_ORACLE)
+def gr_group_by_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupByTags`` over carbon-encoded tagged names (graphite tagged
+    series: ``path;k=v;...``): series are re-labeled with deterministic
+    ``clicks;dc=dcK;user=uN`` names (K = user number mod 3), then grouped
+    by the ``dc`` tag value with the aggregate-table ``avg`` — exercising
+    the _tag_value regex extraction and graphite's ``func;tag=value``
+    output naming.  avg across series is FP-association-sensitive, so the
+    PAIRED +1.23e-9 tie-breaker applies (see _series_cte)."""
+    _utc(spark)
+    from biggraphite_spark.functions.targets import evaluate_target, parse_target
+
+    s = _hourly_finals(spark, sf_dir, "bg.click.u1*")
+    u = F.regexp_extract("name", r"u(\d+)$", 1).cast("int")
+    tagged = s.select(
+        F.concat(
+            F.lit("clicks;dc=dc"), (u % 3).cast("string"),
+            F.lit(";user=u"), u.cast("string"),
+        ).alias("name"),
+        "ts", "value",
+    )
+    node = parse_target(_GBT_EXPR)
+    df = evaluate_target(node, fetch=lambda g: tagged, step=3600)
+    return df.select(
+        "name", "ts", F.round(F.col("value") + 1.23e-9, 6).alias("value")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
 

@@ -784,6 +784,50 @@ def interpolate(series: DataFrame, limit: int | None = None) -> DataFrame:
     return series.select("name", "ts", out.alias("value"))
 
 
+def compress_periodic_gaps(series: DataFrame) -> DataFrame:
+    """``compressPeriodicGaps``: re-grid each series to the step its
+    non-null points actually arrive at — the most common delta between
+    consecutive known points (ties break to the smaller delta, a
+    deterministic refinement of graphite's dict-order tie) — from the
+    first known point to the last.  Series with fewer than 3 known points
+    pass through unchanged, like graphite.  Per-series window + one
+    sequence explode; the regrid join is keyed (name, ts), no UDF."""
+    nn = series.filter(F.col("value").isNotNull())
+    w = Window.partitionBy("name").orderBy("ts")
+    deltas = nn.select(
+        "name", (F.col("ts") - F.lag("ts").over(w)).alias("delta")
+    ).filter(F.col("delta").isNotNull())
+    mode = (
+        deltas.groupBy("name", "delta").count()
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("name")
+                .orderBy(F.desc("count"), F.asc("delta"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("name", F.col("delta").alias("step"))
+    )
+    span = nn.groupBy("name").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    grid = (
+        span.filter(F.col("n") >= 3)
+        .join(mode, "name")
+        .select("name", F.explode(F.sequence("t0", "t1", "step")).alias("ts"))
+    )
+    regridded = grid.join(series, ["name", "ts"], "left").select(
+        "name", "ts", "value"
+    )
+    # pass through any series NOT regridded — including all-null series
+    # that have no row in span at all
+    regrid_names = span.filter(F.col("n") >= 3).select("name")
+    passthrough = series.join(F.broadcast(regrid_names), "name", "left_anti")
+    return regridded.unionByName(passthrough)
+
+
 def _step_col() -> Column:
     """Per-series bucket width inferred as the minimum ts delta (same
     inference as :func:`hitcount`)."""

@@ -322,13 +322,15 @@ def evaluate_target(node, fetch, step: int, start: int = 0,
 
         def combined(how: str) -> DataFrame:
             return S.combine(s, how, name=n.text)
-        if f == "sumSeries":
+        # graphite registers short aliases in SeriesFunctions: sum/avg/
+        # min/max for the *Series combiners, log for logarithm
+        if f in ("sumSeries", "sum"):
             return combined("sum")
-        if f == "averageSeries":
+        if f in ("averageSeries", "avg"):
             return combined("average")
-        if f == "minSeries":
+        if f in ("minSeries", "min"):
             return combined("min")
-        if f == "maxSeries":
+        if f in ("maxSeries", "max"):
             return combined("max")
         if f == "percentileOfSeries":
             return S.percentile_of_series(s, _farg(rest[0])).select(
@@ -410,7 +412,7 @@ def evaluate_target(node, fetch, step: int, start: int = 0,
             return S.changed(s)
         if f == "interpolate":
             return S.interpolate(s, _iarg(rest[0]) if rest else None)
-        if f == "logarithm":
+        if f in ("logarithm", "log"):
             return S.logarithm(s, _farg(rest[0]) if rest else 10.0)
         if f == "squareRoot":
             return S.square_root(s)
@@ -680,6 +682,39 @@ def evaluate_target(node, fetch, step: int, start: int = 0,
                     sub = sub.select("name", "ts", "value")
                 out = sub if out is None else out.unionByName(sub)
             return out if out is not None else s.select("name", "ts", "value").limit(0)
+        if f == "compressPeriodicGaps":
+            return S.compress_periodic_gaps(s)
+        if f == "aliasQuery":
+            # graphite 1.1: re.sub each name into a new target, evaluate
+            # it, and interpolate its last value into newName ('%d'/'%f'
+            # style).  Distinct-name loop is dashboard-bounded, like
+            # applyByNode/useSeriesAbove.
+            search, replace = _sarg(rest[0]), _sarg(rest[1])
+            new_name = _sarg(rest[2])
+            names = sorted(
+                r["name"] for r in s.select("name").distinct().collect()
+            )
+            out = None
+            for nm in names:
+                q = re.sub(search, replace, nm)
+                sub = ev(parse_target(q))
+                row = (
+                    sub.filter(S.F.col("value").isNotNull())
+                    .orderBy(S.F.desc("ts"))
+                    .select("value")
+                    .first()
+                )
+                if row is None:
+                    raise InvalidArgumentError(
+                        f"aliasQuery: no current value for {q!r}")
+                label = new_name % row["value"]
+                branch = s.filter(S.F.col("name") == nm).select(
+                    S.F.lit(label).alias("name"), "ts", "value"
+                )
+                out = branch if out is None else out.unionByName(branch)
+            if out is None:
+                return s.select("name", "ts", "value").limit(0)
+            return out
         if f == "useSeriesAbove":
             cut = _farg(rest[0])
             search, replace = _sarg(rest[1]), _sarg(rest[2])

@@ -440,3 +440,60 @@ def test_holtwinters_confidence_area_alias(spark):
         "holtWintersConfidenceUpper(m)",
         "holtWintersConfidenceLower(m)",
     }
+
+
+# -- short aliases, aliasQuery, compressPeriodicGaps -------------------------
+
+
+def test_short_function_aliases(spark):
+    rows = [("a", 0, 2.0), ("b", 0, 6.0)]
+    df = spark.createDataFrame(rows, ["name", "ts", "value"])
+    assert _vals(df, "sum(x.*)")[("sum(x.*)", 0)] == 8.0
+    assert _vals(df, "avg(x.*)")[("avg(x.*)", 0)] == 4.0
+    assert _vals(df, "min(x.*)")[("min(x.*)", 0)] == 2.0
+    assert _vals(df, "max(x.*)")[("max(x.*)", 0)] == 6.0
+    got = _vals(df, "log(x.*)")
+    assert got[("a", 0)] == pytest.approx(math.log10(2.0))
+
+
+def test_alias_query(spark):
+    data = spark.createDataFrame(
+        [("ch.1.rate", 0, 1.0), ("ch.1.rate", 60, 2.0),
+         ("ch.2.rate", 0, 5.0), ("ch.2.rate", 60, 7.0),
+         ("ch.1.freq", 60, 440.0), ("ch.2.freq", 60, 880.0)],
+        ["name", "ts", "value"],
+    )
+
+    def fetch(glob):
+        return data.filter(F.col("name").rlike(
+            "^" + glob.replace(".", r"\.").replace("*", "[^.]*") + "$"))
+
+    got = evaluate_target(
+        parse_target(
+            "aliasQuery(ch.*.rate, 'ch\\.(\\d+)\\.rate', 'ch.\\1.freq',"
+            " 'Channel %d MHz')"
+        ),
+        fetch=fetch, step=60,
+    ).collect()
+    names = {r["name"] for r in got}
+    assert names == {"Channel 440 MHz", "Channel 880 MHz"}
+    # the queried series supplies the label; data rows stay the originals
+    assert sorted(r["value"] for r in got if r["name"] == "Channel 440 MHz") == [1.0, 2.0]
+
+
+def test_compress_periodic_gaps(spark):
+    # values every 120s on a 60s grid: step should be re-detected as 120
+    rows = []
+    for t in range(10):
+        rows.append(("m", t * 60, float(t) if t % 2 == 0 else None))
+    rows += [("tiny", 0, 1.0), ("tiny", 60, None)]
+    df = spark.createDataFrame(rows, "name string, ts long, value double")
+    got = evaluate_target(
+        parse_target("compressPeriodicGaps(x.*)"),
+        fetch=lambda g: df, step=60,
+    ).collect()
+    m = sorted((r["ts"], r["value"]) for r in got if r["name"] == "m")
+    assert m == [(0, 0.0), (120, 2.0), (240, 4.0), (360, 6.0), (480, 8.0)]
+    # <3 known points: unchanged passthrough
+    tiny = sorted((r["ts"], r["value"]) for r in got if r["name"] == "tiny")
+    assert tiny == [(0, 1.0), (60, None)]

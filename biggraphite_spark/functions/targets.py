@@ -799,3 +799,36 @@ def evaluate_target(node, fetch, step: int, start: int = 0,
         raise InvalidArgumentError(f"unsupported render function {f!r}")
 
     return ev(node)
+
+
+def supported_functions() -> list[str]:
+    """Sorted names of every render function the evaluator dispatches —
+    the data behind graphite-web's ``/functions`` endpoint (its function
+    index, which query builders like grafana introspect).
+
+    Derived by walking this module's AST for comparisons against the
+    dispatch variable ``f`` (``f == "name"``, ``f in ("a", "b")``), plus
+    the ``_ZERO_SERIES`` set and the ``endswith``-matched
+    *SeriesWithWildcards family — self-maintaining, so a new ``if f ==``
+    branch is published automatically."""
+    import ast
+    import inspect
+
+    src = inspect.getsource(evaluate_target)
+    names: set[str] = set(_ZERO_SERIES)
+    for node in ast.walk(ast.parse(src)):
+        if not (isinstance(node, ast.Compare)
+                and isinstance(node.left, ast.Name)
+                and node.left.id == "f"):
+            continue
+        for comp in node.comparators:
+            if isinstance(comp, ast.Constant) and isinstance(comp.value, str):
+                names.add(comp.value)
+            elif isinstance(comp, (ast.Tuple, ast.List, ast.Set)):
+                names.update(
+                    e.value for e in comp.elts
+                    if isinstance(e, ast.Constant) and isinstance(e.value, str)
+                )
+    for prefix in ("sum", "average", "min", "max", "multiply"):
+        names.add(f"{prefix}SeriesWithWildcards")
+    return sorted(names)

@@ -337,3 +337,39 @@ def tag_values(tagged: DataFrame, tag: str | None = None,
         out = out.filter(F.col("value").rlike(value_filter))
     out = out.orderBy("tag", "value")
     return out.limit(limit) if limit else out
+
+
+def auto_complete_tags(tagged: DataFrame, exprs: list[str] | None = None,
+                       tag_prefix: str | None = None,
+                       limit: int = 100) -> DataFrame:
+    """graphite-web ``/tags/autoComplete/tags`` (tags/base.py
+    auto_complete_tags): tag names present on series matching ``exprs``
+    (all series when none), EXCLUDING tags the exprs already pin,
+    prefix-filtered, sorted, limited (graphite's default limit is 100).
+    One filter + one map_keys explode — no join."""
+    src = tagged.filter(specs_predicate(list(exprs))) if exprs else tagged
+    out = src.select(F.explode(F.map_keys("tags")).alias("tag")).distinct()
+    if exprs:
+        searched = sorted({parse_tag_spec(e)[0] for e in exprs})
+        out = out.filter(~F.col("tag").isin(searched))
+    if tag_prefix:
+        out = out.filter(F.col("tag").startswith(tag_prefix))
+    return out.orderBy("tag").limit(limit)
+
+
+def auto_complete_values(tagged: DataFrame, tag: str,
+                         exprs: list[str] | None = None,
+                         value_prefix: str | None = None,
+                         limit: int = 100) -> DataFrame:
+    """graphite-web ``/tags/autoComplete/values``: distinct values of
+    ``tag`` across series matching ``exprs`` (all series when none),
+    prefix-filtered, sorted, limited."""
+    src = tagged.filter(specs_predicate(list(exprs))) if exprs else tagged
+    out = (
+        src.select(F.col("tags").getItem(tag).alias("value"))
+        .filter(F.col("value").isNotNull())
+        .distinct()
+    )
+    if value_prefix:
+        out = out.filter(F.col("value").startswith(value_prefix))
+    return out.orderBy("value").limit(limit)

@@ -424,6 +424,49 @@ class GraphiteWeb:
             ],
         }
 
+    def auto_complete_tags(self, exprs: list[str],
+                           tag_prefix: str | None = None,
+                           limit: int = 100) -> list[str]:
+        from .operators.tags import auto_complete_tags
+
+        return [
+            r["tag"]
+            for r in auto_complete_tags(
+                self._tagged(), exprs or None, tag_prefix, limit
+            ).collect()
+        ]
+
+    def auto_complete_values(self, tag: str, exprs: list[str],
+                             value_prefix: str | None = None,
+                             limit: int = 100) -> list[str]:
+        from .operators.tags import auto_complete_values
+
+        return [
+            r["value"]
+            for r in auto_complete_values(
+                self._tagged(), tag, exprs or None, value_prefix, limit
+            ).collect()
+        ]
+
+    def functions_index(self) -> dict:
+        """graphite-web ``/functions``: the render-function index query
+        builders introspect.  Entries carry the graphite response keys;
+        param metadata is not modeled, so ``params`` is empty and the
+        signature is the generic seriesList form."""
+        from .functions.targets import supported_functions
+
+        return {
+            name: {
+                "name": name,
+                "function": f"{name}(seriesList)",
+                "description": "",
+                "module": "biggraphite_spark.functions.targets",
+                "group": "Series",
+                "params": [],
+            }
+            for name in supported_functions()
+        }
+
     # -- /render ------------------------------------------------------------
     def parse_time(self, value: str, default: int) -> int:
         if not value:
@@ -554,6 +597,31 @@ def render_raw(series: list[dict]) -> str:
     return "\n".join(lines) + ("\n" if lines else "")
 
 
+def render_dygraph(series: list[dict]) -> dict:
+    """graphite-web ``format=dygraph`` (render/views.py dygraph branch):
+    ``{"labels": ["Time", name...], "data": [[ts_ms, v...], ...]}`` — one
+    row per timestamp across all series, nulls preserved."""
+    labels = ["Time"] + [s["target"] for s in series]
+    by_ts: dict[int, list] = {}
+    for i, s in enumerate(series):
+        for v, t in s["datapoints"]:
+            by_ts.setdefault(t, [None] * len(series))[i] = v
+    data = [[t * 1000] + vals for t, vals in sorted(by_ts.items())]
+    return {"labels": labels, "data": data}
+
+
+def render_rickshaw(series: list[dict]) -> list[dict]:
+    """graphite-web ``format=rickshaw``: datapoints as ``{x, y}`` objects
+    instead of ``[value, ts]`` pairs."""
+    return [
+        {
+            "target": s["target"],
+            "datapoints": [{"x": t, "y": v} for v, t in s["datapoints"]],
+        }
+        for s in series
+    ]
+
+
 def render_pickle(series: list[dict]) -> bytes:
     """graphite-web ``format=pickle`` — the CLUSTER_SERVERS federation wire
     format: a pickled list of ``{name, start, end, step, values}`` dicts
@@ -681,6 +749,29 @@ class _GraphiteHandler(BaseHTTPRequestHandler):
                         limit=int(lim_raw) if lim_raw else None,
                     ),
                 )
+            if url.path == "/tags/autoComplete/tags":
+                exprs = q.get("expr", []) + q.get("expr[]", [])
+                lim_raw = q.get("limit", [""])[0]
+                return self._send(200, self.app.auto_complete_tags(
+                    exprs,
+                    q.get("tagPrefix", [None])[0],
+                    limit=int(lim_raw) if lim_raw else 100,
+                ))
+            if url.path == "/tags/autoComplete/values":
+                tag = q.get("tag", [""])[0]
+                if not tag:
+                    return self._send(400, {"message": "tag required"})
+                exprs = q.get("expr", []) + q.get("expr[]", [])
+                lim_raw = q.get("limit", [""])[0]
+                return self._send(200, self.app.auto_complete_values(
+                    tag, exprs,
+                    q.get("valuePrefix", [None])[0],
+                    limit=int(lim_raw) if lim_raw else 100,
+                ))
+            if url.path == "/functions":
+                return self._send(200, self.app.functions_index())
+            if url.path == "/version":
+                return self._send_text(200, "1.1.8", "text/plain")
             if url.path.startswith("/tags/"):
                 tag = unquote(url.path[len("/tags/"):])
                 lim_raw = q.get("limit", [""])[0]
@@ -709,7 +800,7 @@ class _GraphiteHandler(BaseHTTPRequestHandler):
         start = self.app.parse_time(q.get("from", [""])[0], now - 86400)
         end = self.app.parse_time(q.get("until", [""])[0], now)
         fmt = q.get("format", ["json"])[0]
-        if fmt not in ("json", "raw", "csv", "pickle"):
+        if fmt not in ("json", "raw", "csv", "pickle", "dygraph", "rickshaw"):
             return self._send(400, {"message": f"format {fmt!r} unsupported"})
         mdp_raw = q.get("maxDataPoints", [""])[0]
         mdp = int(mdp_raw) if mdp_raw else None
@@ -718,6 +809,10 @@ class _GraphiteHandler(BaseHTTPRequestHandler):
             return self._send_text(200, render_raw(series), "text/plain")
         if fmt == "csv":
             return self._send_text(200, render_csv(series), "text/csv")
+        if fmt == "dygraph":
+            return self._send(200, render_dygraph(series))
+        if fmt == "rickshaw":
+            return self._send(200, render_rickshaw(series))
         if fmt == "pickle":
             body = render_pickle(series)
             self.send_response(200)

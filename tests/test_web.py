@@ -620,3 +620,61 @@ def test_render_generic_aggregate_target(graphite_server):
         + "&from=-1d"
     )
     assert status == 200 and by_tag[0]["target"] == "bg.click.u0"
+
+
+def test_tags_autocomplete(tag_server):
+    status, tags = _get(f"{tag_server}/tags/autoComplete/tags")
+    assert status == 200
+    assert tags == ["datacenter", "name", "rack", "ssd"]
+
+    # tagPrefix filter
+    status, tags = _get(f"{tag_server}/tags/autoComplete/tags?tagPrefix=ra")
+    assert tags == ["rack"]
+
+    # expr restricts to matching series and EXCLUDES the searched tag
+    q = urllib.parse.urlencode([("expr", "datacenter=dc1")])
+    status, tags = _get(f"{tag_server}/tags/autoComplete/tags?{q}")
+    assert tags == ["name", "rack", "ssd"]
+
+    status, vals = _get(
+        f"{tag_server}/tags/autoComplete/values?tag=rack"
+    )
+    assert vals == ["a1", "a2", "b1"]
+    q = urllib.parse.urlencode([("tag", "rack"), ("expr", "datacenter=dc1"),
+                                ("valuePrefix", "a")])
+    status, vals = _get(f"{tag_server}/tags/autoComplete/values?{q}")
+    assert vals == ["a1", "a2"]
+    # limit param
+    q = urllib.parse.urlencode([("tag", "rack"), ("limit", "2")])
+    status, vals = _get(f"{tag_server}/tags/autoComplete/values?{q}")
+    assert vals == ["a1", "a2"]
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{tag_server}/tags/autoComplete/values")
+    assert e.value.code == 400
+
+
+def test_functions_index_and_version(graphite_server):
+    status, fns = _get(f"{graphite_server}/functions")
+    assert status == 200 and len(fns) > 140
+    for key in ("sumSeries", "aggregate", "seriesByTag", "aliasQuery",
+                "compressPeriodicGaps", "groupByTags"):
+        assert key in fns and fns[key]["name"] == key
+
+    with urllib.request.urlopen(f"{graphite_server}/version") as r:
+        assert r.status == 200 and r.read().decode().startswith("1.1")
+
+
+def test_render_dygraph_and_rickshaw_formats(graphite_server):
+    base = (f"{graphite_server}/render?target=bg.click.u0&from=-2d&until=now"
+            "&maxDataPoints=10")
+    _, js = _get(base)
+    _, dg = _get(base + "&format=dygraph")
+    assert dg["labels"] == ["Time", "bg.click.u0"]
+    assert len(dg["data"]) == len(js[0]["datapoints"])
+    assert dg["data"][0][0] == js[0]["datapoints"][0][1] * 1000
+    assert [row[1] for row in dg["data"]] == [v for v, _ in js[0]["datapoints"]]
+
+    _, rs = _get(base + "&format=rickshaw")
+    assert rs[0]["target"] == "bg.click.u0"
+    assert rs[0]["datapoints"][0]["x"] == js[0]["datapoints"][0][1]
+    assert rs[0]["datapoints"][0]["y"] == js[0]["datapoints"][0][0]

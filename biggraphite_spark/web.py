@@ -20,6 +20,7 @@ one writer and Spark's thread-safe query path serves concurrent readers.
 from __future__ import annotations
 
 import json
+import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, unquote, urlparse
@@ -469,18 +470,64 @@ class GraphiteWeb:
 
     # -- /render ------------------------------------------------------------
     def parse_time(self, value: str, default: int) -> int:
+        """graphite-web at-style time language (render/attime.py, the
+        public grammar every graphite client speaks), UTC: ``now``,
+        relative offsets (``-2d``, ``now-2d``), ``today``/``midnight``/
+        ``yesterday``/``tomorrow``, absolute ``YYYYMMDD`` /
+        ``HH:MM_YYYYMMDD`` / epoch seconds."""
+        import datetime as _dt
+
         if not value:
             return default
-        v = value.strip()
-        if v == "now":
-            return self.engine.now
-        if v.startswith("-"):
-            units = {"s": 1, "min": 60, "h": 3600, "d": 86400, "w": 604800}
+        v = value.strip().lower().replace(" ", "")
+        units = {"s": 1, "min": 60, "h": 3600, "d": 86400, "w": 604800,
+                 "mon": 30 * 86400, "y": 365 * 86400}
+
+        def offset(txt: str, sign: int) -> int:
             for suffix in sorted(units, key=len, reverse=True):
-                if v.endswith(suffix):
-                    return self.engine.now - int(v[1 : -len(suffix)]) * units[suffix]
+                if txt.endswith(suffix):
+                    return sign * int(txt[: -len(suffix)]) * units[suffix]
             raise InvalidArgumentError(f"bad relative time {value!r}")
-        return int(v)
+
+        # <ref>[+-]offset — ref defaults to now
+        ref, delta = v, 0
+        for sep in ("-", "+"):
+            # rightmost sign that isn't the leading char splits ref/offset
+            i = v.rfind(sep)
+            if i > 0:
+                ref, delta = v[:i], offset(v[i + 1:], -1 if sep == "-" else 1)
+                break
+        else:
+            if v.startswith("-"):
+                ref, delta = "now", offset(v[1:], -1)
+        now = self.engine.now
+        midnight = now - (now % 86400)
+        named = {
+            "now": now,
+            "today": midnight,
+            "midnight": midnight,
+            "yesterday": midnight - 86400,
+            "tomorrow": midnight + 86400,
+        }
+        if ref in named:
+            return named[ref] + delta
+        # HH:MM_YYYYMMDD (graphite's absolute form) or bare YYYYMMDD
+        m = re.match(r"^(\d{1,2}):(\d{2})_(\d{8})$", ref)
+        if m:
+            d = _dt.datetime.strptime(m.group(3), "%Y%m%d").replace(
+                hour=int(m.group(1)), minute=int(m.group(2)),
+                tzinfo=_dt.timezone.utc,
+            )
+            return int(d.timestamp()) + delta
+        if re.match(r"^(19|20)\d{6}$", ref):
+            d = _dt.datetime.strptime(ref, "%Y%m%d").replace(
+                tzinfo=_dt.timezone.utc
+            )
+            return int(d.timestamp()) + delta
+        try:
+            return int(ref) + delta
+        except ValueError:
+            raise InvalidArgumentError(f"bad time {value!r}")
 
     def render(
         self,

@@ -207,8 +207,10 @@ def test_render_missing_target_is_400(graphite_server):
 
 
 def test_render_bad_relative_time_is_400(graphite_server):
+    # -2y is now a VALID graphite offset (attime grammar); use a unit the
+    # grammar genuinely lacks
     with pytest.raises(urllib.error.HTTPError) as ei:
-        _get(f"{graphite_server}/render?target=bg.click.u0&from=-2y")
+        _get(f"{graphite_server}/render?target=bg.click.u0&from=-2parsecs")
     assert ei.value.code == 400
 
 
@@ -678,3 +680,37 @@ def test_render_dygraph_and_rickshaw_formats(graphite_server):
     assert rs[0]["target"] == "bg.click.u0"
     assert rs[0]["datapoints"][0]["x"] == js[0]["datapoints"][0][1]
     assert rs[0]["datapoints"][0]["y"] == js[0]["datapoints"][0][0]
+
+
+def test_at_style_time_language(graphite_server):
+    """graphite attime grammar: now-2d, yesterday, midnight+offset,
+    HH:MM_YYYYMMDD and YYYYMMDD absolutes (all UTC)."""
+    # now-2d == -2d
+    _, a = _get(f"{graphite_server}/render?target=bg.click.u0&from=-2d")
+    _, b = _get(f"{graphite_server}/render?target=bg.click.u0&from=now-2d")
+    assert a[0]["datapoints"] == b[0]["datapoints"]
+
+    # yesterday == midnight-1d
+    _, y = _get(
+        f"{graphite_server}/render?target=bg.click.u0&from=yesterday&until=midnight"
+    )
+    _, m = _get(
+        f"{graphite_server}/render?target=bg.click.u0&from=midnight-1d&until=midnight"
+    )
+    assert y[0]["datapoints"] == m[0]["datapoints"]
+
+    # absolute forms parse (window start = that UTC timestamp)
+    _, series = _get(
+        f"{graphite_server}/render?target=bg.click.u0"
+        "&from=00:00_20240125&until=12:00_20240127"
+    )
+    assert series[0]["datapoints"]
+    _, series2 = _get(
+        f"{graphite_server}/render?target=bg.click.u0"
+        "&from=20240125&until=20240127"
+    )
+    assert series2[0]["datapoints"]
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{graphite_server}/render?target=bg.click.u0&from=2fortnights")
+    assert e.value.code == 400

@@ -302,7 +302,8 @@ class GraphiteWeb:
     per the implicit-name-tag convention.
     """
 
-    def __init__(self, engine, tagged=None, tag_store=None):
+    def __init__(self, engine, tagged=None, tag_store=None,
+                 events_store=None):
         self.engine = engine
         self._tagged_src = tagged
         self._tagged_df = None
@@ -310,6 +311,9 @@ class GraphiteWeb:
         #: optional writable TagDB (operators.tags.TagStore); enables the
         #: POST half of the tag API (/tags/tagSeries, /tags/delSeries)
         self.tag_store = tag_store
+        #: optional annotation store (operators.annotations.EventsStore);
+        #: enables the graphite /events API
+        self.events_store = events_store
 
     # -- /metrics/find ------------------------------------------------------
     def find_nodes(self, query: str) -> list[dict]:
@@ -729,7 +733,10 @@ class _GraphiteHandler(BaseHTTPRequestHandler):
     def do_POST(self):
         url = urlparse(self.path)
         length = int(self.headers.get("Content-Length") or 0)
-        form = parse_qs(self.rfile.read(length).decode() if length else "")
+        body = self.rfile.read(length).decode() if length else ""
+        if url.path in ("/events", "/events/"):
+            return self._post_event(body)
+        form = parse_qs(body)
         try:
             if url.path == "/render":
                 # graphite clients (incl. graphite-web's own composer) POST
@@ -754,10 +761,50 @@ class _GraphiteHandler(BaseHTTPRequestHandler):
             return self._send(400, {"message": str(ex)})
         return self._send(404, {"message": "unknown route"})
 
+    def _post_event(self, body: str) -> None:
+        """graphite ``POST /events/``: a JSON annotation {what, tags,
+        when?, data?} (events/views.py post_event)."""
+        if self.app.events_store is None:
+            return self._send(404, {"message": "no events store configured"})
+        try:
+            payload = json.loads(body or "{}")
+        except ValueError:
+            return self._send(400, {"message": "invalid JSON body"})
+        what = payload.get("what")
+        if not what:
+            return self._send(400, {"message": "'what' is required"})
+        tags = payload.get("tags") or []
+        if isinstance(tags, str):
+            # graphite accepts space-separated tag strings
+            tags = tags.split()
+        row = self.app.events_store.add(
+            what=what,
+            when=int(payload.get("when") or self.app.engine.now),
+            tags=[str(t) for t in tags],
+            data=str(payload.get("data") or ""),
+        )
+        return self._send(200, row)
+
     def do_GET(self):
         url = urlparse(self.path)
         q = parse_qs(url.query)
         try:
+            if url.path == "/events/get_data":
+                if self.app.events_store is None:
+                    return self._send(
+                        404, {"message": "no events store configured"})
+                start = self.app.parse_time(q.get("from", [""])[0], None)
+                end = self.app.parse_time(q.get("until", [""])[0], None)
+                tags = q.get("tags", [""])[0].split()
+                rows = self.app.events_store.get_data(
+                    start, end, tags or None,
+                    set_op=q.get("set", ["intersection"])[0],
+                ).collect()
+                return self._send(200, [
+                    {"id": r["id"], "what": r["what"], "when": r["when"],
+                     "tags": list(r["tags"]), "data": r["data"]}
+                    for r in rows
+                ])
             if url.path == "/metrics/find":
                 query = q.get("query", [""])[0]
                 nodes = self.app.find_nodes(query)

@@ -714,3 +714,55 @@ def test_at_style_time_language(graphite_server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{graphite_server}/render?target=bg.click.u0&from=2fortnights")
     assert e.value.code == 400
+
+
+def test_events_annotation_api(spark, tmp_path):
+    """graphite /events API: POST an annotation, query it back with range
+    + tag filters under both set semantics (events/views.py contract)."""
+    from biggraphite_spark.cli import build_engine
+    from biggraphite_spark.operators.annotations import EventsStore
+    from biggraphite_spark.web import GraphiteWeb, make_graphite_server
+
+    store = EventsStore(spark, str(tmp_path / "events"))
+    app = GraphiteWeb(build_engine(spark, SF), events_store=store)
+    srv = make_graphite_server(app, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        now = app.engine.now
+        _, ev1 = _post_json(f"{base}/events/", {
+            "what": "deploy api", "tags": ["deploy", "api"],
+            "when": now - 3600, "data": "v1.2",
+        })
+        assert ev1["id"] == 1 and ev1["tags"] == ["deploy", "api"]
+        # space-separated tag string form, defaulted 'when'
+        _, ev2 = _post_json(f"{base}/events/", {
+            "what": "incident", "tags": "incident api",
+        })
+        assert ev2["id"] == 2 and ev2["when"] == now
+
+        status, got = _get(f"{base}/events/get_data")
+        assert status == 200 and [e["id"] for e in got] == [1, 2]
+
+        # intersection (default): both tags required
+        status, got = _get(f"{base}/events/get_data?tags=deploy+api")
+        assert [e["what"] for e in got] == ["deploy api"]
+        # union: either tag
+        status, got = _get(f"{base}/events/get_data?tags=deploy+incident&set=union")
+        assert [e["id"] for e in got] == [1, 2]
+        # range filter with at-style times
+        status, got = _get(f"{base}/events/get_data?from=-30min")
+        assert [e["id"] for e in got] == [2]
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_json(f"{base}/events/", {"tags": ["x"]})
+        assert e.value.code == 400
+    finally:
+        srv.shutdown()
+
+
+def test_events_api_without_store_is_404(graphite_server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{graphite_server}/events/get_data")
+    assert e.value.code == 404

@@ -6600,6 +6600,49 @@ def gr_group_by_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COMPRESS_GAPS_ORACLE = f"""
+WITH {_series_cte("bg.error.u2*")},
+nn AS (SELECT name, ts, value FROM s WHERE value IS NOT NULL),
+d AS (SELECT name,
+             ts - lag(ts) OVER (PARTITION BY name ORDER BY ts) AS delta
+      FROM nn),
+dc AS (SELECT name, delta, count(*) AS c FROM d
+       WHERE delta IS NOT NULL GROUP BY 1, 2),
+mode AS (SELECT name, delta AS step FROM (
+           SELECT name, delta, c,
+                  row_number() OVER (PARTITION BY name
+                                     ORDER BY c DESC, delta ASC) AS rk
+           FROM dc) WHERE rk = 1),
+span AS (SELECT name, min(ts) AS t0, max(ts) AS t1, count(*) AS n
+         FROM nn GROUP BY name),
+grid AS (SELECT span.name, unnest(generate_series(t0, t1, step)) AS ts
+         FROM span JOIN mode USING (name) WHERE n >= 3),
+regr AS (SELECT grid.name, grid.ts, s.value
+         FROM grid LEFT JOIN s ON grid.name = s.name AND grid.ts = s.ts)
+SELECT name, ts, value FROM regr
+UNION ALL
+SELECT name, ts, value FROM s
+WHERE name NOT IN (SELECT name FROM span WHERE n >= 3)
+"""
+
+
+@_register("gr_compress_gaps", _COMPRESS_GAPS_ORACLE)
+def gr_compress_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``compressPeriodicGaps`` (graphite 1.1.8) under the gate: each
+    series re-gridded to the MODE of its known-point deltas (ties to the
+    smaller delta), first-to-last known point; <3 known points pass
+    through.  The oracle replays mode detection with window row_number +
+    generate_series regrid — values are lattice passthroughs, so no
+    rounding pairing is needed."""
+    _utc(spark)
+    from biggraphite_spark.functions.targets import evaluate_target, parse_target
+
+    node = parse_target("compressPeriodicGaps(bg.error.u2*)")
+    s = _hourly_finals(spark, sf_dir, "bg.error.u2*")
+    df = evaluate_target(node, fetch=lambda g: s, step=3600)
+    return df.select("name", "ts", "value")
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

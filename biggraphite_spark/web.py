@@ -827,6 +827,16 @@ class _GraphiteHandler(BaseHTTPRequestHandler):
                     self.end_headers()
                     self.wfile.write(body)
                     return None
+                if q.get("format", ["treejson"])[0] == "completer":
+                    # graphite-web's composer autocompleter format
+                    return self._send(200, {"metrics": [
+                        {
+                            "path": n["id"] + ("" if n["leaf"] else "."),
+                            "name": n["text"],
+                            "is_leaf": str(n["leaf"]),
+                        }
+                        for n in nodes
+                    ]})
                 return self._send(200, nodes)
             if url.path == "/metrics/expand":
                 query = q.get("query", [""])[0]
@@ -915,6 +925,22 @@ class _GraphiteHandler(BaseHTTPRequestHandler):
             self.end_headers()
             self.wfile.write(body)
             return None
+        if q.get("noNullPoints", [""])[0].lower() in ("true", "1"):
+            # graphite json option: drop null datapoints per series
+            series = [
+                {
+                    "target": s["target"],
+                    "datapoints": [p for p in s["datapoints"]
+                                   if p[0] is not None],
+                }
+                for s in series
+            ]
+        callback = q.get("jsonp", [""])[0]
+        if callback:
+            # graphite jsonp: callback(<json>) as text/javascript
+            return self._send_text(
+                200, f"{callback}({json.dumps(series)})", "text/javascript"
+            )
         return self._send(200, series)
 
 

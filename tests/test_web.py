@@ -766,3 +766,31 @@ def test_events_api_without_store_is_404(graphite_server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{graphite_server}/events/get_data")
     assert e.value.code == 404
+
+
+def test_find_completer_format(graphite_server):
+    status, got = _get(
+        f"{graphite_server}/metrics/find?query=bg.*&format=completer"
+    )
+    assert status == 200 and got["metrics"]
+    m = got["metrics"][0]
+    assert set(m) == {"path", "name", "is_leaf"}
+    # branch paths carry the trailing dot the composer expects
+    assert all(
+        x["path"].endswith(".") for x in got["metrics"] if x["is_leaf"] == "0"
+    )
+
+
+def test_render_no_null_points_and_jsonp(graphite_server):
+    base = f"{graphite_server}/render?target=bg.click.u0&from=-2d&until=now"
+    _, full = _get(base)
+    assert any(v is None for v, _ in full[0]["datapoints"])
+    _, pruned = _get(base + "&noNullPoints=true")
+    assert pruned[0]["datapoints"]
+    assert all(v is not None for v, _ in pruned[0]["datapoints"])
+
+    with urllib.request.urlopen(base + "&jsonp=cb") as r:
+        assert r.headers["Content-Type"] == "text/javascript"
+        text = r.read().decode()
+    assert text.startswith("cb(") and text.endswith(")")
+    assert json.loads(text[3:-1])[0]["target"] == "bg.click.u0"

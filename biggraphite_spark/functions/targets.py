@@ -212,13 +212,14 @@ def _sarg(v) -> str:
 _ZERO_SERIES = frozenset({
     "constantLine", "threshold", "identity", "timeFunction", "time",
     "sinFunction", "sin", "randomWalkFunction", "randomWalk",
-    "verticalLine", "seriesByTag",
+    "verticalLine", "seriesByTag", "events",
 })
 
 
 def evaluate_target(node, fetch, step: int, start: int = 0,
                     end: int | None = None, spark=None,
-                    tag_fetch=None, meta: dict | None = None) -> DataFrame:
+                    tag_fetch=None, meta: dict | None = None,
+                    events_fetch=None) -> DataFrame:
     """Evaluate a parsed target: ``fetch(glob) -> DataFrame(name, ts,
     value)`` supplies the leaves; ``step`` is the fetched grid's bucket
     seconds (perSecond needs it) and ``start`` the aligned window start
@@ -227,10 +228,11 @@ def evaluate_target(node, fetch, step: int, start: int = 0,
     ``end``/``spark`` power the zero-series synthetics (constantLine,
     timeFunction, …) — without them those verbs raise graphite's 400.
     ``tag_fetch(specs) -> DataFrame(name, ts, value)`` backs
-    ``seriesByTag`` leaves.  ``meta``, when supplied, collects render
-    hints that don't change the data (``consolidate`` from
-    consolidateBy/cumulative, ``xff`` from setXFilesFactor) for the
-    renderer to honor at consolidation time."""
+    ``seriesByTag`` leaves; ``events_fetch(tags) -> DataFrame(when)``
+    backs the ``events(*tags)`` annotation-overlay verb.  ``meta``, when
+    supplied, collects render hints that don't change the data
+    (``consolidate`` from consolidateBy/cumulative, ``xff`` from
+    setXFilesFactor) for the renderer to honor at consolidation time."""
     from . import series as S
 
     if meta is None:
@@ -275,6 +277,28 @@ def evaluate_target(node, fetch, step: int, start: int = 0,
                 raise InvalidArgumentError(
                     "seriesByTag requires at least one matcher")
             return tag_fetch([_sarg(a) for a in args])
+        if f == "events":
+            # graphite render/functions.py events(*tags): annotation
+            # counts binned onto the render grid, usable with
+            # drawAsInfinite
+            if events_fetch is None:
+                raise InvalidArgumentError(
+                    "events requires an annotation store (events_fetch=)")
+            tags = [_sarg(a) for a in args]
+            label = "events(" + ", ".join(f'"{t}"' for t in tags) + ")"
+            ev = events_fetch(tags)
+            bucket = (
+                S.F.col("when") - ((S.F.col("when") - start) % S.F.lit(step))
+            ).alias("ts")
+            return (
+                ev.filter(
+                    (S.F.col("when") >= start)
+                    & (S.F.col("when") < _window_end())
+                )
+                .groupBy(bucket)
+                .agg(S.F.count(S.F.lit(1)).cast("double").alias("value"))
+                .select(S.F.lit(label).alias("name"), "ts", "value")
+            )
         if f in ("constantLine", "threshold"):
             value = _farg(args[0])
             out = S.constant_line(_spark(), value, start, _window_end(), step)

@@ -585,6 +585,12 @@ class GraphiteWeb:
                         self.find_series_by_tag(specs), start, end
                     ).series,
                     meta=meta,
+                    events_fetch=(
+                        None if self.events_store is None
+                        else lambda tags: self.events_store.get_data(
+                            a_start, a_end, tags or None
+                        ).select("when")
+                    ),
                 )
                 rr = type("RR", (), {"start": a_start, "end": a_end,
                                      "step": stage.precision})()

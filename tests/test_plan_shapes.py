@@ -133,3 +133,32 @@ def test_cm_heavy_hitters_scans_raw_once(spark, tmp_path):
     plan = _plan(cm_heavy_hitters(df, "item", depth=4, width=64))
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
     assert "Join" not in plan
+
+
+def test_autocomplete_is_single_scan_no_join(spark):
+    # tag autocomplete = filter + map_keys explode + distinct: one
+    # aggregation chain, no join — the shape a 100-TB catalog needs
+    from biggraphite_spark.operators.tags import (
+        auto_complete_tags, auto_complete_values, with_tags,
+    )
+
+    tagged = with_tags(spark.createDataFrame(
+        [("cpu;dc=east;host=a",), ("disk;dc=west",)], ["series"]
+    ))
+    for df in (
+        auto_complete_tags(tagged, ["dc=east"], tag_prefix="h"),
+        auto_complete_values(tagged, "dc", ["host=a"]),
+    ):
+        plan = _plan(df)
+        assert "Join" not in plan
+
+
+def test_events_store_range_prunes_at_scan(spark, tmp_path):
+    # /events/get_data pushes the when-range into the parquet scan
+    from biggraphite_spark.operators.annotations import EventsStore
+
+    store = EventsStore(spark, str(tmp_path / "ev"))
+    store.add("deploy", 1000, ["deploy"])
+    plan = _plan(store.get_data(500, 1500, ["deploy"]))
+    assert "PushedFilters" in plan and "when" in plan
+    assert "Join" not in plan

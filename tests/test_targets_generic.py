@@ -497,3 +497,30 @@ def test_compress_periodic_gaps(spark):
     # <3 known points: unchanged passthrough
     tiny = sorted((r["ts"], r["value"]) for r in got if r["name"] == "tiny")
     assert tiny == [(0, 1.0), (60, None)]
+
+
+def test_events_render_verb(spark):
+    ev = spark.createDataFrame(
+        [(95,), (100,), (110,), (130,), (500,)], ["when"]
+    )
+    calls = []
+
+    def events_fetch(tags):
+        calls.append(tags)
+        return ev
+
+    got = evaluate_target(
+        parse_target("events('deploy', 'api')"),
+        fetch=lambda g: None, step=60, start=60, end=300,
+        events_fetch=events_fetch,
+    ).collect()
+    assert calls == [["deploy", "api"]]
+    vals = {r["ts"]: r["value"] for r in got}
+    # bucket grid anchored at start=60: [60,120) has 95/100/110 -> 3,
+    # [120,180) has 130 -> 1; 500 is outside the window
+    assert vals == {60: 3.0, 120: 1.0}
+    assert {r["name"] for r in got} == {'events("deploy", "api")'}
+
+    with pytest.raises(InvalidArgumentError):
+        evaluate_target(parse_target("events()"), fetch=lambda g: None,
+                        step=60, start=0, end=100).collect()

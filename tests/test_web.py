@@ -758,6 +758,15 @@ def test_events_annotation_api(spark, tmp_path):
         with pytest.raises(urllib.error.HTTPError) as e:
             _post_json(f"{base}/events/", {"tags": ["x"]})
         assert e.value.code == 400
+
+        # the events() render verb overlays the annotations
+        status, series = _get(
+            f"{base}/render?target="
+            + urllib.parse.quote("events('deploy')") + "&from=-2d"
+        )
+        assert status == 200 and len(series) == 1
+        assert series[0]["target"] == 'events("deploy")'
+        assert sum(v for v, _ in series[0]["datapoints"] if v) == 1.0
     finally:
         srv.shutdown()
 

@@ -89,10 +89,14 @@ def agg_expr(how: str, order: str = "name") -> Column:
     known = F.collect_list(
         F.when(v.isNotNull(), F.struct(F.col(order).alias("o"), v.alias("v")))
     )
+    # all-null group -> empty array: guard element_at (ANSI mode throws on
+    # out-of-bounds) so the aggregate yields null like the other safe* forms
     if how == "first":
-        return F.element_at(F.array_sort(known), 1)["v"]
+        arr = F.array_sort(known)
+        return F.when(F.size(arr) > 0, F.element_at(arr, 1)["v"])
     if how == "last":
-        return F.element_at(F.reverse(F.array_sort(known)), 1)["v"]
+        arr = F.reverse(F.array_sort(known))
+        return F.when(F.size(arr) > 0, F.element_at(arr, 1)["v"])
     if how == "diff":
         arr = F.array_sort(known)
         head = F.element_at(arr, 1)["v"]

@@ -178,3 +178,82 @@ def test_seasonal_decompose_randomized_with_nulls(spark):
                 assert gr == pytest.approx(
                     round(vals[i] - wt - (pmean[p] - c), 6), abs=2e-6
                 )
+
+
+def test_agg_expr_randomized(spark):
+    """Every aggregate-table function vs an independent python brute force
+    over seeded random groups with nulls — the graphite safe* semantics
+    (null-skipping, all-null -> None, safeMul any-null -> None, safeDiff
+    first-minus-rest in ts order) element-by-element."""
+    import math
+
+    from biggraphite_spark.functions.series import agg_expr
+
+    rnd = random.Random(23)
+    rows = []
+    for g in range(40):
+        n = rnd.randrange(1, 9)
+        for t in range(n):
+            v = None if rnd.random() < 0.3 else round(rnd.uniform(-50, 50), 3)
+            rows.append((f"g{g}", t, v))
+    df = spark.createDataFrame(rows, "name string, ts long, value double")
+    by_group: dict[str, list] = {}
+    for name, ts, v in rows:
+        by_group.setdefault(name, []).append((ts, v))
+
+    def brute(vals, how):
+        known = [v for _, v in sorted(vals) if v is not None]
+        if how == "count":
+            return float(len(known))
+        if how == "multiply":
+            if len(known) != len(vals):
+                return None
+            p = 1.0
+            for v in known:
+                p *= v
+            return p
+        if how == "avg_zero":
+            # graphite avg_zero maps None -> 0 first: all-null group = 0.0
+            return sum(known) / len(vals)
+        if not known:
+            return None
+        if how == "sum":
+            return sum(known)
+        if how == "average":
+            return sum(known) / len(known)
+        if how == "min":
+            return min(known)
+        if how == "max":
+            return max(known)
+        if how == "range":
+            return max(known) - min(known)
+        if how == "median":
+            s = sorted(known)
+            m = len(s) // 2
+            return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+        if how == "stddev":
+            mu = sum(known) / len(known)
+            return math.sqrt(sum((v - mu) ** 2 for v in known) / len(known))
+        if how == "first":
+            return known[0]
+        if how == "last":
+            return known[-1]
+        if how == "diff":
+            return known[0] - sum(known[1:])
+        raise AssertionError(how)
+
+    hows = ("sum", "average", "avg_zero", "min", "max", "range", "median",
+            "stddev", "first", "last", "diff", "multiply", "count")
+    got_rows = df.groupBy("name").agg(
+        *[agg_expr(h, order="ts").alias(h) for h in hows]
+    ).collect()
+    assert len(got_rows) == 40
+    for r in got_rows:
+        for h in hows:
+            want = brute(by_group[r["name"]], h)
+            got = r[h]
+            if want is None:
+                assert got is None, (r["name"], h, got)
+            else:
+                assert got == pytest.approx(want, rel=1e-9, abs=1e-9), (
+                    r["name"], h, got, want)

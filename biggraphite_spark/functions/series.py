@@ -189,12 +189,15 @@ def percentile_of_series(series: DataFrame, pct: float) -> DataFrame:
     )
 
 
-def moving(series: DataFrame, points: int, how: str = "average") -> DataFrame:
+def moving(series: DataFrame, points: int, how: str = "average",
+           xff: float | None = None) -> DataFrame:
     """``movingAverage``/``movingSum``/``movingMin``/``movingMax`` and the
-    generic ``movingWindow(series, n, 'func')`` over the trailing
-    ``points`` buckets of each series (current bucket inclusive).  Medians
-    route to :func:`moving_median` — Spark bans percentile aggregates over
-    a moving frame."""
+    generic ``movingWindow(series, n, 'func', xFilesFactor)`` over the
+    trailing ``points`` buckets of each series (current bucket inclusive).
+    Medians route to :func:`moving_median` — Spark bans percentile
+    aggregates over a moving frame.  With ``xff``, a window whose known
+    fraction falls below it emits null (graphite's per-window
+    xFilesFactor)."""
     if _AGG_ALIASES.get(how, how) == "median":
         return moving_median(series, points)
     w = (
@@ -202,8 +205,12 @@ def moving(series: DataFrame, points: int, how: str = "average") -> DataFrame:
         .orderBy("ts")
         .rowsBetween(-(points - 1), Window.currentRow)
     )
+    agg = agg_over(how, w)
+    if xff:
+        frac = F.count("value").over(w) / F.count(F.lit(1)).over(w)
+        agg = F.when(frac >= F.lit(float(xff)), agg)
     return series.select(
-        "name", "ts", agg_over(how, w).alias("value")
+        "name", "ts", agg.alias("value")
     )
 
 
@@ -431,6 +438,26 @@ def time_slice(series: DataFrame, start: int, end: int) -> DataFrame:
     inside = (F.col("ts") >= start) & (F.col("ts") <= end)
     return series.select(
         "name", "ts", F.when(inside, F.col("value")).alias("value")
+    )
+
+
+def transform_null_ref(series: DataFrame, default: float,
+                       reference: DataFrame) -> DataFrame:
+    """``transformNull(seriesList, default, referenceSeries)``: fill nulls
+    only at timestamps where ANY reference series has a value (graphite's
+    three-arg form).  The reference timestamp set is window-bounded, so it
+    broadcasts."""
+    ref_ts = (
+        reference.filter(F.col("value").isNotNull())
+        .select("ts").distinct()
+        .withColumn("_has", F.lit(1))
+    )
+    filled = F.when(
+        F.col("value").isNotNull(), F.col("value")
+    ).otherwise(F.when(F.col("_has") == 1, F.lit(float(default))))
+    return (
+        series.join(F.broadcast(ref_ts), "ts", "left")
+        .select("name", "ts", filled.alias("value"))
     )
 
 

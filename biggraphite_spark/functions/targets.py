@@ -362,13 +362,16 @@ def evaluate_target(node, fetch, step: int, start: int = 0,
                 S.F.lit(n.text).alias("name"), "ts", "value"
             )
         if f in ("movingAverage", "movingSum", "movingMin", "movingMax"):
+            # optional trailing xFilesFactor (graphite signature)
             return S.moving(s, _window_points(rest[0]),
-                            how=f[len("moving"):].lower())
+                            how=f[len("moving"):].lower(),
+                            xff=_farg(rest[1]) if len(rest) > 1 else None)
         if f == "movingMedian":
             return S.moving_median(s, _window_points(rest[0]))
         if f == "movingWindow":
             how = _sarg(rest[1]) if len(rest) > 1 else "average"
-            return S.moving(s, _window_points(rest[0]), how=how)
+            return S.moving(s, _window_points(rest[0]), how=how,
+                            xff=_farg(rest[2]) if len(rest) > 2 else None)
         if f == "scale":
             return S.scale(s, _farg(rest[0]))
         if f == "offset":
@@ -386,11 +389,19 @@ def evaluate_target(node, fetch, step: int, start: int = 0,
         if f == "keepLastValue":
             return S.keep_last_value(s, _iarg(rest[0]) if rest else None)
         if f == "transformNull":
-            return S.transform_null(s, _farg(rest[0]) if rest else 0.0)
+            default = _farg(rest[0]) if rest else 0.0
+            if len(rest) > 1 and isinstance(rest[1], DataFrame):
+                return S.transform_null_ref(s, default, rest[1])
+            return S.transform_null(s, default)
         if f == "timeShift":
             return S.time_shift(s, parse_timespan(_sarg(rest[0])))
         if f == "summarize":
             how = _sarg(rest[1]) if len(rest) > 1 else "sum"
+            if len(rest) > 2 and _barg(rest[2]):
+                # alignToFrom=true: buckets anchor to the request window
+                # start instead of the epoch — smartSummarize's grid
+                return S.smart_summarize(
+                    s, parse_timespan(_sarg(rest[0])), how=how, origin=start)
             return S.summarize(s, parse_timespan(_sarg(rest[0])), how=how)
         if f in ("highestAverage", "highestMax"):
             return S.highest(s, _iarg(rest[0]), how=f[len("highest"):].lower())

@@ -524,3 +524,53 @@ def test_events_render_verb(spark):
     with pytest.raises(InvalidArgumentError):
         evaluate_target(parse_target("events()"), fetch=lambda g: None,
                         step=60, start=0, end=100).collect()
+
+
+def test_optional_graphite_args(spark):
+    rows = [("m", t * 60, None if t < 3 else float(t)) for t in range(8)]
+    df = spark.createDataFrame(rows, "name string, ts long, value double")
+
+    # movingAverage xFilesFactor: window [0..120] is all-null-heavy; with
+    # xff=0.5 early windows (known fraction < 0.5) emit null
+    got = _vals(df, "movingAverage(x, 4, 0.5)")
+    assert got[("m", 120)] is None          # 0/3 known in [0,120]
+    assert got[("m", 240)] == pytest.approx(3.5)  # {3,4} of 4 known = 0.5
+    got_noxff = _vals(df, "movingAverage(x, 4)")
+    assert got_noxff[("m", 240)] == pytest.approx(3.5)
+
+    # summarize alignToFrom=true anchors buckets to the window start
+    rows2 = [("m", 60 + t * 60, 1.0) for t in range(6)]
+    df2 = spark.createDataFrame(rows2, ["name", "ts", "value"])
+    ts_epoch = sorted(
+        r["ts"] for r in _run(df2, "summarize(x, '2min', 'sum')").collect()
+    )
+    assert ts_epoch[0] == 0
+    ts_aligned = sorted(
+        r["ts"]
+        for r in evaluate_target(
+            parse_target("summarize(x, '2min', 'sum', true)"),
+            fetch=lambda g: df2, step=60, start=60,
+        ).collect()
+    )
+    assert ts_aligned[0] == 60
+
+    # transformNull with a referenceSeries fills only where the ref knows
+    ref = spark.createDataFrame(
+        [("r", 0, 1.0), ("r", 60, None), ("r", 120, 2.0)],
+        "name string, ts long, value double",
+    )
+    base = spark.createDataFrame(
+        [("m", 0, None), ("m", 60, None), ("m", 120, 5.0)],
+        "name string, ts long, value double",
+    )
+
+    def fetch(g):
+        return {"x": base, "ref.*": ref}[g]
+
+    got = {
+        r["ts"]: r["value"]
+        for r in evaluate_target(
+            parse_target("transformNull(x, -1, ref.*)"), fetch=fetch, step=60
+        ).collect()
+    }
+    assert got == {0: -1.0, 60: None, 120: 5.0}

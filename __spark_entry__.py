@@ -2766,6 +2766,39 @@ lab AS (SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id)
 """
 
 
+def _lsh_edges_ctes(k: int = 16, bands: int = 4) -> str:
+    """The shared LSH near-dup edge-graph CTE prefix (shingles →
+    signatures → bands → verified pairs → symmetric edges), identical to
+    the `_dup_clusters_oracle` construction — callers append their own
+    consumer CTEs/select."""
+    r = k // bands
+    mins = ", ".join(
+        f"min(substr(md5('{j // 4}:' || sh), {(j % 4) * 8 + 1}, 8)) AS h{j}"
+        for j in range(k)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b, key=" || ".join(f"h{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    return f"""
+d AS ({_SHINGLES_SQL}),
+s AS (SELECT doc_id, unnest(sh) AS sh FROM d),
+sig AS (SELECT doc_id, {mins} FROM s GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+pairs AS (SELECT doc_a, doc_b
+          FROM (SELECT doc_a, doc_b, len(list_intersect(da.sh, db.sh)) AS shared,
+                       len(da.sh) AS na, len(db.sh) AS nb
+                FROM cand JOIN d da ON da.doc_id = doc_a JOIN d db ON db.doc_id = doc_b)
+          WHERE shared * 1.0 / (na + nb - shared) >= 0.5),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs)"""
+
+
 @_register("doc_dup_clusters", _dup_clusters_oracle())
 def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components cluster assignment over the LSH near-dup graph
@@ -6641,6 +6674,48 @@ def gr_compress_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _hourly_finals(spark, sf_dir, "bg.error.u2*")
     df = evaluate_target(node, fetch=lambda g: s, step=3600)
     return df.select("name", "ts", "value")
+
+
+_PAGERANK_ORACLE = f"""
+WITH RECURSIVE
+{_lsh_edges_ctes()},
+deg AS (SELECT a, CAST(count(*) AS DOUBLE) AS outd FROM edges GROUP BY a),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+pr AS (
+  SELECT 0 AS iter, doc_id, (SELECT 1.0 / n FROM nn) AS rank FROM documents
+  UNION ALL
+  SELECT pr.iter + 1, e.b AS doc_id,
+         (SELECT 0.15 / n FROM nn) + 0.85 * sum(pr.rank / deg.outd)
+  FROM pr JOIN edges e ON e.a = pr.doc_id JOIN deg ON deg.a = e.a
+  WHERE pr.iter < 10
+  GROUP BY pr.iter, e.b
+)
+SELECT doc.doc_id,
+       ROUND(COALESCE(p.rank, (SELECT 0.15 / n FROM nn))
+             * (SELECT n FROM nn) + 1.23e-9, 6) AS score
+FROM documents doc
+LEFT JOIN (SELECT doc_id, rank FROM pr WHERE iter = 10) p USING (doc_id)
+"""
+
+
+@_register("doc_pagerank", _PAGERANK_ORACLE)
+def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-centrality scoring: 10-iteration PageRank over the
+    SYMMETRIC MinHash-LSH near-dup graph (operators/graph.py) — the
+    web-corpus practice of weighting pages by link centrality applied to
+    the similarity graph, so dedup representatives are chosen by
+    importance instead of arbitrary min-id.  score = rank × N (isolated
+    doc ≈ 0.15, hubs above 1).  The oracle replays signature → banding →
+    verify → the full iteration as ONE recursive CTE; isolated nodes are
+    exact via the teleport coalesce because the graph is symmetric
+    (every node with an out-edge has an in-edge, so only edge-free nodes
+    ever leave the recursion).  The +1.23e-9 is the documented PAIRED
+    tie-breaker (_series_cte) — per-node sums are FP-association-
+    sensitive."""
+    _utc(spark)
+    from biggraphite_spark.operators.graph import neardup_pagerank
+
+    return neardup_pagerank(_load_parallel(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

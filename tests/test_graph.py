@@ -1,0 +1,54 @@
+"""PageRank operator (operators/graph.py): hand-graph goldens and the
+contract invariants the near-dup use relies on."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from biggraphite_spark.operators.graph import pagerank
+
+
+def _pr(spark, edge_list, node_ids, **kw):
+    edges = spark.createDataFrame(edge_list, "a long, b long")
+    nodes = spark.createDataFrame([(i,) for i in node_ids], ["doc_id"])
+    return {
+        r["doc_id"]: r["rank"]
+        for r in pagerank(edges, nodes, **kw).collect()
+    }
+
+
+def test_symmetric_pair_and_isolated(spark):
+    # two mutually-linked nodes + an isolated one: the pair holds rank
+    # symmetric; the isolated node keeps only the teleport term
+    got = _pr(spark, [(1, 2), (2, 1)], [1, 2, 3], iterations=10)
+    assert got[1] == pytest.approx(got[2])
+    assert got[3] == pytest.approx(0.15 / 3)
+    # mass conservation over the connected component + teleport leak only
+    assert got[1] + got[2] + got[3] == pytest.approx(1.0 - 0.85 * (1 / 3))
+
+
+def test_star_graph_hub_dominates(spark):
+    # 1 is the hub of a 4-spoke star (symmetric edges)
+    edges = []
+    for s in (2, 3, 4, 5):
+        edges += [(1, s), (s, 1)]
+    got = _pr(spark, edges, [1, 2, 3, 4, 5], iterations=20)
+    assert got[1] > got[2] and all(
+        got[s] == pytest.approx(got[2]) for s in (3, 4, 5)
+    )
+    # closed symmetric graph: total mass conserved
+    assert sum(got.values()) == pytest.approx(1.0)
+    # exact python replay of the same fixed-iteration recurrence
+    out = {1: 4, 2: 1, 3: 1, 4: 1, 5: 1}
+    rank = {v: 1 / 5 for v in out}
+    for _ in range(20):
+        contrib = {v: 0.0 for v in out}
+        for a, b in edges:
+            contrib[b] += rank[a] / out[a]
+        rank = {v: 0.15 / 5 + 0.85 * contrib[v] for v in out}
+    for v in out:
+        assert got[v] == pytest.approx(rank[v], rel=1e-12)
+
+
+def test_every_node_gets_a_row(spark):
+    got = _pr(spark, [(1, 2), (2, 1)], [1, 2, 7, 8, 9])
+    assert set(got) == {1, 2, 7, 8, 9}

@@ -6698,6 +6698,79 @@ LEFT JOIN (SELECT doc_id, rank FROM pr WHERE iter = 10) p USING (doc_id)
 """
 
 
+_REPRESENTATIVES_ORACLE = f"""
+WITH RECURSIVE
+{_lsh_edges_ctes()},
+reach AS (SELECT doc_id, doc_id AS root FROM documents
+          UNION
+          SELECT e.b AS doc_id, reach.root FROM reach JOIN edges e ON e.a = reach.doc_id),
+lab AS (SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id),
+deg AS (SELECT a, CAST(count(*) AS DOUBLE) AS outd FROM edges GROUP BY a),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+pr AS (
+  SELECT 0 AS iter, doc_id, (SELECT 1.0 / n FROM nn) AS rank FROM documents
+  UNION ALL
+  SELECT pr.iter + 1, e.b AS doc_id,
+         (SELECT 0.15 / n FROM nn) + 0.85 * sum(pr.rank / deg.outd)
+  FROM pr JOIN edges e ON e.a = pr.doc_id JOIN deg ON deg.a = e.a
+  WHERE pr.iter < 10
+  GROUP BY pr.iter, e.b
+),
+score AS (
+  SELECT doc.doc_id,
+         ROUND(COALESCE(p.rank, (SELECT 0.15 / n FROM nn))
+               * (SELECT n FROM nn) + 1.23e-9, 6) AS score
+  FROM documents doc
+  LEFT JOIN (SELECT doc_id, rank FROM pr WHERE iter = 10) p USING (doc_id)
+),
+ranked AS (
+  SELECT lab.cluster_id, lab.doc_id, score.score,
+         count(*) OVER (PARTITION BY lab.cluster_id) AS cluster_size,
+         row_number() OVER (PARTITION BY lab.cluster_id
+                            ORDER BY score.score DESC, lab.doc_id ASC) AS rk
+  FROM lab JOIN score USING (doc_id)
+)
+SELECT cluster_id, doc_id AS representative, score,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM ranked WHERE rk = 1
+"""
+
+
+@_register("doc_representatives", _REPRESENTATIVES_ORACLE)
+def doc_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation endpoint the near-dup stack exists for: per dedup
+    cluster, KEEP the highest-centrality document (PageRank score over
+    the similarity graph, doc_id tie-break on the rounded lattice) —
+    composition of doc_dup_clusters and doc_pagerank into the actual
+    keep-list a pipeline materializes.  Both engines rank on the ROUNDED
+    scores, so the representative choice is tie-stable across engines."""
+    _utc(spark)
+    from pyspark.sql import Window as W
+
+    from biggraphite_spark.operators.dedup import dup_clusters
+    from biggraphite_spark.operators.graph import neardup_pagerank
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    clusters = dup_clusters(docs, threshold=0.5).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    scores = neardup_pagerank(docs)
+    w = W.partitionBy("cluster_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(scores, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("representative"),
+            "score",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )
+
+
 @_register("doc_pagerank", _PAGERANK_ORACLE)
 def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplication-centrality scoring: 10-iteration PageRank over the

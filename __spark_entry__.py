@@ -6750,11 +6750,16 @@ def doc_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biggraphite_spark.operators.dedup import dup_clusters
     from biggraphite_spark.operators.graph import neardup_pagerank
 
+    from biggraphite_spark.operators.dedup import lsh_near_dups
+
     docs = _load_parallel(spark, sf_dir, "documents")
-    clusters = dup_clusters(docs, threshold=0.5).select(
+    # ONE LSH pipeline, two consumers: the cached pair graph feeds both
+    # the CC labelling and the PageRank iterations
+    pairs = lsh_near_dups(docs, threshold=0.5).cache()
+    clusters = dup_clusters(docs, pairs=pairs).select(
         "doc_id", "cluster_id", "cluster_size"
     )
-    scores = neardup_pagerank(docs)
+    scores = neardup_pagerank(docs, pairs=pairs)
     w = W.partitionBy("cluster_id").orderBy(
         F.desc("score"), F.asc("doc_id")
     )

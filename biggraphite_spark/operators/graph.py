@@ -73,15 +73,21 @@ def neardup_pagerank(
     threshold: float = 0.5,
     iterations: int = 10,
     damping: float = 0.85,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Duplication-centrality scores: PageRank over the symmetric
     MinHash-LSH near-dup graph (``lsh_near_dups``).  Output
     ``(doc_id, score)`` with score = rank × N (so an isolated document
     scores (1-d) and hubs score above 1), rounded at the oracle
-    resolution with the documented paired tie-breaker."""
+    resolution with the documented paired tie-breaker.  Pass ``pairs``
+    to reuse an already-built near-dup graph (the representatives
+    composition feeds the same pairs to CC and PageRank — one LSH
+    pipeline, two consumers)."""
     from .dedup import lsh_near_dups
 
-    pairs = lsh_near_dups(docs, threshold=threshold).select("doc_a", "doc_b")
+    if pairs is None:
+        pairs = lsh_near_dups(docs, threshold=threshold)
+    pairs = pairs.select("doc_a", "doc_b")
     edges = pairs.select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     ).unionByName(

@@ -915,6 +915,25 @@ class _GraphiteHandler(BaseHTTPRequestHandler):
         mdp_raw = q.get("maxDataPoints", [""])[0]
         mdp = int(mdp_raw) if mdp_raw else None
         series = self.app.render(targets, start, end, max_points=mdp)
+        if q.get("graphType", [""])[0] == "pie":
+            # graphite pie mode: collapse each series to one value with
+            # pieMode average|maximum|minimum (render/views.py renderView)
+            mode = q.get("pieMode", ["average"])[0]
+            fns = {
+                "average": lambda vs: sum(vs) / len(vs),
+                "maximum": max,
+                "minimum": min,
+            }
+            if mode not in fns:
+                return self._send(
+                    400, {"message": f"unknown pieMode {mode!r}"})
+            out = []
+            for s in series:
+                vals = [v for v, _ in s["datapoints"] if v is not None]
+                if vals:
+                    out.append({"target": s["target"],
+                                "value": fns[mode](vals)})
+            return self._send(200, out)
         if fmt == "raw":
             return self._send_text(200, render_raw(series), "text/plain")
         if fmt == "csv":

@@ -803,3 +803,17 @@ def test_render_no_null_points_and_jsonp(graphite_server):
         text = r.read().decode()
     assert text.startswith("cb(") and text.endswith(")")
     assert json.loads(text[3:-1])[0]["target"] == "bg.click.u0"
+
+
+def test_render_pie_mode(graphite_server):
+    base = f"{graphite_server}/render?target=bg.click.u0&from=-8w&until=now"
+    _, js = _get(base)
+    vals = [v for v, _ in js[0]["datapoints"] if v is not None]
+    _, pie = _get(base + "&graphType=pie")
+    assert pie == [{"target": "bg.click.u0",
+                    "value": pytest.approx(sum(vals) / len(vals))}]
+    _, piemax = _get(base + "&graphType=pie&pieMode=maximum")
+    assert piemax[0]["value"] == max(vals)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base + "&graphType=pie&pieMode=mode")
+    assert e.value.code == 400

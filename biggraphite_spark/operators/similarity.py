@@ -382,6 +382,27 @@ def write_ivf_corpus(
     ).mode("overwrite").parquet(path)
 
 
+def refresh_ivf_corpus(
+    new_embeddings: DataFrame,
+    path: str,
+    codebook: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF maintenance: assign ONLY the new vectors to the
+    existing (frozen) codebook and APPEND them into their cell
+    partitions — the vector-index analogue of ``PointStore.
+    refresh_rollup`` (touch what changed, never rebuild).  Because cell
+    assignment is a pure function of the codebook, append-after-assign is
+    exactly equal to a full rebuild over the union corpus — pinned by
+    ``test_similarity_partitioned``.  At 100 TB this is the difference
+    between a daily index job that costs one day of vectors and one that
+    costs the corpus."""
+    assign_cells(new_embeddings, codebook, id_col, vec_col).write.partitionBy(
+        "cell"
+    ).mode("append").parquet(path)
+
+
 def ann_ivf_topk_partitioned(
     spark,
     path: str,

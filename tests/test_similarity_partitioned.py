@@ -126,3 +126,41 @@ def test_filtered_ann_pre_filter_semantics(spark):
 
     unfiltered = ann_ivf_topk(emb, queries, nprobe=2, k=5).collect()
     assert any(r["neighbor_id"] % 2 == 1 for r in unfiltered)
+
+
+def test_refresh_ivf_appends_equal_full_rebuild(spark, tmpdir):
+    """refresh_ivf_corpus: appending the delta under the frozen codebook
+    produces the exact probe results of a full rebuild over the union —
+    and only the delta is assigned (the incremental-index contract)."""
+    from biggraphite_spark.operators.similarity import refresh_ivf_corpus
+
+    base = _corpus(spark, n=30)
+    delta_rows = [(100, [1.0, 0.5, 0.0, 0.0]), (101, [0.0, 0.0, 1.0, 0.5])]
+    delta = spark.createDataFrame(
+        delta_rows, "vec_id long, embedding array<double>"
+    )
+
+    inc_path = os.path.join(str(tmpdir), "ivf_inc")
+    write_ivf_corpus(base, inc_path, CODEBOOK)
+    refresh_ivf_corpus(delta, inc_path, CODEBOOK)
+
+    full_path = os.path.join(str(tmpdir), "ivf_full")
+    write_ivf_corpus(base.unionByName(delta), full_path, CODEBOOK)
+
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.4, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 0.4])],
+        "vec_id long, embedding array<double>",
+    )
+
+    def ranked(path):
+        return sorted(
+            tuple(r)
+            for r in ann_ivf_topk_partitioned(
+                spark, path, queries, CODEBOOK, nprobe=1, k=5
+            ).collect()
+        )
+
+    assert ranked(inc_path) == ranked(full_path)
+    # the new vectors are actually reachable
+    got_ids = {t[1] for t in ranked(inc_path)}
+    assert 100 in got_ids and 101 in got_ids

@@ -90,6 +90,12 @@ def main(argv: list[str] | None = None) -> int:
         "graphite_web", help="serve graphite-web's read API (/metrics/find, /render)"
     )
     sp.add_argument("--port", type=int, default=8080)
+    sp = sub.add_parser(
+        "import-whisper",
+        help="distributed whisper-tree import (reference bg-import-whisper)",
+    )
+    sp.add_argument("root", help="directory of .wsp files")
+    sp.add_argument("--out", help="write points/ + catalog/ parquet here")
     sub.add_parser("shell", help="interactive Python with the engine in scope")
 
     args = p.parse_args(argv)
@@ -268,6 +274,22 @@ def _dispatch(args, eng) -> int:
         print("Metadata: ", meta)
         print("Id: ", row["id"])
         print("Created: ", row["created_on"], " Updated: ", row["updated_on"])
+    elif args.cmd == "import-whisper":
+        # cli/import_whisper.py: the reference walks the tree with a
+        # multiprocessing pool; here the walk is a binaryFile scan and the
+        # parse runs distributed (sources/whisper.py)
+        from .sources.whisper import whisper_metadata, whisper_points
+
+        spark = eng.catalog.sparkSession
+        points = whisper_points(spark, args.root)
+        meta = whisper_metadata(spark, args.root)
+        if args.out:
+            points.write.mode("overwrite").parquet(args.out + "/points")
+            meta.write.mode("overwrite").parquet(args.out + "/catalog")
+            print(f"# wrote {args.out}/points and {args.out}/catalog")
+        n_metrics = meta.count()
+        n_points = points.count()
+        print(f"# imported {n_metrics} metrics, {n_points} points")
     elif args.cmd == "shell":
         # cli/command_shell.py: drop into an interpreter with the connected
         # accessor in scope; here the locals are the engine + session

@@ -159,3 +159,22 @@ def test_render_subcommand(spark, capsys):
     assert lines[1].split("\t")[0] == "sumSeries(bg.click.u*)"
     # bad expression -> exit 2 via the InvalidArgumentError contract
     assert main(["--sf-dir", SF, "render", "noSuchFunc(bg.click.u0)"]) == 2
+
+
+def test_import_whisper_subcommand(spark, capsys, tmp_path):
+    from biggraphite_spark.sources.whisper import make_wsp
+
+    tree = tmp_path / "wsp"
+    (tree / "a" / "b").mkdir(parents=True)
+    blob = make_wsp([(60, 5)], [[(1200, 1.0), (1260, 2.0)]])
+    (tree / "a" / "b" / "c.wsp").write_bytes(blob)
+
+    out_dir = tmp_path / "imported"
+    out = _run(capsys, "import-whisper", str(tree), "--out", str(out_dir))
+    assert "# imported 1 metrics, 2 points" in out
+    pts = spark.read.parquet(str(out_dir / "points"))
+    assert {tuple(r) for r in pts.select("name", "ts", "value").collect()} == {
+        ("a.b.c", 1200, 1.0), ("a.b.c", 1260, 2.0),
+    }
+    cat = spark.read.parquet(str(out_dir / "catalog")).collect()
+    assert cat[0]["name"] == "a.b.c"

@@ -366,17 +366,24 @@ def remove_above_percentile(series: DataFrame, pct: float) -> DataFrame:
     )
 
 
-def hitcount(series: DataFrame, precision: int) -> DataFrame:
+def hitcount(series: DataFrame, precision: int,
+             origin: int | None = None) -> DataFrame:
     """``hitcount``: re-bucket to ``precision`` seconds as rate×time — each
     source bucket contributes ``value * source_step`` so the output estimates
     the number of events in the coarser bucket.  ``source_step`` is inferred
     per series as the minimum ts delta (graphite knows it from the fetch
-    header; the inference keeps the function standalone)."""
+    header; the inference keeps the function standalone).  ``origin``
+    anchors the buckets to the request window start (graphite's
+    ``alignToInterval=True``)."""
     w = Window.partitionBy("name").orderBy("ts")
     step = F.min(F.col("ts") - F.lag("ts").over(w)).over(
         Window.partitionBy("name")
     )
-    bucket = (F.col("ts") - (F.col("ts") % F.lit(precision))).alias("ts")
+    if origin:
+        off = F.col("ts") - F.lit(origin)
+        bucket = (F.lit(origin) + off - (off % F.lit(precision))).alias("ts")
+    else:
+        bucket = (F.col("ts") - (F.col("ts") % F.lit(precision))).alias("ts")
     return (
         series.select("name", "ts", (F.col("value") * step).alias("scaled"))
         .groupBy("name", bucket)

@@ -394,6 +394,9 @@ def evaluate_target(node, fetch, step: int, start: int = 0,
                 return S.transform_null_ref(s, default, rest[1])
             return S.transform_null(s, default)
         if f == "timeShift":
+            # optional resetEnd/alignDST accepted: resetEnd's clamp is
+            # already applied by the fetch window; alignDST is a no-op in
+            # a UTC engine
             return S.time_shift(s, parse_timespan(_sarg(rest[0])))
         if f == "summarize":
             how = _sarg(rest[1]) if len(rest) > 1 else "sum"
@@ -442,7 +445,9 @@ def evaluate_target(node, fetch, step: int, start: int = 0,
         if f == "timeSlice":
             return S.time_slice(s, _iarg(rest[0]), _iarg(rest[1]))
         if f == "hitcount":
-            return S.hitcount(s, parse_timespan(_sarg(rest[0])))
+            align = len(rest) > 1 and _barg(rest[1])
+            return S.hitcount(s, parse_timespan(_sarg(rest[0])),
+                              origin=start if align else None)
         if f == "changed":
             return S.changed(s)
         if f == "interpolate":
@@ -594,12 +599,18 @@ def evaluate_target(node, fetch, step: int, start: int = 0,
             "holtWintersAberration",
         ):
             # graphite render/functions.py holtWinters family over the
-            # fetched window (graphite additionally bootstraps with 7 days
-            # of history before the window; callers wanting that fetch the
-            # wider range and bootstrap_trim the result)
+            # fetched window (graphite additionally bootstraps with
+            # bootstrapInterval (arg 1, default 7d) of history before the
+            # window; callers wanting that fetch the wider range and
+            # bootstrap_trim the result).  seasonality (arg 2, default 1d)
+            # maps to the season length in buckets.
             from .holtwinters import holt_winters
 
-            hw = holt_winters(s, step)
+            season = None
+            if len(rest) > 1 and rest[1]:
+                season = max(
+                    1, parse_timespan(_sarg(rest[1])) // max(1, step))
+            hw = holt_winters(s, step, season_length=season)
             named = S.F.concat(
                 S.F.lit(f + "("), S.F.col("name"), S.F.lit(")")
             )

@@ -574,3 +574,33 @@ def test_optional_graphite_args(spark):
         ).collect()
     }
     assert got == {0: -1.0, 60: None, 120: 5.0}
+
+
+def test_optional_args_batch2(spark):
+    rows = [("m", 60 + t * 60, 1.0) for t in range(6)]
+    df = spark.createDataFrame(rows, ["name", "ts", "value"])
+
+    # hitcount alignToInterval=true anchors to the window start
+    got = evaluate_target(
+        parse_target("hitcount(x, '2min', true)"),
+        fetch=lambda g: df, step=60, start=60,
+    ).collect()
+    assert min(r["ts"] for r in got) == 60
+    got0 = evaluate_target(
+        parse_target("hitcount(x, '2min')"),
+        fetch=lambda g: df, step=60, start=60,
+    ).collect()
+    assert min(r["ts"] for r in got0) == 0
+
+    # timeShift extra args accepted (shift is forward: 60 -> 120)
+    got = _vals(df, "timeShift(x, '1min', false)")
+    assert got[("m", 120)] == 1.0
+
+    # holtWinters seasonality argument steers the season length
+    rows2 = [("m", t * 60, float(t % 4)) for t in range(40)]
+    df2 = spark.createDataFrame(rows2, ["name", "ts", "value"])
+    a = {r["ts"]: r["value"] for r in _run(
+        df2, "holtWintersForecast(x, '7d', '4min')").collect()}
+    b = {r["ts"]: r["value"] for r in _run(
+        df2, "holtWintersForecast(x, '7d', '10min')").collect()}
+    assert a != b  # different season lengths give different forecasts

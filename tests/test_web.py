@@ -817,3 +817,21 @@ def test_render_pie_mode(graphite_server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(base + "&graphType=pie&pieMode=mode")
     assert e.value.code == 400
+
+
+def test_events_store_concurrent_adds_get_distinct_ids(spark, tmp_path):
+    """Two threads posting annotations concurrently must serialize under
+    the write lock: distinct monotonic ids, both rows stored."""
+    import concurrent.futures
+
+    from biggraphite_spark.operators.annotations import EventsStore
+
+    store = EventsStore(spark, str(tmp_path / "ev_race"))
+    with concurrent.futures.ThreadPoolExecutor(2) as ex:
+        rows = list(ex.map(
+            lambda i: store.add(f"e{i}", 1000 + i, ["t"]), range(2)
+        ))
+    assert sorted(r["id"] for r in rows) == [1, 2]
+    stored = store.get_data().collect()
+    assert sorted(r["id"] for r in stored) == [1, 2]
+    assert {r["what"] for r in stored} == {"e0", "e1"}

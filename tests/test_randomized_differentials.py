@@ -257,3 +257,85 @@ def test_agg_expr_randomized(spark):
             else:
                 assert got == pytest.approx(want, rel=1e-9, abs=1e-9), (
                     r["name"], h, got, want)
+
+
+def test_aggregate_series_lists_randomized(spark):
+    """All 12 pairwise seriesLists forms vs a python brute force over a
+    seeded random pair of lists with nulls and unequal list lengths —
+    the positional sorted-name zip + safe* pair semantics."""
+    from biggraphite_spark.functions.series import aggregate_series_lists
+
+    rnd = random.Random(31)
+
+    def mk(prefix, n_series):
+        rows = []
+        for i in range(n_series):
+            for t in range(4):
+                v = None if rnd.random() < 0.25 else round(
+                    rnd.uniform(-9, 9), 2)
+                rows.append((f"{prefix}.{i}", t * 60, v))
+        return rows
+
+    rows_a, rows_b = mk("a", 4), mk("b", 3)  # unmatched rank 4 drops
+    a = spark.createDataFrame(rows_a, "name string, ts long, value double")
+    b = spark.createDataFrame(rows_b, "name string, ts long, value double")
+
+    def by_rank(rows):
+        names = sorted({n for n, _, _ in rows})
+        return {
+            r: {(t): v for n2, t, v in rows if n2 == n}
+            for r, n in enumerate(names)
+        }, names
+
+    da, names_a = by_rank(rows_a)
+    db, names_b = by_rank(rows_b)
+
+    def brute(how, v, w):
+        both = v is not None and w is not None
+        either = v is not None or w is not None
+        z = lambda x: 0.0 if x is None else x  # noqa: E731
+        if how in ("sum", "total"):
+            return z(v) + z(w) if either else None
+        if how in ("average", "avg", "median"):
+            if not either:
+                return None
+            return (z(v) + z(w)) / ((v is not None) + (w is not None))
+        if how == "min":
+            return min(v, w) if both else (v if v is not None else w)
+        if how == "max":
+            return max(v, w) if both else (v if v is not None else w)
+        if how == "multiply":
+            return v * w if both else None
+        if how == "diff":
+            return v - w if both else (v if v is not None else w)
+        if how == "first":
+            return v if v is not None else w
+        if how in ("last", "current"):
+            return w if w is not None else v
+        if how == "count":
+            return float((v is not None) + (w is not None))
+        if how in ("range", "rangeOf"):
+            return (max(v, w) - min(v, w)) if both else (0.0 if either else None)
+        if how == "stddev":
+            return abs(v - w) / 2 if both else (0.0 if either else None)
+        raise AssertionError(how)
+
+    for how in ("sum", "average", "min", "max", "multiply", "diff",
+                "first", "last", "count", "range", "stddev", "median"):
+        got = {
+            (r["name"], r["ts"]): r["value"]
+            for r in aggregate_series_lists(a, b, how).collect()
+        }
+        canon = {"avg": "average", "total": "sum",
+                 "current": "last", "rangeOf": "range"}.get(how, how)
+        want = {}
+        for r in range(min(len(names_a), len(names_b))):
+            label = f"{canon}Series({names_a[r]},{names_b[r]})"
+            for t in (0, 60, 120, 180):
+                want[(label, t)] = brute(how, da[r].get(t), db[r].get(t))
+        assert set(got) == set(want), how
+        for key in want:
+            if want[key] is None:
+                assert got[key] is None, (how, key, got[key])
+            else:
+                assert got[key] == pytest.approx(want[key]), (how, key)

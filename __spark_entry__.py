@@ -6776,6 +6776,78 @@ def doc_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUALITY_PROP_ORACLE = f"""
+WITH RECURSIVE
+{_lsh_edges_ctes()},
+wpairs AS (SELECT doc_a, doc_b,
+                  ROUND(shared * 1.0 / (na + nb - shared), 6) AS w
+           FROM (SELECT doc_a, doc_b,
+                        len(list_intersect(da.sh, db.sh)) AS shared,
+                        len(da.sh) AS na, len(db.sh) AS nb
+                 FROM cand JOIN d da ON da.doc_id = doc_a
+                           JOIN d db ON db.doc_id = doc_b)
+           WHERE shared * 1.0 / (na + nb - shared) >= 0.5),
+wedges AS (SELECT doc_a AS a, doc_b AS b, w FROM wpairs
+           UNION ALL SELECT doc_b, doc_a, w FROM wpairs),
+wout AS (SELECT a, sum(w) AS wout FROM wedges GROUP BY a),
+seeds AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds),
+pr AS (
+  SELECT 0 AS iter, doc.doc_id,
+         CASE WHEN s.doc_id IS NOT NULL
+              THEN (SELECT 1.0 / n FROM ns) ELSE 0.0 END AS rank
+  FROM documents doc LEFT JOIN seeds s USING (doc_id)
+  UNION ALL
+  SELECT pr.iter + 1, e.b AS doc_id,
+         CASE WHEN s.doc_id IS NOT NULL
+              THEN 0.15 * (SELECT 1.0 / n FROM ns) ELSE 0.0 END
+         + 0.85 * sum(pr.rank * e.w / wout.wout)
+  FROM pr JOIN wedges e ON e.a = pr.doc_id JOIN wout ON wout.a = e.a
+       LEFT JOIN seeds s ON s.doc_id = e.b
+  WHERE pr.iter < 10
+  GROUP BY pr.iter, e.b, s.doc_id
+),
+final AS (SELECT doc_id, rank FROM pr WHERE iter = 10)
+SELECT doc.doc_id,
+       ROUND(COALESCE(f.rank,
+                      CASE WHEN s.doc_id IS NOT NULL
+                           THEN 0.15 * (SELECT 1.0 / n FROM ns)
+                           ELSE 0.0 END)
+             * 1000 + 1.23e-9, 6) AS score
+FROM documents doc
+LEFT JOIN final f USING (doc_id)
+LEFT JOIN seeds s ON s.doc_id = doc.doc_id
+"""
+
+
+@_register("doc_quality_propagation", _QUALITY_PROP_ORACLE)
+def doc_quality_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized, jaccard-WEIGHTED PageRank seeded on a trusted
+    sub-corpus (source='src0'): rank becomes graph proximity to the
+    seeds — the quality-propagation primitive web-corpus curation uses
+    (trusted-set label propagation).  score = rank × 1000 on the rounded
+    lattice with the PAIRED tie-breaker."""
+    _utc(spark)
+    from biggraphite_spark.operators.dedup import lsh_near_dups
+    from biggraphite_spark.operators.graph import pagerank
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    pairs = lsh_near_dups(docs, threshold=0.5)
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b"),
+        F.col("jaccard").alias("w"),
+    ).unionByName(pairs.select(
+        F.col("doc_b").alias("a"), F.col("doc_a").alias("b"),
+        F.col("jaccard").alias("w"),
+    ))
+    seeds = docs.filter(F.col("source") == "src0").select("doc_id")
+    pr = pagerank(edges, docs.select("doc_id"), weight_col="w", seeds=seeds)
+    return pr.select(
+        "doc_id",
+        F.round(F.col("rank") * 1000 + 1.23e-9, 6).alias("score"),
+    )
+
+
 @_register("doc_pagerank", _PAGERANK_ORACLE)
 def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplication-centrality scoring: 10-iteration PageRank over the

@@ -30,36 +30,64 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     checkpoint_every: int = 4,
+    weight_col: str | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
-    """Fixed-iteration PageRank: ``rank' = (1-d)/N + d * Σ rank(u)/out(u)``
-    over directed ``edges(a, b)``; every node in ``nodes`` gets a row
-    (nodes without in-edges hold the teleport term).  Deterministic — a
-    fixed iteration count, no convergence test — so the result is
-    oracle-replayable; dangling mass is not redistributed (the simple
-    variant, documented contract).
+    """Fixed-iteration PageRank: ``rank' = teleport(v) + d * Σ rank(u) *
+    w(u,v)/wout(u)`` over directed ``edges(a, b[, weight])``; every node
+    in ``nodes`` gets a row (nodes without in-edges hold their teleport
+    term).  Deterministic — a fixed iteration count, no convergence
+    test — so the result is oracle-replayable; dangling mass is not
+    redistributed (the simple variant, documented contract).
 
-    ``N`` is read once driver-side (a convergence-scalar class collect,
-    same as the k-means loop).  Edges are cached: every iteration probes
-    the same (a, b, outd) relation.
+    ``weight_col`` turns the uniform split into a weighted one
+    (w/Σw per source).  ``seeds`` switches to PERSONALIZED PageRank:
+    teleport mass (1-d) flows only to the seed set (uniformly), so rank
+    becomes proximity to the seeds through the graph — the
+    quality-propagation primitive (score documents by closeness to a
+    trusted sub-corpus).  Initial mass likewise starts on the seeds.
+
+    ``N``/seed ids are read once driver-side (a convergence-scalar class
+    collect, same as the k-means loop; seed sets are source-sized).
+    Edges are cached: every iteration probes the same (a, b, share)
+    relation.
     """
-    n = nodes.count()
     ids = nodes.select(F.col(id_col).alias("id"))
-    deg = edges.groupBy("a").agg(F.count(F.lit(1)).cast("double").alias("outd"))
-    ed = edges.join(deg, "a").select("a", "b", "outd").cache()
-    teleport = (1.0 - damping) / n
-    ranks = ids.select("id", F.lit(1.0 / n).alias("rank"))
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    weighted = edges.select("a", "b", w.alias("w"))
+    wout = weighted.groupBy("a").agg(F.sum("w").alias("wout"))
+    ed = (
+        weighted.join(wout, "a")
+        .select("a", "b", (F.col("w") / F.col("wout")).alias("share"))
+        .cache()
+    )
+    if seeds is None:
+        n = nodes.count()
+        tele_col = F.lit((1.0 - damping) / n)
+        init_col = F.lit(1.0 / n)
+        base = ids
+    else:
+        seed_ids = [r[0] for r in seeds.select(id_col).distinct().collect()]
+        n_seeds = len(seed_ids)
+        if n_seeds == 0:
+            raise ValueError("personalized pagerank needs a non-empty seed set")
+        is_seed = F.col("id").isin(seed_ids)
+        tele_col = F.when(is_seed, (1.0 - damping) / n_seeds).otherwise(0.0)
+        init_col = F.when(is_seed, 1.0 / n_seeds).otherwise(0.0)
+        base = ids
+    ranks = base.select("id", init_col.alias("rank"))
     for i in range(iterations):
         contribs = (
             ed.join(ranks, ed.a == ranks.id)
             .select(F.col("b").alias("id"),
-                    (F.col("rank") / F.col("outd")).alias("c"))
+                    (F.col("rank") * F.col("share")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = ids.join(contribs, "id", "left").select(
+        ranks = base.join(contribs, "id", "left").select(
             "id",
             (
-                F.lit(teleport)
+                tele_col
                 + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
             ).alias("rank"),
         )

@@ -52,3 +52,56 @@ def test_star_graph_hub_dominates(spark):
 def test_every_node_gets_a_row(spark):
     got = _pr(spark, [(1, 2), (2, 1)], [1, 2, 7, 8, 9])
     assert set(got) == {1, 2, 7, 8, 9}
+
+
+def test_weighted_pagerank_python_replay(spark):
+    edges = [(1, 2, 3.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)]
+    e = spark.createDataFrame(edges, "a long, b long, w double")
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3)], ["doc_id"])
+    got = {
+        r["doc_id"]: r["rank"]
+        for r in pagerank(e, nodes, weight_col="w", iterations=15).collect()
+    }
+    # python replay with the same weighted shares
+    wout = {1: 4.0, 2: 1.0, 3: 1.0}
+    rank = {v: 1 / 3 for v in (1, 2, 3)}
+    for _ in range(15):
+        contrib = {v: 0.0 for v in (1, 2, 3)}
+        for a, b, w in edges:
+            contrib[b] += rank[a] * w / wout[a]
+        rank = {v: 0.15 / 3 + 0.85 * contrib[v] for v in (1, 2, 3)}
+    for v in (1, 2, 3):
+        assert got[v] == pytest.approx(rank[v], rel=1e-12)
+    # weight asymmetry shows: node 2 outranks node 3
+    assert got[2] > got[3]
+
+
+def test_personalized_pagerank_seeds(spark):
+    # chain 1-2-3-4 (symmetric), seed on 1: rank decays with distance
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3)]
+    e = spark.createDataFrame(edges, "a long, b long")
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 9)], ["doc_id"])
+    seeds = spark.createDataFrame([(1,)], ["doc_id"])
+    got = {
+        r["doc_id"]: r["rank"]
+        for r in pagerank(e, nodes, seeds=seeds, iterations=20).collect()
+    }
+    # exact python replay (note: node 2 legitimately out-ranks the seed —
+    # the degree-1 seed forwards ALL its mass while 2 splits its own)
+    out = {1: 1, 2: 2, 3: 2, 4: 1}
+    rank = {1: 1.0, 2: 0.0, 3: 0.0, 4: 0.0, 9: 0.0}
+    for _ in range(20):
+        contrib = {v: 0.0 for v in rank}
+        for a, b in edges:
+            contrib[b] += rank[a] / out[a]
+        rank = {
+            v: (0.15 if v == 1 else 0.0) + 0.85 * contrib[v] for v in rank
+        }
+    for v in rank:
+        assert got[v] == pytest.approx(rank[v], rel=1e-12, abs=1e-15)
+    # mass decays with distance beyond the seed's neighbour
+    assert got[2] > got[3] > got[4]
+    # an isolated non-seed gets NO mass under personalization
+    assert got[9] == 0.0
+    with pytest.raises(ValueError):
+        pagerank(e, nodes, seeds=nodes.limit(0)).collect()

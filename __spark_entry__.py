@@ -6832,7 +6832,8 @@ def doc_quality_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biggraphite_spark.operators.graph import pagerank
 
     docs = _load_parallel(spark, sf_dir, "documents")
-    pairs = lsh_near_dups(docs, threshold=0.5)
+    # cached: the two-direction union references the pair subtree twice
+    pairs = lsh_near_dups(docs, threshold=0.5).cache()
     edges = pairs.select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b"),
         F.col("jaccard").alias("w"),

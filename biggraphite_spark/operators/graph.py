@@ -115,7 +115,9 @@ def neardup_pagerank(
 
     if pairs is None:
         pairs = lsh_near_dups(docs, threshold=threshold)
-    pairs = pairs.select("doc_a", "doc_b")
+    # the two-direction union references the pair subtree twice; cache it
+    # or the LSH candidate+verify joins execute twice
+    pairs = pairs.select("doc_a", "doc_b").cache()
     edges = pairs.select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     ).unionByName(

@@ -6157,6 +6157,76 @@ def events_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_merge(daily, ("event_type",), k=_KMV_K)
 
 
+def _hll_oracle() -> str:
+    """Shares the alpha constant with the engine via repr() interpolation,
+    so both engines compute the estimator on the identical double."""
+    from biggraphite_spark.operators.sketches import _hll_alpha
+
+    m = 256  # p = 8
+    a = f"{_hll_alpha(m)!r}::DOUBLE"
+    return f"""
+WITH h AS (SELECT event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           AS hv
+       FROM events),
+r AS (SELECT DISTINCT event_type, hv // 16777216 AS idx,
+        CASE WHEN hv % 16777216 = 0 THEN 25
+             ELSE 25 - length(bin(hv % 16777216)) END AS rho
+      FROM h),
+regs AS (SELECT event_type, idx, MAX(rho) AS rho FROM r GROUP BY 1, 2),
+z AS (SELECT event_type,
+             ({m} - count(*)) * 1.0 + sum(power(2.0, -rho)) AS zsum,
+             {m} - count(*) AS zeros
+      FROM regs GROUP BY 1),
+ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+       FROM events GROUP BY 1)
+SELECT z.event_type,
+       ROUND(CASE WHEN {a} * {m * m}.0 / zsum <= {2.5 * m} AND zeros > 0
+                  THEN {m}.0 * ln({m}.0 / zeros)
+                  ELSE {a} * {m * m}.0 / zsum END + 1.23e-9, 4) AS est_distinct,
+       CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+FROM z JOIN ex USING (event_type)
+"""
+
+
+@_register("events_hll", _hll_oracle())
+def events_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch on the PORTABLE md5 hash
+    (beyond-reference; Flajolet et al. 2007): per-(event_type, day)
+    register partials — the synopsis a daily job persists, ≤256 rows per
+    group regardless of raw volume — merged by per-index max back to
+    per-event-type estimates.  Register merge is associative, so the
+    merged estimate equals the direct single-pass sketch bit for bit and
+    ONE oracle pins both the sketch math and the merge algebra.  rho is
+    derived from binary-string length (integer math), keeping every
+    engine's libm out of the register path; the small-range
+    linear-counting branch is exercised at sf0.01, the raw estimator at
+    sf0.1 — the two-scale gate covers both."""
+    _utc(spark)
+    from biggraphite_spark.operators.sketches import hll_merge, hll_partials
+    from biggraphite_spark.sources.events import event_ts_seconds, load_events
+
+    ev = load_events(spark, sf_dir)
+    daily = hll_partials(
+        ev.select(
+            "event_type",
+            "user_id",
+            (event_ts_seconds(ev) / 86400).cast("long").alias("day"),
+        ),
+        "user_id",
+        ("event_type", "day"),
+    )
+    est = hll_merge(daily, ("event_type",))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        F.round(F.col("est_distinct") + 1.23e-9, 4).alias("est_distinct"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+    )
+
+
 _WFUNNEL_W = 3600
 
 _WFUNNEL_ORACLE = f"""

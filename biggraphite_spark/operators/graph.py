@@ -96,6 +96,200 @@ def pagerank(
     return ranks.select(F.col("id").alias(id_col), "rank")
 
 
+def triangle_stats(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over an
+    undirected graph given as CANONICAL pairs ``(a, b)`` with ``a < b``.
+
+    Triangles are enumerated once each via the ordered node-iterator join
+    (x < y < z): pairs(x,y) ⋈ pairs(y,z) ⋈ pairs(x,z).  Clustering
+    coefficient = triangles / C(degree, 2); nodes with degree < 2 get 0.
+    For the near-dup graph this scores CLUSTER DENSITY — a clique of
+    exact dups has coefficient 1, a chain of borderline matches 0 — the
+    signal curation uses to tell "one duplicated document" from "a chain
+    of weakly similar ones".
+
+    Shape: the pair graph is ≪ the corpus by construction (same argument
+    as PageRank above); three hash joins keyed on node ids, no
+    cartesian.  Skewed hubs can be salted upstream; the LSH verify step
+    already bounds degree by the band-collision rate.
+    """
+    p = pairs.select(F.col("a"), F.col("b"))
+    e1 = p.alias("e1")
+    e2 = p.alias("e2")
+    e3 = p.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    deg = (
+        p.select(F.col("a").alias("id"))
+        .unionAll(p.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    ids = nodes.select(F.col(id_col).alias("id"))
+    out = (
+        ids.join(deg, "id", "left")
+        .join(per_node, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("degree"), F.lit(0)).cast("long").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+        )
+    )
+    wedges = (F.col("degree") * (F.col("degree") - 1) / 2.0)
+    coeff = F.when(
+        F.col("degree") >= 2, F.col("triangles") / wedges
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("clustering_coeff", F.round(coeff + 1.23e-9, 6))
+
+
+def kcore(
+    edges: DataFrame,
+    nodes: DataFrame,
+    k: int = 2,
+    rounds: int | None = None,
+    id_col: str = "doc_id",
+    checkpoint_every: int = 4,
+    max_rounds: int = 100,
+) -> DataFrame:
+    """k-core peel over SYMMETRIC ``edges(a, b)``: iteratively remove
+    nodes with fewer than ``k`` surviving neighbors.
+
+    ``rounds=None`` (the operator default) peels to the true fixpoint —
+    each round is one semi-join + one count aggregation, and the loop
+    stops when the survivor count is stable (a convergence-scalar
+    driver read, same class as the k-means loop).  ``rounds=R`` runs a
+    FIXED R-round peel instead: deterministic at every scale without a
+    data-dependent loop, which is what the oracle-replayable contract
+    query pins (an R-round peel equals the true k-core whenever the
+    peeling depth ≤ R; the pytest asserts that equality on the test
+    graph).
+
+    Output: every node in ``nodes`` with ``in_core`` and its surviving
+    degree (``core_degree``, 0 outside the core).
+    """
+    surv = edges.select(F.col("a").alias("v")).union(
+        edges.select(F.col("b").alias("v"))
+    ).distinct()
+    edges = edges.select("a", "b").cache()
+    prev_n = None
+    i = 0
+    while True:
+        if rounds is not None and i >= rounds:
+            break
+        if rounds is None:
+            prev_n = surv.count() if prev_n is None else prev_n
+        # keep only edges with BOTH endpoints surviving, then count
+        alive = (
+            edges.join(surv.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(surv.withColumnRenamed("v", "b"), "b", "left_semi")
+        )
+        nxt = (
+            alive.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select(F.col("a").alias("v"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint()
+        if rounds is None:
+            n = nxt.count()
+            if n == prev_n or i >= max_rounds:
+                surv = nxt
+                break
+            prev_n = n
+        surv = nxt
+        i += 1
+    core = (
+        edges.join(surv.withColumnRenamed("v", "a"), "a", "left_semi")
+        .join(surv.withColumnRenamed("v", "b"), "b", "left_semi")
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+    ids = nodes.select(F.col(id_col).alias("a"))
+    return ids.join(core, "a", "left").select(
+        F.col("a").alias(id_col),
+        F.col("core_degree").isNotNull().alias("in_core"),
+        F.coalesce(F.col("core_degree"), F.lit(0)).cast("long").alias("core_degree"),
+    )
+
+
+def hits(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    iterations: int = 3,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999) over DIRECTED
+    ``edges(src, dst)`` — in PURE INTEGER arithmetic.
+
+    The classic formulation normalizes each round, which drags a
+    corpus-wide floating-point sum (association-order-sensitive, so not
+    oracle-replayable) into the loop.  This variant runs the UNNORMALIZED
+    power iteration instead: hub₀ = 1 for every node, then per round
+    auth = Aᵀ·hub and hub = A·auth, all in longs — scores are exact
+    integers, identical on every engine, and the RANKING (all HITS
+    semantics anybody consumes) is unchanged because normalization is a
+    positive scalar.  With ``iterations=3`` the magnitudes are bounded by
+    d_max⁶ — safely inside int64 for any near-dup graph whose degrees the
+    LSH verify step bounds.
+
+    Output: every node with final ``hub`` and ``auth`` (0 when the node
+    has no out-/in-edges respectively).
+    """
+    ids = nodes.select(F.col(id_col).alias("id"))
+    ed = edges.select("src", "dst").cache()
+    hub = ids.select("id", F.lit(1).cast("long").alias("hub"))
+    for i in range(iterations):
+        auth = (
+            ed.join(hub, ed.src == hub.id)
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("auth"))
+        )
+        hub = (
+            ed.join(auth, "dst")
+            .groupBy("src")
+            .agg(F.sum("auth").alias("hub"))
+            .select(F.col("src").alias("id"), "hub")
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            hub = hub.localCheckpoint()
+    auth = (
+        ed.join(hub, ed.src == hub.id)
+        .groupBy("dst")
+        .agg(F.sum("hub").alias("auth"))
+        .select(F.col("dst").alias("id"), "auth")
+    )
+    return (
+        ids.join(hub, "id", "left")
+        .join(auth, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("hub"), F.lit(0)).cast("long").alias("hub"),
+            F.coalesce(F.col("auth"), F.lit(0)).cast("long").alias("auth"),
+        )
+    )
+
+
 def neardup_pagerank(
     docs: DataFrame,
     threshold: float = 0.5,

@@ -28,7 +28,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct", "cm_heavy_hitters", "HASH_SPACE"]
+__all__ = [
+    "kmv_distinct",
+    "cm_heavy_hitters",
+    "hll_partials",
+    "hll_merge",
+    "hll_distinct",
+    "HASH_SPACE",
+    "HLL_P",
+]
 
 #: 8 hex digits = 32-bit hash space; plenty below md5 collision concerns
 #: for the 2^16-ish cardinalities a single sketch group holds, and small
@@ -134,6 +142,109 @@ def kmv_merge(
         *group_cols, F.explode("minima").alias("__h")
     ).distinct()
     return _kmv_estimate(hashes, group_cols, k)
+
+
+#: default HyperLogLog precision: 2^8 = 256 registers per group, the
+#: classic ~6.5% standard-error point — small enough that a per-(group,
+#: day) partial is a few hundred rows of synopsis.
+HLL_P = 8
+
+
+def _hll_alpha(m: int) -> float:
+    """Flajolet et al. 2007 bias constant; both engines get the identical
+    double because the oracle SQL interpolates repr() of this value."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_partials(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = HLL_P,
+) -> DataFrame:
+    """Mergeable HyperLogLog state: non-empty registers ``(idx, rho)`` per
+    group — register index = top ``p`` bits of the shared 32-bit md5 hash,
+    rho = leading-zero run of the remaining ``32-p`` bits + 1.
+
+    Spark's own ``approx_count_distinct`` IS HyperLogLog, but its register
+    layout is engine-private (module docstring); this one is built on the
+    portable md5 hash, so the DuckDB oracle replays the registers — and
+    therefore the estimate — bit for bit.
+
+    Everything is exact integer math: ``rho`` comes from the binary-string
+    length of the remainder (``conv(w, 10, 2)``), not ``log2``, so no
+    engine's libm is in the loop.  Output is one row per NON-EMPTY
+    register: ≤ 2^p rows per group no matter how large the input.
+    """
+    m_bits = 32 - p
+    split = 1 << m_bits
+    h = _h32(F.col(value_col))
+    w = h % split
+    rho = F.when(w == F.lit(0), F.lit(m_bits + 1)).otherwise(
+        F.lit(m_bits + 1) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    return (
+        df.select(
+            *group_cols,
+            F.shiftright(h, m_bits).alias("idx"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(
+    partials: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    p: int = HLL_P,
+) -> DataFrame:
+    """Merge HLL partials down to ``group_cols`` and estimate: register
+    merge is ``max`` per index (associative/commutative, so daily →
+    global merge is EXACTLY the direct sketch), then the standard
+    estimator with the small-range linear-counting branch.
+
+    Determinism note: ``Z = Σ 2^(-rho)`` over ≤ 2^p registers is a sum of
+    dyadic rationals whose every partial sum is exactly representable in a
+    double (needs < 40 mantissa bits), so the addition order — Spark's
+    partial aggregation vs DuckDB's single pass — cannot change the
+    result.  The only libm call (``ln`` in the linear-counting branch)
+    gets bit-identical input on both sides; the contract query rounds
+    with the documented paired tie-breaker.
+    """
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    regs = partials.groupBy(*group_cols, "idx").agg(F.max("rho").alias("rho"))
+    z = regs.groupBy(*group_cols).agg(
+        (
+            (F.lit(m) - F.count(F.lit(1))) * F.lit(1.0)
+            + F.sum(F.pow(F.lit(2.0), -F.col("rho")))
+        ).alias("zsum"),
+        (F.lit(m) - F.count(F.lit(1))).alias("zeros"),
+    )
+    raw = F.lit(alpha) * F.lit(float(m * m)) / F.col("zsum")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("zeros") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros")),
+    ).otherwise(raw)
+    return z.select(*group_cols, est.alias("est_distinct"))
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = HLL_P,
+) -> DataFrame:
+    """Single-pass HyperLogLog distinct estimate per group — partials
+    straight into the merge (the merge of one partial is the identity)."""
+    return hll_merge(hll_partials(df, value_col, group_cols, p), group_cols, p)
 
 
 def cm_heavy_hitters(

@@ -187,6 +187,52 @@ def test_kmv_merge_is_exact_vs_direct(spark):
     assert merged == direct
 
 
+def test_hll_merge_is_exact_vs_direct(spark):
+    """Register merge (per-index max) is associative: daily partials merged
+    back to the group reproduce the single-pass sketch bit-for-bit."""
+    from biggraphite_spark.operators.sketches import (
+        hll_distinct,
+        hll_merge,
+        hll_partials,
+    )
+
+    rows = [("g", d, d * 211 + i) for d in range(5) for i in range(400)]
+    df = _df(spark, rows, "g string, day int, v int")
+    direct = {r["g"]: r["est_distinct"] for r in hll_distinct(df, "v", ("g",)).collect()}
+    partials = hll_partials(df, "v", ("g", "day"))
+    # partials are synopsis-sized: <= 2^p non-empty registers per group
+    sizes = partials.groupBy("g", "day").count().collect()
+    assert all(r["count"] <= 256 for r in sizes)
+    merged = {
+        r["g"]: r["est_distinct"] for r in hll_merge(partials, ("g",)).collect()
+    }
+    assert merged == direct
+
+
+def test_hll_estimate_tracks_cardinality_and_small_range(spark):
+    from biggraphite_spark.operators.sketches import hll_distinct
+
+    # small set -> linear-counting branch, tight estimate
+    small = _df(spark, [("g", i % 7) for i in range(100)], "g string, v int")
+    est = hll_distinct(small, "v", ("g",)).collect()[0]["est_distinct"]
+    assert 6.0 <= est <= 8.1
+    # larger set -> raw estimator, ~6.5% standard error at p=8; allow 4 sigma
+    big = _df(spark, [("g", i) for i in range(5000)], "g string, v int")
+    est = hll_distinct(big, "v", ("g",)).collect()[0]["est_distinct"]
+    assert 5000 * 0.74 < est < 5000 * 1.26
+
+
+def test_hll_rho_integer_path_matches_log2(spark):
+    """The binary-string-length rho must equal the mathematical
+    leading-zero rank for every hash — spot-check the full rho range."""
+    from biggraphite_spark.operators.sketches import hll_partials
+
+    df = _df(spark, [("g", i) for i in range(3000)], "g string, v int")
+    regs = hll_partials(df, "v", ("g",)).collect()
+    assert all(1 <= r["rho"] <= 25 for r in regs)
+    assert all(0 <= r["idx"] < 256 for r in regs)
+
+
 def test_windowed_funnel_bounds_and_greedy_semantics(spark):
     from biggraphite_spark.operators.funnel import windowed_funnel
 

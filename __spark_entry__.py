@@ -6939,6 +6939,154 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_pagerank(_load_parallel(spark, sf_dir, "documents"))
 
 
+_TRIANGLES_ORACLE = f"""
+WITH
+{_lsh_edges_ctes()},
+tri AS (SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+        FROM pairs e1
+        JOIN pairs e2 ON e2.doc_a = e1.doc_b
+        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+pn AS (SELECT unnest([x, y, z]) AS doc_id FROM tri),
+tcnt AS (SELECT doc_id, count(*) AS triangles FROM pn GROUP BY 1),
+deg AS (SELECT a AS doc_id, count(*) AS degree FROM edges GROUP BY 1)
+SELECT doc.doc_id,
+       CAST(COALESCE(deg.degree, 0) AS BIGINT) AS degree,
+       CAST(COALESCE(tcnt.triangles, 0) AS BIGINT) AS triangles,
+       ROUND(CASE WHEN COALESCE(deg.degree, 0) >= 2
+                  THEN COALESCE(tcnt.triangles, 0)
+                       / (deg.degree * (deg.degree - 1) / 2.0)
+                  ELSE 0.0 END + 1.23e-9, 6) AS clustering_coeff
+FROM documents doc
+LEFT JOIN deg USING (doc_id)
+LEFT JOIN tcnt USING (doc_id)
+"""
+
+
+@_register("doc_triangles", _TRIANGLES_ORACLE)
+def doc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle count + local clustering coefficient over the
+    MinHash-LSH near-dup graph — the cluster-DENSITY signal curation uses
+    to tell a duplicated document (clique, coefficient 1) from a chain of
+    weakly similar ones (coefficient 0).  Triangles are enumerated once
+    each via the ordered node-iterator join (x < y < z) on the canonical
+    pair list; three hash joins, no cartesian."""
+    _utc(spark)
+    from biggraphite_spark.operators.dedup import lsh_near_dups
+    from biggraphite_spark.operators.graph import triangle_stats
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    # the pair subtree feeds e1/e2/e3 and the degree union — cache it
+    pairs = lsh_near_dups(docs, threshold=0.5).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).cache()
+    return triangle_stats(pairs, docs.select("doc_id"))
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 8
+
+_KCORE_ORACLE = f"""
+WITH RECURSIVE
+{_lsh_edges_ctes()},
+gnodes AS (SELECT DISTINCT a AS v FROM edges),
+surv AS (
+  SELECT 0 AS iter, v FROM gnodes
+  UNION ALL
+  SELECT s.iter + 1, s.v FROM surv s
+  WHERE s.iter < {_KCORE_ROUNDS}
+    AND (SELECT count(*) FROM edges e
+         JOIN surv s2 ON s2.v = e.b AND s2.iter = s.iter
+         WHERE e.a = s.v) >= {_KCORE_K}
+),
+fin AS (SELECT v FROM surv WHERE iter = {_KCORE_ROUNDS}),
+cdeg AS (SELECT e.a AS v, count(*) AS core_degree
+         FROM edges e JOIN fin fa ON fa.v = e.a JOIN fin fb ON fb.v = e.b
+         GROUP BY 1)
+SELECT doc.doc_id,
+       cdeg.v IS NOT NULL AS in_core,
+       CAST(COALESCE(cdeg.core_degree, 0) AS BIGINT) AS core_degree
+FROM documents doc
+LEFT JOIN cdeg ON cdeg.v = doc.doc_id
+"""
+
+
+@_register("doc_kcore", _KCORE_ORACLE)
+def doc_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peel (k=2) of the near-dup graph: iteratively strip nodes
+    with < 2 surviving neighbors, leaving the DENSE duplication cores —
+    the subgraphs worth aggressive dedup — while pendant/chain matches
+    fall away.  The contract pins the bounded {_KCORE_ROUNDS}-round peel
+    (deterministic at every scale; equal to the true k-core whenever the
+    peeling depth ≤ {_KCORE_ROUNDS} — the operator's default mode peels
+    to the fixpoint); the oracle replays the peel as an iteration-counter
+    recursive CTE."""
+    _utc(spark)
+    from biggraphite_spark.operators.dedup import lsh_near_dups
+    from biggraphite_spark.operators.graph import kcore
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    pairs = lsh_near_dups(docs, threshold=0.5).cache()
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionByName(pairs.select(
+        F.col("doc_b").alias("a"), F.col("doc_a").alias("b")
+    ))
+    return kcore(edges, docs.select("doc_id"), k=_KCORE_K,
+                 rounds=_KCORE_ROUNDS)
+
+
+_HITS_T = 3
+
+_HITS_ORACLE = f"""
+WITH RECURSIVE
+{_lsh_edges_ctes()},
+de AS (SELECT doc_b AS src, doc_a AS dst FROM pairs),
+hub AS (
+  SELECT 0 AS iter, doc_id, CAST(1 AS BIGINT) AS hub FROM documents
+  UNION ALL
+  SELECT h.iter + 1, e2.src AS doc_id, CAST(sum(h.hub) AS BIGINT) AS hub
+  FROM hub h
+  JOIN de e1 ON e1.src = h.doc_id
+  JOIN de e2 ON e2.dst = e1.dst
+  WHERE h.iter < {_HITS_T}
+  GROUP BY h.iter, e2.src
+),
+hf AS (SELECT doc_id, hub FROM hub WHERE iter = {_HITS_T}),
+af AS (SELECT e.dst AS doc_id, CAST(sum(h.hub) AS BIGINT) AS auth
+       FROM hub h JOIN de e ON e.src = h.doc_id
+       WHERE h.iter = {_HITS_T - 1}
+       GROUP BY 1)
+SELECT doc.doc_id,
+       CAST(COALESCE(hf.hub, 0) AS BIGINT) AS hub,
+       CAST(COALESCE(af.auth, 0) AS BIGINT) AS auth
+FROM documents doc
+LEFT JOIN hf USING (doc_id)
+LEFT JOIN af USING (doc_id)
+"""
+
+
+@_register("doc_hits", _HITS_ORACLE)
+def doc_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999) over the DIRECTED
+    duplication-provenance graph: each near-dup pair points later →
+    earlier (doc_b → doc_a), so authorities are the ORIGINALS many later
+    documents copy and hubs are the heavy copiers — the provenance signal
+    that picks canonical sources during dedup.  Runs the UNNORMALIZED
+    power iteration in pure integer arithmetic (operators/graph.py), so
+    scores are exact longs and the oracle replays hubᵀ = (A·Aᵀ)ᵀ·hub as
+    one recursive CTE with zero floating point anywhere."""
+    _utc(spark)
+    from biggraphite_spark.operators.dedup import lsh_near_dups
+    from biggraphite_spark.operators.graph import hits
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    pairs = lsh_near_dups(docs, threshold=0.5)
+    edges = pairs.select(
+        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+    )
+    return hits(edges, docs.select("doc_id"), iterations=_HITS_T)
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

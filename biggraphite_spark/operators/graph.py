@@ -256,29 +256,30 @@ def hits(
     Output: every node with final ``hub`` and ``auth`` (0 when the node
     has no out-/in-edges respectively).
     """
+    if iterations < 1:
+        raise ValueError("hits needs at least one iteration")
     ids = nodes.select(F.col(id_col).alias("id"))
     ed = edges.select("src", "dst").cache()
     hub = ids.select("id", F.lit(1).cast("long").alias("hub"))
+    auth = None
+    # per round: auth ← Aᵀ·hub, then hub ← A·auth; both from the same
+    # generation, so the returned (hub_T, auth_T) is the textbook pair
     for i in range(iterations):
         auth = (
             ed.join(hub, ed.src == hub.id)
             .groupBy("dst")
             .agg(F.sum("hub").alias("auth"))
+            .select(F.col("dst").alias("id"), "auth")
         )
         hub = (
-            ed.join(auth, "dst")
+            ed.join(auth, ed.dst == auth.id)
             .groupBy("src")
             .agg(F.sum("auth").alias("hub"))
             .select(F.col("src").alias("id"), "hub")
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             hub = hub.localCheckpoint()
-    auth = (
-        ed.join(hub, ed.src == hub.id)
-        .groupBy("dst")
-        .agg(F.sum("hub").alias("auth"))
-        .select(F.col("dst").alias("id"), "auth")
-    )
+            auth = auth.localCheckpoint()
     return (
         ids.join(hub, "id", "left")
         .join(auth, "id", "left")

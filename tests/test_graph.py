@@ -1,10 +1,10 @@
-"""PageRank operator (operators/graph.py): hand-graph goldens and the
+"""Graph operators (operators/graph.py): hand-graph goldens and the
 contract invariants the near-dup use relies on."""
 
 import pytest
 from pyspark.sql import functions as F
 
-from biggraphite_spark.operators.graph import pagerank
+from biggraphite_spark.operators.graph import hits, kcore, pagerank, triangle_stats
 
 
 def _pr(spark, edge_list, node_ids, **kw):
@@ -105,3 +105,99 @@ def test_personalized_pagerank_seeds(spark):
     assert got[9] == 0.0
     with pytest.raises(ValueError):
         pagerank(e, nodes, seeds=nodes.limit(0)).collect()
+
+
+def _sym(edge_pairs):
+    """canonical pairs -> symmetric (a, b) edge list"""
+    out = []
+    for a, b in edge_pairs:
+        out += [(a, b), (b, a)]
+    return out
+
+
+def test_triangle_stats_clique_vs_chain(spark):
+    # {1,2,3} is a triangle (coeff 1 everywhere); 4-5-6 is a chain
+    # (no triangles; middle node coeff 0); 9 is isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (5, 6)], "a long, b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 6, 9)], ["doc_id"])
+    got = {r["doc_id"]: r for r in triangle_stats(pairs, nodes).collect()}
+    for v in (1, 2, 3):
+        assert got[v]["triangles"] == 1 and got[v]["degree"] == 2
+        assert got[v]["clustering_coeff"] == pytest.approx(1.0)
+    assert got[5]["degree"] == 2 and got[5]["triangles"] == 0
+    assert got[5]["clustering_coeff"] == pytest.approx(0.0)
+    for v in (4, 6):  # degree-1: coefficient defined as 0
+        assert got[v]["clustering_coeff"] == 0.0
+    assert got[9]["degree"] == 0 and got[9]["triangles"] == 0
+
+
+def test_triangle_stats_4clique_counts(spark):
+    # K4 has C(4,3)=4 triangles; each node sits in 3 of them, coeff 1
+    vs = (1, 2, 3, 4)
+    pairs = spark.createDataFrame(
+        [(a, b) for a in vs for b in vs if a < b], "a long, b long"
+    )
+    nodes = spark.createDataFrame([(v,) for v in vs], ["doc_id"])
+    got = {r["doc_id"]: r for r in triangle_stats(pairs, nodes).collect()}
+    for v in vs:
+        assert got[v]["triangles"] == 3 and got[v]["degree"] == 3
+        assert got[v]["clustering_coeff"] == pytest.approx(1.0)
+
+
+def test_kcore_peels_pendants_and_matches_fixpoint(spark):
+    # triangle {1,2,3} + pendant chain 3-4-5: the 2-core is the triangle;
+    # 4 survives round 1 (neighbors 3,5) until 5 is gone — peel depth 2
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(_sym(pairs), "a long, b long")
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 9)], ["doc_id"])
+    bounded = {r["doc_id"]: r for r in
+               kcore(edges, nodes, k=2, rounds=8).collect()}
+    fixpoint = {r["doc_id"]: r for r in
+                kcore(edges, nodes, k=2, rounds=None).collect()}
+    for got in (bounded, fixpoint):
+        assert {v for v in got if got[v]["in_core"]} == {1, 2, 3}
+        for v in (1, 2, 3):
+            assert got[v]["core_degree"] == 2
+        for v in (4, 5, 9):
+            assert got[v]["core_degree"] == 0
+    # the bounded contract peel == the true fixpoint on this graph
+    assert {v: (r["in_core"], r["core_degree"]) for v, r in bounded.items()} == {
+        v: (r["in_core"], r["core_degree"]) for v, r in fixpoint.items()
+    }
+
+
+def test_kcore_k3_dissolves_triangle(spark):
+    pairs = [(1, 2), (1, 3), (2, 3)]
+    edges = spark.createDataFrame(_sym(pairs), "a long, b long")
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3)], ["doc_id"])
+    got = kcore(edges, nodes, k=3, rounds=None).collect()
+    assert all(not r["in_core"] for r in got)
+
+
+def test_hits_integer_replay_and_provenance_direction(spark):
+    # provenance: 2->1, 3->1, 3->2 (later copies earlier): 1 is the
+    # authority, 3 the strongest hub.  Exact integer python replay.
+    edge_list = [(2, 1), (3, 1), (3, 2)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 9)], ["doc_id"])
+    got = {r["doc_id"]: r for r in hits(edges, nodes, iterations=3).collect()}
+    hub = {v: 1 for v in (1, 2, 3, 9)}
+    auth = {}
+    for _ in range(3):
+        auth = {v: 0 for v in hub}
+        for s, d in edge_list:
+            auth[d] += hub[s]
+        nxt = {v: 0 for v in hub}
+        for s, d in edge_list:
+            nxt[s] += auth[d]
+        hub = nxt
+    for v in (1, 2, 3, 9):
+        assert got[v]["hub"] == hub[v], v
+        assert got[v]["auth"] == auth[v], v
+    assert got[1]["auth"] > got[2]["auth"] > got[3]["auth"]
+    assert got[3]["hub"] > got[2]["hub"] and got[1]["hub"] == 0
+    assert got[9]["hub"] == 0 and got[9]["auth"] == 0
+    with pytest.raises(ValueError):
+        hits(edges, nodes, iterations=0)

@@ -6939,6 +6939,51 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_pagerank(_load_parallel(spark, sf_dir, "documents"))
 
 
+@_register("emb_pca", _twin("emb_pca_sql"))  # python-twin literal oracle
+def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA with EXACT-arithmetic sufficient statistics
+    (operators/pca.py): embeddings fixed-point quantized, Gram/sum/count
+    accumulated in int64 (one Arrow pass, one synopsis per partition, a
+    d²-key integer agg — order-free by construction), the d×d eigensolve
+    driver-side on exact inputs, projection a broadcast-literal zip_with
+    fold.  The twin replays the identical pipeline in plain numpy — the
+    int64 moments make the two accumulation orders provably equal, which
+    is what upgrades a textbook-nondeterministic operator to a
+    hash-matched contract.  Output: top-2 principal scores per vector."""
+    _utc(spark)
+    from biggraphite_spark.operators.pca import pca_fit, pca_project
+
+    emb = _load_parallel(spark, sf_dir, "embeddings")
+    comps, offsets, _eigs = pca_fit(emb, "embedding", k=2)
+    proj = pca_project(emb, comps, offsets, "embedding")
+    return proj.select(
+        "vec_id",
+        F.round(F.col("pc1") + 1.23e-9, 6).alias("pc1"),
+        F.round(F.col("pc2") + 1.23e-9, 6).alias("pc2"),
+    )
+
+
+@_register("emb_whiten", _twin("emb_whiten_sql"))  # python-twin literal oracle
+def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening (operators/pca.py): principal scores rescaled to
+    unit variance per retained direction — the embedding
+    pre-conditioning step SemDeDup-style pipelines run before
+    cosine-threshold dedup so one dominant direction can't drown the
+    rest.  Inherits emb_pca's exact-moment determinism; the whitening
+    scales are driver doubles the twin multiplies by verbatim."""
+    _utc(spark)
+    from biggraphite_spark.operators.pca import pca_fit, pca_whiten
+
+    emb = _load_parallel(spark, sf_dir, "embeddings")
+    comps, offsets, eigs = pca_fit(emb, "embedding", k=2)
+    wh = pca_whiten(emb, comps, offsets, eigs, "embedding")
+    return wh.select(
+        "vec_id",
+        F.round(F.col("w1") + 1.23e-9, 6).alias("w1"),
+        F.round(F.col("w2") + 1.23e-9, 6).alias("w2"),
+    )
+
+
 _TRIANGLES_ORACLE = f"""
 WITH
 {_lsh_edges_ctes()},

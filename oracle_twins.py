@@ -62,6 +62,17 @@ def _docs(sf_dir: str) -> tuple[tuple[int, str], ...]:
     return tuple(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
 
 
+@functools.lru_cache(maxsize=4)
+def _embs(sf_dir: str) -> tuple[tuple[int, tuple[float, ...]], ...]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return tuple(
+        zip(t.column("vec_id").to_pylist(),
+            (tuple(v) for v in t.column("embedding").to_pylist()))
+    )
+
+
 def _md5_stream(seed: bytes, n: int) -> bytes:
     buf = bytearray()
     counter = 0
@@ -213,6 +224,106 @@ def mm_audio_sql(sf_dir: str | None = None) -> str:
             ("peak", "INTEGER"),
             ("zero_crossings", "INTEGER"),
         ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# PCA twin: independent numpy replay of the exact-arithmetic PCA contract
+# (operators/pca.py).  The sufficient statistics are int64 — any
+# accumulation order yields the identical matrix, so a single-pass numpy
+# matmul here equals Spark's per-partition partials bit for bit; both
+# sides then run the same d×d eigensolve on the same exact inputs.
+# ---------------------------------------------------------------------------
+
+_PCA_QUANT = 1_000_000
+_PCA_K = 2
+
+
+@functools.lru_cache(maxsize=4)
+def _pca_fit_twin(sf_dir: str):
+    """(items, Q, comps, offsets, eigs) — the numpy replay of pca_fit."""
+    import numpy as np
+
+    items = _embs(sf_dir)
+    Q = np.array(
+        [[math.floor(float(x) * float(_PCA_QUANT)) for x in vec]
+         for _, vec in items],
+        dtype=np.int64,
+    )
+    n = len(Q)
+    S = (Q.T @ Q).astype(np.float64)
+    s = Q.sum(axis=0).astype(np.float64)
+    cov = (S - np.outer(s, s) / n) / n
+    evals, evecs = np.linalg.eigh(cov)
+    d = Q.shape[1]
+    mean = s / n
+    comps = []
+    offsets = []
+    eigs = []
+    for r in range(1, _PCA_K + 1):
+        c = evecs[:, -r]
+        pivot = int(np.argmax(np.abs(c)))
+        if c[pivot] < 0:
+            c = -c
+        comps.append([float(x) for x in c])
+        acc = 0.0
+        for i in range(d):
+            acc = acc + float(mean[i]) * float(c[i])
+        offsets.append(acc / _PCA_QUANT)
+        eigs.append(float(evals[-r]) / (_PCA_QUANT * _PCA_QUANT))
+    return items, Q, comps, offsets, eigs
+
+
+def _pca_scores(q, comps, offsets):
+    """Left-to-right fold per component, same order as the Spark plan."""
+    d = len(q)
+    scores = []
+    for c, off in zip(comps, offsets):
+        acc = 0.0
+        for i in range(d):
+            acc = acc + float(int(q[i]) * c[i])
+        scores.append(acc / _PCA_QUANT - off)
+    return scores
+
+
+@_twin_cache
+def emb_pca_sql(sf_dir: str | None = None) -> str:
+    items, Q, comps, offsets, _eigs = _pca_fit_twin(sf_dir or _sf_dir())
+    rows = []
+    for (vid, _), q in zip(items, Q):
+        scores = _pca_scores(q, comps, offsets)
+        rows.append(
+            (vid, *(_round_half_up(x + 1.23e-9, 6) for x in scores))
+        )
+    return _values_sql(
+        rows,
+        [("vec_id", "BIGINT")]
+        + [(f"pc{j}", "DOUBLE") for j in range(1, _PCA_K + 1)],
+    )
+
+
+@_twin_cache
+def emb_whiten_sql(sf_dir: str | None = None) -> str:
+    import numpy as np
+
+    items, Q, comps, offsets, eigs = _pca_fit_twin(sf_dir or _sf_dir())
+    scales = [1.0 / float(np.sqrt(ev + 1e-12)) for ev in eigs]
+    rows = []
+    for (vid, _), q in zip(items, Q):
+        scores = _pca_scores(q, comps, offsets)
+        rows.append(
+            (
+                vid,
+                *(
+                    _round_half_up(x * sc + 1.23e-9, 6)
+                    for x, sc in zip(scores, scales)
+                ),
+            )
+        )
+    return _values_sql(
+        rows,
+        [("vec_id", "BIGINT")]
+        + [(f"w{j}", "DOUBLE") for j in range(1, _PCA_K + 1)],
     )
 
 

@@ -91,3 +91,16 @@ def test_projection_plan_stays_jvm_side(spark):
     plan = pca_project(df, comps, offsets)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan  # fold is Column algebra, not a UDF
     assert "Exchange" not in plan  # projection is shuffle-free
+
+
+def test_whitening_gives_unit_variance(spark):
+    from biggraphite_spark.operators.pca import pca_whiten
+
+    vecs = _rng_vecs()
+    df = _emb_df(spark, vecs)
+    comps, offsets, eigs = pca_fit(df, k=2)
+    wh = pca_whiten(df, comps, offsets, eigs).select("w1", "w2").toPandas()
+    # each whitened direction has ~unit population variance, mean ~0
+    assert wh.w1.var(ddof=0) == pytest.approx(1.0, rel=1e-6)
+    assert wh.w2.var(ddof=0) == pytest.approx(1.0, rel=1e-6)
+    assert abs(wh.w1.mean()) < 1e-6 and abs(wh.w2.mean()) < 1e-6

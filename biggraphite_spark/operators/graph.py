@@ -167,62 +167,60 @@ def kcore(
     k: int = 2,
     rounds: int | None = None,
     id_col: str = "doc_id",
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 2,
     max_rounds: int = 100,
 ) -> DataFrame:
     """k-core peel over SYMMETRIC ``edges(a, b)``: iteratively remove
     nodes with fewer than ``k`` surviving neighbors.
 
     ``rounds=None`` (the operator default) peels to the true fixpoint —
-    each round is one semi-join + one count aggregation, and the loop
-    stops when the survivor count is stable (a convergence-scalar
-    driver read, same class as the k-means loop).  ``rounds=R`` runs a
-    FIXED R-round peel instead: deterministic at every scale without a
-    data-dependent loop, which is what the oracle-replayable contract
-    query pins (an R-round peel equals the true k-core whenever the
-    peeling depth ≤ R; the pytest asserts that equality on the test
-    graph).
+    the loop stops when the surviving-edge count is stable (a
+    convergence-scalar driver read, same class as the k-means loop).
+    ``rounds=R`` runs a FIXED R-round peel instead: deterministic at
+    every scale without a data-dependent loop, which is what the
+    oracle-replayable contract query pins (an R-round peel equals the
+    true k-core whenever the peeling depth ≤ R; the pytest asserts that
+    equality on the test graph).
+
+    Execution shape: the edge set is ``localCheckpoint``ed up front —
+    the peel must iterate over MATERIALIZED edges, not re-analyze the
+    (potentially huge) upstream lineage per round — then each round is
+    one tiny hash agg plus two BROADCAST semi-joins against the
+    survivor set, which only ever shrinks.  The working edge set is
+    filtered progressively (``alive_{t+1} ⊆ alive_t``), so late rounds
+    scan almost nothing; equivalent to re-filtering the full edge set
+    against ``surv_t`` because survival is monotone decreasing.
 
     Output: every node in ``nodes`` with ``in_core`` and its surviving
     degree (``core_degree``, 0 outside the core).
     """
-    surv = edges.select(F.col("a").alias("v")).union(
-        edges.select(F.col("b").alias("v"))
-    ).distinct()
-    edges = edges.select("a", "b").cache()
+    alive = edges.select("a", "b").localCheckpoint()
     prev_n = None
     i = 0
     while True:
         if rounds is not None and i >= rounds:
             break
         if rounds is None:
-            prev_n = surv.count() if prev_n is None else prev_n
-        # keep only edges with BOTH endpoints surviving, then count
-        alive = (
-            edges.join(surv.withColumnRenamed("v", "a"), "a", "left_semi")
-            .join(surv.withColumnRenamed("v", "b"), "b", "left_semi")
-        )
-        nxt = (
+            n = alive.count()
+            if n == prev_n or i >= max_rounds:
+                break
+            prev_n = n
+        keep = (
             alive.groupBy("a")
             .agg(F.count(F.lit(1)).alias("d"))
             .filter(F.col("d") >= k)
             .select(F.col("a").alias("v"))
         )
-        if (i + 1) % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint()
-        if rounds is None:
-            n = nxt.count()
-            if n == prev_n or i >= max_rounds:
-                surv = nxt
-                break
-            prev_n = n
-        surv = nxt
+        alive = alive.join(
+            F.broadcast(keep.withColumnRenamed("v", "a")), "a", "left_semi"
+        ).join(
+            F.broadcast(keep.withColumnRenamed("v", "b")), "b", "left_semi"
+        )
         i += 1
-    core = (
-        edges.join(surv.withColumnRenamed("v", "a"), "a", "left_semi")
-        .join(surv.withColumnRenamed("v", "b"), "b", "left_semi")
-        .groupBy("a")
-        .agg(F.count(F.lit(1)).alias("core_degree"))
+        if i % checkpoint_every == 0:
+            alive = alive.localCheckpoint()
+    core = alive.groupBy("a").agg(
+        F.count(F.lit(1)).alias("core_degree")
     )
     ids = nodes.select(F.col(id_col).alias("a"))
     return ids.join(core, "a", "left").select(

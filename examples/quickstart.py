@@ -76,12 +76,41 @@ def main() -> int:
     print(f"# most central document: doc_id={hub['doc_id']} "
           f"score={hub['score']}")
 
+    from biggraphite_spark.operators.graph import kcore, triangle_stats
+
+    tri = triangle_stats(
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
+        docs.select("doc_id"),
+    )
+    dense = tri.filter("clustering_coeff >= 0.99").count()
+    core = kcore(
+        pairs.selectExpr("doc_a as a", "doc_b as b")
+        .unionByName(pairs.selectExpr("doc_b as a", "doc_a as b")),
+        docs.select("doc_id"),
+    )
+    print(f"# graph: {dense} docs in dup cliques (coeff=1), "
+          f"{core.filter('in_core').count()} docs in the 2-core")
+
     from biggraphite_spark.operators.text import text_stats
 
     stats = text_stats(docs).agg(
         F.avg("n_tokens").alias("avg_tokens")
     ).first()
     print(f"# avg tokens/doc: {stats['avg_tokens']:.1f}")
+
+    # -- embeddings path ----------------------------------------------------
+    from biggraphite_spark.operators.pca import pca_fit, pca_project
+
+    emb = spark.read.parquet(f"{args.sf_dir}/embeddings.parquet")
+    comps, offsets, eigs = pca_fit(emb, "embedding", k=2)
+    proj = pca_project(emb, comps, offsets)
+    spread = proj.agg(
+        F.round(F.variance("pc1"), 5).alias("v1"),
+        F.round(F.variance("pc2"), 5).alias("v2"),
+    ).first()
+    print(f"# PCA over {emb.count()} embeddings: "
+          f"top-2 eigenvalues {eigs[0]:.5f}/{eigs[1]:.5f}, "
+          f"projected variance {spread['v1']}/{spread['v2']}")
     return 0
 
 

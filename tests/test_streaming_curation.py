@@ -172,3 +172,67 @@ def test_streaming_kmv_partials_merge_to_batch_answer(spark, docdirs):
         for r in kmv_distinct(full, "v", ("g",), k=64).collect()
     }
     assert merged == direct
+
+
+def test_streaming_hll_partials_merge_to_batch_answer(spark, docdirs):
+    """HLL register algebra across micro-batches: foreachBatch persists
+    per-batch registers (≤2^p rows per group); max-merging every persisted
+    partial reproduces the single-pass batch sketch bit-for-bit — max is
+    associative AND idempotent, so re-processed batches can't even skew
+    it (exactly-once not required for correctness)."""
+    from biggraphite_spark.operators.sketches import (
+        hll_distinct,
+        hll_merge,
+        hll_partials,
+    )
+
+    schema = "g string, v long, ts timestamp"
+    a = [("g1", i, None) for i in range(400)] + [("g2", i, None) for i in range(50)]
+    b = [("g1", i, None) for i in range(300, 700)]
+    for part, rows in (("a", a), ("b", b)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(docdirs["in"], part))
+
+    partials_path = docdirs["out"]
+
+    def sink(batch_df, _bid):
+        hll_partials(batch_df, "v", ("g",)).write.mode("append").parquet(
+            partials_path
+        )
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docdirs["in"])
+    )
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", docdirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    partials = spark.read.parquet(partials_path)
+    merged = {
+        r["g"]: r["est_distinct"]
+        for r in hll_merge(partials, ("g",)).collect()
+    }
+    full = (
+        spark.read.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(docdirs["in"])
+    )
+    direct = {
+        r["g"]: r["est_distinct"]
+        for r in hll_distinct(full, "v", ("g",)).collect()
+    }
+    assert merged == direct
+    # idempotence: merging the partials TWICE (simulated replay) is a no-op
+    replayed = {
+        r["g"]: r["est_distinct"]
+        for r in hll_merge(partials.unionByName(partials), ("g",)).collect()
+    }
+    assert replayed == direct

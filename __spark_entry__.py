@@ -7132,6 +7132,174 @@ def doc_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(edges, docs.select("doc_id"), iterations=_HITS_T)
 
 
+_QUOTA_TABLE = {"en": 40, "de": 25, "zh": 15}
+
+_QUOTA_ORACLE = f"""
+WITH k AS (SELECT doc_id, lang,
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key
+           FROM documents),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY sample_key, doc_id) AS rk
+      FROM k)
+SELECT doc_id, lang, sample_key FROM r
+WHERE {" OR ".join(f"(lang = '{s}' AND rk <= {n})" for s, n in _QUOTA_TABLE.items())}
+"""
+
+
+@_register("doc_quota_sample", _QUOTA_ORACLE)
+def doc_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-size stratified sampling (operators/sampling.py
+    quota_sample): per language, the n smallest md5 keys win — the form
+    data-mixing specs are written in ("exactly N docs per source"),
+    complementing doc_sample's expected-rate filter.  rank<=n compiles to
+    WindowGroupLimit (per-partition top-n before the shuffle).  Strata
+    absent from the quota table (fr, es here) are dropped."""
+    _utc(spark)
+    from biggraphite_spark.operators.sampling import quota_sample
+
+    return quota_sample(
+        _load_parallel(spark, sf_dir, "documents"), _QUOTA_TABLE
+    )
+
+
+_WSAMPLE_N = 50
+
+_WSAMPLE_ORACLE = f"""
+WITH h AS (SELECT doc_id, n_chars,
+        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          AS h
+       FROM documents),
+p AS (SELECT doc_id, n_chars,
+             ROUND(power((h + 1) / 4294967296.0, 1.0 / n_chars) + 1.23e-9, 6)
+               AS priority
+      FROM h),
+r AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS rk
+      FROM p)
+SELECT doc_id, n_chars, priority FROM r WHERE rk <= {_WSAMPLE_N}
+"""
+
+
+@_register("doc_weighted_sample", _WSAMPLE_ORACLE)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis 2006,
+    operators/sampling.py weighted_sample): deterministic md5-uniform
+    priorities u^(1/weight), global top-50 by length-weighted priority —
+    the reproducible "sample proportional to token count" draw a
+    training-data release runs.  The pow output is rounded to the
+    6-decimal lattice with the documented paired tie-breaker BEFORE
+    ranking (doc_id total-order tie-break), so a last-ulp libm
+    disagreement cannot change the sample set."""
+    _utc(spark)
+    from biggraphite_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(
+        _load_parallel(spark, sf_dir, "documents"), "n_chars", _WSAMPLE_N
+    )
+
+
+_TRANSITIONS_ORACLE = f"""
+WITH e AS (SELECT user_id, event_id, event_type, {ORACLE_TS} AS sec FROM events),
+p AS (SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY sec, event_id) AS to_type
+      FROM e),
+c AS (SELECT from_type, to_type, count(*) AS n FROM p
+      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       ROUND(n * 1.0 / sum(n) OVER (PARTITION BY from_type) + 1.23e-9, 6) AS p
+FROM c
+"""
+
+
+@_register("events_transitions", _TRANSITIONS_ORACLE)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    (operators/funnel.py event_transitions): (from → to) counts and
+    row-normalized probabilities — next-action priors / anomaly baselines.
+    One lead() window (single user-key shuffle) + one matrix-sized hash
+    agg; (ts, event_id) is the deterministic in-user total order."""
+    _utc(spark)
+    from biggraphite_spark.operators.funnel import event_transitions
+    from biggraphite_spark.sources.events import event_ts_seconds, load_events
+
+    ev = load_events(spark, sf_dir)
+    e = ev.select(
+        "user_id", "event_id", "event_type",
+        event_ts_seconds(ev).alias("sec"),
+    )
+    return event_transitions(e)
+
+
+_PATH_DEPTH = 8
+_PATH_TOP = 20
+
+_PATHS_ORACLE = f"""
+WITH e AS (SELECT user_id, event_id, event_type, {ORACLE_TS} AS sec FROM events),
+r AS (SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY sec, event_id) AS rk
+      FROM e),
+p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rk) AS path
+      FROM r WHERE rk <= {_PATH_DEPTH} GROUP BY user_id),
+c AS (SELECT path, count(*) AS n_users FROM p GROUP BY 1),
+t AS (SELECT path, CAST(n_users AS BIGINT) AS n_users,
+             row_number() OVER (ORDER BY n_users DESC, path ASC) AS rk
+      FROM c)
+SELECT path, n_users, CAST(rk AS BIGINT) AS rk FROM t WHERE rk <= {_PATH_TOP}
+"""
+
+
+@_register("events_entry_paths", _PATHS_ORACLE)
+def events_entry_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top entry journeys (operators/funnel.py entry_paths): each user's
+    first {_PATH_DEPTH} events as a '>'-joined path, top {_PATH_TOP}
+    paths by user count — onboarding-flow mining.  The depth cap bounds
+    the path string at every scale; rank<=depth compiles to
+    WindowGroupLimit."""
+    _utc(spark)
+    from biggraphite_spark.operators.funnel import entry_paths
+    from biggraphite_spark.sources.events import event_ts_seconds, load_events
+
+    ev = load_events(spark, sf_dir)
+    e = ev.select(
+        "user_id", "event_id", "event_type",
+        event_ts_seconds(ev).alias("sec"),
+    )
+    return entry_paths(e, depth=_PATH_DEPTH, top=_PATH_TOP)
+
+
+_EDIT_VERIFY_ORACLE = f"""
+WITH
+{_lsh_edges_ctes()},
+v AS (SELECT doc_a, doc_b,
+             levenshtein(da.text, db.text) AS dist,
+             greatest(length(da.text), length(db.text)) AS longer
+      FROM cand
+      JOIN documents da ON da.doc_id = doc_a
+      JOIN documents db ON db.doc_id = doc_b)
+SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS edit_distance,
+       ROUND(dist * 1.0 / longer + 1.23e-9, 6) AS rel_dist
+FROM v
+WHERE ROUND(dist * 1.0 / longer + 1.23e-9, 6) <= 0.4
+"""
+
+
+@_register("doc_edit_verify", _EDIT_VERIFY_ORACLE)
+def doc_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup verify (operators/dedup.py
+    lsh_edit_verify): TRUE edit distance, computed ONLY on the MinHash-LSH
+    banded candidate pairs — the O(len²) levenshtein DP is confined to the
+    candidate set, so the operator scales with the (bounded) collision
+    rate, not the corpus.  Catches the small-in-place-edit near-dup class
+    shingle Jaccard under-weights.  Distances are engine-exact integers;
+    the relative distance is rounded on the shared lattice before the
+    ≤0.4 keep filter so the SET decision is tie-stable."""
+    _utc(spark)
+    from biggraphite_spark.operators.dedup import lsh_edit_verify
+
+    return lsh_edit_verify(_load_parallel(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

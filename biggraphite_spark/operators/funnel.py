@@ -166,3 +166,103 @@ def attribution(
             F.col("b.touch_type").alias("touch_type"),
         )
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "sec",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    for each consecutive pair within a user's timeline, count
+    (from_type → to_type) and its row-normalized probability — the
+    user-behavior-model summary (next-action prediction priors, anomaly
+    baselines) product analytics derives from raw streams.
+
+    Total order inside a user is (ts, event id): timestamps collide in
+    real streams, so the deterministic tie column is part of the
+    contract.  Shape: one lead() window per user (single shuffle on the
+    user key), then a (from, to)-keyed hash agg — transition-matrix-sized
+    output regardless of stream volume.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tie_col).asc()
+    )
+    pairs = (
+        events.select(
+            user_col,
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(total) + 1.23e-9, 6
+        ).alias("p"),
+    )
+
+
+def entry_paths(
+    events: DataFrame,
+    depth: int = 8,
+    top: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "sec",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Top entry journeys: each user's first ``depth`` events joined into
+    a ``a>b>c`` path string, counted across users, top ``top`` paths by
+    (count DESC, path ASC) — the onboarding-flow mining query.
+
+    ``depth`` bounds the path string at EVERY scale (per-user event
+    counts grow with data; the truncated prefix does not).  Shape: one
+    user-keyed window (rank ≤ depth compiles to WindowGroupLimit), one
+    path hash agg, one top-k.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tie_col).asc()
+    )
+    firsts = (
+        events.select(
+            user_col,
+            F.col(type_col).alias("t"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= depth)
+    )
+    paths = (
+        firsts.groupBy(user_col)
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rk", "t"))
+                    ),
+                    lambda s: s["t"],
+                ),
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    rk = Window.orderBy(F.desc("n_users"), F.col("path").asc())
+    return (
+        paths.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= top)
+        .select("path", "n_users", F.col("rk").cast("long").alias("rk"))
+    )

@@ -103,3 +103,75 @@ def pack_sequences(
         F.floor(offset / budget).cast("long").alias("seq_id"),
         (offset % budget).cast("long").alias("seq_offset"),
     )
+
+
+def quota_sample(
+    docs: DataFrame,
+    quotas: Mapping[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT-size stratified sample: per stratum, keep the ``n`` documents
+    with the smallest md5 hash keys (deterministic "random" order, doc-id
+    tie-break).  Strata absent from ``quotas`` are dropped.
+
+    Where :func:`stratified_sample` keeps an EXPECTED fraction (pure
+    filter, scan-speed), quota sampling pins exact output sizes — the
+    contract data-mixing specs are usually written in ("exactly 10M
+    English docs").  Shape: one per-stratum window; the rank<=n filter
+    compiles to Spark's WindowGroupLimit, so each partition retains only
+    its top-n candidates before the shuffle — the distributed top-k, not
+    a full sort.
+    """
+    key = _hash_key(F.col(id_col))
+    w = Window.partitionBy(stratum_col).orderBy(key, F.col(id_col).asc())
+    quota = None
+    for stratum, n in quotas.items():
+        quota = (F.when if quota is None else quota.when)(
+            F.col(stratum_col) == stratum, F.lit(int(n))
+        )
+    if quota is None:
+        return docs.select(
+            F.col(id_col), F.col(stratum_col), key.alias("sample_key")
+        ).filter(F.lit(False))
+    return (
+        docs.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= quota)
+        .select(id_col, stratum_col, key.alias("sample_key"))
+    )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006):
+    each row draws a deterministic md5-uniform u ∈ (0, 1] and competes
+    with priority u^(1/w); the global top-``n`` priorities win.  Inclusion
+    probability is proportional to weight, and the same corpus always
+    yields the same sample — the reproducibility contract a training-data
+    release needs.
+
+    Determinism across engines: u = (h32+1)/2^32 is exact (dyadic), and
+    the ONLY libm call (pow) is immediately rounded to the 6-decimal
+    lattice with the documented paired tie-breaker before ranking, with
+    the doc id as the total-order tie-break — a last-ulp pow disagreement
+    cannot reorder the lattice.  Shape: scan-speed priority projection +
+    one global top-n (TakeOrdered, no full sort).
+    """
+    h = F.conv(_hash_key(F.col(id_col)), 16, 10).cast("long")
+    u = (h + F.lit(1)) / F.lit(float(1 << 32))
+    pri = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")) + 1.23e-9, 6
+    )
+    w = Window.orderBy(F.desc("priority"), F.col(id_col).asc())
+    return (
+        docs.select(
+            F.col(id_col), F.col(weight_col), pri.alias("priority")
+        )
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )

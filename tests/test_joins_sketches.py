@@ -394,3 +394,58 @@ def test_attribution_randomized_vs_python_bruteforce(spark):
                 if touches:
                     want[(u, conv)] = pick(touches)
         assert got == want, model
+
+
+def test_event_transitions_rows_normalize_and_order_ties(spark):
+    from biggraphite_spark.operators.funnel import event_transitions
+
+    # user 1: a->b->a; user 2: a->b (same ts ties broken by event_id)
+    rows = [
+        (1, 1, "a", 10), (1, 2, "b", 20), (1, 3, "a", 30),
+        (2, 4, "a", 5), (2, 5, "b", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, sec long"
+    )
+    got = {(r["from_type"], r["to_type"]): (r["n"], r["p"])
+           for r in event_transitions(df).collect()}
+    assert got[("a", "b")] == (2, 1.0)  # a always goes to b
+    assert got[("b", "a")] == (1, 1.0)
+    assert ("b", None) not in got  # terminal events emit no pair
+
+
+def test_entry_paths_depth_cap_and_topk_order(spark):
+    from biggraphite_spark.operators.funnel import entry_paths
+
+    rows = []
+    for u in range(4):  # three users share a>b>c, one goes b>a
+        seq = ["a", "b", "c"] if u < 3 else ["b", "a"]
+        rows += [(u, u * 10 + i, t, i) for i, t in enumerate(seq)]
+    rows += [(9, 99, "x", 0)] + [(9, 100 + i, "y", 1 + i) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, sec long"
+    )
+    got = entry_paths(df, depth=3, top=2).collect()
+    assert [(r["path"], r["n_users"], r["rk"]) for r in got] == [
+        ("a>b>c", 3, 1),
+        ("b>a", 1, 2),  # ties broken by path ASC; depth caps user 9 at x>y>y
+    ]
+
+
+def test_lsh_edit_verify_exact_dup_and_threshold(spark):
+    from biggraphite_spark.operators.dedup import lsh_edit_verify
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    rows = [
+        (1, base), (2, base),                      # exact dup: distance 0
+        (3, base.replace("gamma", "gXmma")),       # 4 in-place edits
+        (4, "totally different words entirely unrelated content " * 4),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r for r in
+           lsh_edit_verify(df, max_rel_dist=0.4).collect()}
+    assert got[(1, 2)]["edit_distance"] == 0
+    assert got[(1, 2)]["rel_dist"] == 0.0
+    if (1, 3) in got:  # candidate generation is band-dependent
+        assert 0 < got[(1, 3)]["edit_distance"] <= 8
+    assert all(r["rel_dist"] <= 0.4 for r in got.values())

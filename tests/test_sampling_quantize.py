@@ -112,3 +112,46 @@ def test_pq_quantize_explicit_codebook(spark):
         for r in pq_quantize(emb, codebook=cb, m=2, k=2).collect()
     }
     assert out == {100: "1,0", 101: "0,1"}
+
+
+def _docs_df(spark, n=300):
+    rows = [
+        (i, ["en", "de", "es"][i % 3], 50 + (i * 37) % 400) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, n_chars int")
+
+
+def test_quota_sample_exact_sizes_and_determinism(spark):
+    from biggraphite_spark.operators.sampling import quota_sample
+
+    df = _docs_df(spark)
+    got = quota_sample(df, {"en": 10, "de": 5}).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["lang"], []).append(r["doc_id"])
+    assert len(by["en"]) == 10 and len(by["de"]) == 5
+    assert "es" not in by  # unlisted stratum dropped
+    # python twin: n smallest md5 keys per stratum, doc_id tie-break
+    want = {}
+    for r in df.collect():
+        key = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8]
+        want.setdefault(r["lang"], []).append((key, r["doc_id"]))
+    for lang, n in (("en", 10), ("de", 5)):
+        ids = [d for _, d in sorted(want[lang])[:n]]
+        assert sorted(by[lang]) == sorted(ids)
+    # quota above stratum size keeps the whole stratum
+    small = quota_sample(df.filter("lang = 'de'"), {"de": 10**6}).count()
+    assert small == df.filter("lang = 'de'").count()
+
+
+def test_weighted_sample_reproducible_and_weight_biased(spark):
+    from biggraphite_spark.operators.sampling import weighted_sample
+
+    df = _docs_df(spark, 400)
+    a = {r["doc_id"] for r in weighted_sample(df, "n_chars", 60).collect()}
+    b = {r["doc_id"] for r in weighted_sample(df, "n_chars", 60).collect()}
+    assert a == b and len(a) == 60  # same corpus -> same sample, exact n
+    # weight bias: the sampled mean weight exceeds the population mean
+    pop = df.agg({"n_chars": "avg"}).first()[0]
+    samp = df.filter(df.doc_id.isin(a)).agg({"n_chars": "avg"}).first()[0]
+    assert samp > pop

@@ -7300,6 +7300,43 @@ def doc_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_edit_verify(_load_parallel(spark, sf_dir, "documents"))
 
 
+_RAG_SIZE = 32
+_RAG_OVERLAP = 8
+_RAG_STRIDE = _RAG_SIZE - _RAG_OVERLAP
+
+_RAG_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+idx AS (SELECT doc_id, toks,
+               unnest(generate_series(0,
+                 CASE WHEN len(toks) <= {_RAG_SIZE} THEN 0
+                      ELSE CAST(ceil((len(toks) - {_RAG_SIZE}) * 1.0
+                                     / {_RAG_STRIDE}) AS INT) END)) AS chunk_id
+        FROM t)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       array_to_string(list_slice(toks, chunk_id * {_RAG_STRIDE} + 1,
+                                  chunk_id * {_RAG_STRIDE} + {_RAG_SIZE}),
+                       ' ') AS chunk_text,
+       CAST(least({_RAG_SIZE}, len(toks) - chunk_id * {_RAG_STRIDE}) AS BIGINT)
+         AS n_tokens
+FROM idx
+"""
+
+
+@_register("doc_rag_chunks", _RAG_ORACLE)
+def doc_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping retrieval chunking (operators/curation.py rag_chunks):
+    {_RAG_SIZE}-token windows, {_RAG_OVERLAP}-token overlap — the RAG
+    indexing pre-step; the final window always reaches the last token.
+    One projection + posexplode, zero shuffle."""
+    _utc(spark)
+    from biggraphite_spark.operators.curation import rag_chunks
+
+    return rag_chunks(
+        _load_parallel(spark, sf_dir, "documents"),
+        size=_RAG_SIZE, overlap=_RAG_OVERLAP,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------

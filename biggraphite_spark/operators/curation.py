@@ -686,3 +686,48 @@ def leakage_free_split(
         split = F.when(cond, name) if split is None else split.when(cond, name)
     split = F.lit(names[0]) if split is None else split.otherwise(names[-1])
     return clusters.select("doc_id", "cluster_id", split.alias("split"))
+
+
+def rag_chunks(
+    docs: DataFrame,
+    size: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping retrieval chunks: sliding ``size``-token windows with
+    ``overlap`` tokens shared between neighbours (stride = size−overlap) —
+    the chunking every RAG indexing pipeline runs before embedding, where
+    the overlap keeps sentence context from being cut at window edges.
+
+    Chunk *i* covers tokens ``[i·stride, i·stride + size)``; a document of
+    ``n ≤ size`` tokens yields exactly one chunk, else
+    ``ceil((n − size)/stride) + 1`` so the final window always reaches the
+    last token.  Output: (doc_id, chunk_id, chunk_text, n_tokens).
+
+    Shape: one projection + posexplode — linear in corpus tokens with an
+    overlap-factor constant (size/stride), no shuffle at all; the output
+    feeds the embedding stage partition-parallel.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {overlap}/{size}")
+    stride = size - overlap
+    spans = bind_col(
+        tokens_col(F.col(text_col)),
+        lambda toks: F.transform(
+            F.sequence(
+                F.lit(0),
+                F.when(F.size(toks) <= size, F.lit(0)).otherwise(
+                    F.ceil(
+                        (F.size(toks) - size) / F.lit(float(stride))
+                    ).cast("int")
+                ),
+            ),
+            lambda i: F.array_join(F.slice(toks, i * stride + 1, size), " "),
+        ),
+    )
+    out = docs.select(
+        "doc_id", F.posexplode(spans).alias("chunk_id", "chunk_text")
+    )
+    return out.withColumn(
+        "n_tokens", F.size(tokens_col(F.col("chunk_text"))).cast("long")
+    )

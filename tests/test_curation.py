@@ -262,3 +262,33 @@ def test_chunk_neardup_drops_mutated_boilerplate(spark):
     # the exact-hash pass keeps everything: hashes differ
     exact = {r.doc_id: r for r in chunk_dedup(docs, chunk=8).collect()}
     assert exact[1].n_kept == 2
+
+
+def test_rag_chunks_overlap_and_coverage(spark):
+    import pytest as _pytest
+
+    from biggraphite_spark.operators.curation import rag_chunks
+
+    words = [f"w{i}" for i in range(75)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "a b c")], "doc_id long, text string"
+    )
+    got = rag_chunks(docs, size=32, overlap=8).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # short doc: exactly one chunk, whole text
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b c"
+    assert by_doc[2][0]["n_tokens"] == 3
+    # 75 tokens, size 32, stride 24 -> ceil((75-32)/24)+1 = 3 chunks
+    chunks = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert len(chunks) == 3
+    toks = [c["chunk_text"].split(" ") for c in chunks]
+    # stride geometry: chunk i starts at i*24; neighbours share 8 tokens
+    assert toks[0] == words[0:32]
+    assert toks[1] == words[24:56]
+    assert toks[2] == words[48:75]  # final window reaches the last token
+    assert toks[0][-8:] == toks[1][:8]
+    assert chunks[2]["n_tokens"] == 27
+    with _pytest.raises(ValueError):
+        rag_chunks(docs, size=8, overlap=8)

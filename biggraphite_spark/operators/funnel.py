@@ -260,9 +260,10 @@ def entry_paths(
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+    # TakeOrdered top-k first (per-partition top-k, no all-to-one shuffle
+    # of the path relation), THEN the rank window over only `top` rows
+    winners = paths.orderBy(F.desc("n_users"), F.col("path").asc()).limit(top)
     rk = Window.orderBy(F.desc("n_users"), F.col("path").asc())
-    return (
-        paths.withColumn("rk", F.row_number().over(rk))
-        .filter(F.col("rk") <= top)
-        .select("path", "n_users", F.col("rk").cast("long").alias("rk"))
+    return winners.select(
+        "path", "n_users", F.row_number().over(rk).cast("long").alias("rk")
     )

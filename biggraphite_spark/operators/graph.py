@@ -257,7 +257,10 @@ def hits(
     if iterations < 1:
         raise ValueError("hits needs at least one iteration")
     ids = nodes.select(F.col(id_col).alias("id"))
-    ed = edges.select("src", "dst").cache()
+    # localCheckpoint, not cache: every iteration embeds the edge subtree
+    # in the PLAN twice, so an upstream LSH pipeline would make the plan
+    # (not the data) grow geometrically — the finding-34 template
+    ed = edges.select("src", "dst").localCheckpoint()
     hub = ids.select("id", F.lit(1).cast("long").alias("hub"))
     auth = None
     # per round: auth ← Aᵀ·hub, then hub ← A·auth; both from the same

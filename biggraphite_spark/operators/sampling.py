@@ -166,12 +166,13 @@ def weighted_sample(
     pri = F.round(
         F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")) + 1.23e-9, 6
     )
-    w = Window.orderBy(F.desc("priority"), F.col(id_col).asc())
+    # orderBy+limit = TakeOrdered: each partition keeps its local top-n
+    # and only n rows reach the driver-side merge — a global row_number
+    # window would instead move EVERY row to one partition
     return (
         docs.select(
             F.col(id_col), F.col(weight_col), pri.alias("priority")
         )
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= n)
-        .drop("__rk")
+        .orderBy(F.desc("priority"), F.col(id_col).asc())
+        .limit(n)
     )

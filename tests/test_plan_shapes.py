@@ -45,6 +45,20 @@ EXCHANGE_BUDGETS = {
     "events_quantiles": 5,
     "gr_window_stats": 52,
     "mm_decode": 5,
+    # round-6 session-2 additions (plan-measured at sf0.001 + 3 headroom).
+    # doc_triangles' large count is the LSH subtree appearing once per
+    # triangle-join leg IN THE PLAN; the contract query caches the pair
+    # relation so the subtree executes once at runtime.
+    "events_hll": 13,
+    "doc_triangles": 47,
+    "doc_hits": 23,
+    "emb_pca": 5,
+    "doc_rag_chunks": 5,
+    "events_transitions": 9,
+    "doc_quota_sample": 7,
+    "doc_weighted_sample": 5,
+    "doc_edit_verify": 15,
+    "events_entry_paths": 7,
 }
 
 

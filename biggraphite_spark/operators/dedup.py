@@ -720,7 +720,12 @@ def lsh_edit_verify(
         texts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(text_col, "tb"),
         "doc_b",
     )
-    dist = F.levenshtein("ta", "tb")
+    # exact-clone shortcut: levenshtein(x, x) = 0, and the O(len) equality
+    # check dodges the O(len²) DP — on clone-heavy corpora (the common
+    # near-dup regime) most candidate pairs take this branch
+    dist = F.when(F.col("ta") == F.col("tb"), F.lit(0)).otherwise(
+        F.levenshtein("ta", "tb")
+    )
     longer = F.greatest(F.length("ta"), F.length("tb"))
     rel = dist / longer
     return (

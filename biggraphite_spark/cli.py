@@ -142,6 +142,7 @@ def _dispatch(args, eng) -> int:
         df = evaluate_target(
             node,
             fetch=lambda g: eng.read(g, start, end).series,
+            fetch_names=lambda names: eng.read_names(names, start, end).series,
             step=stage.precision,
             start=a_start,
         )

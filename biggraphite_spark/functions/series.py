@@ -1475,14 +1475,21 @@ def pow_series_fold(series: DataFrame, name: str) -> DataFrame:
     """``powSeries``: per-bucket left-fold of exponentiation across series
     in name order (graphite folds in series-list order; sorted dot-names
     are the deterministic DataFrame analogue).  Like safePow, any null
-    constituent nulls the bucket."""
+    constituent nulls the bucket, and only a DOMAIN error nulls the fold
+    (math.pow(-2, 3) == -8 is fine in graphite; a negative base with a
+    non-integer exponent yields NaN here == ValueError there)."""
     arr = F.array_sort(
         F.collect_list(F.struct(F.col("name").alias("o"), F.col("value").alias("v")))
     )
+
+    def safe_pow(acc, x):
+        p = F.pow(acc, x["v"])
+        return F.when(~F.isnan(p), p)
+
     folded = F.aggregate(
         F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
         F.element_at(arr, 1)["v"],
-        lambda acc, x: F.when(acc >= 0, F.pow(acc, x["v"])),
+        safe_pow,
     )
     complete = F.count(F.lit(1)) == F.count("value")
     return series.groupBy("ts").agg(
@@ -1520,8 +1527,17 @@ def aggregate_series_lists(a: DataFrame, b: DataFrame, how: str) -> DataFrame:
     ``aggregateSeriesLists(l1, l2, func)``: pair the two lists positionally
     and combine bucket-wise with graphite's safe* pair semantics (nulls
     ignored except multiply; order-sensitive funcs see (v, w) in list
-    order).  Output names follow graphite: ``<func>Series(n1,n2)``."""
+    order).  Output names follow graphite: ``<func>Series(n1,n2)``.
+
+    graphite-web raises InputParameterError (a 400) when the two lists
+    differ in length — silently dropping unmatched ranks would hand data
+    clients a truncated zip, so the same contract is kept here."""
     how = _AGG_ALIASES.get(how, how)
+    na = a.select("name").distinct().count()
+    nb = b.select("name").distinct().count()
+    if na != nb:
+        raise ValueError(
+            f"seriesLists must have the same length ({na} vs {nb} series)")
     v, w = F.col("v"), F.col("w")
     both = v.isNotNull() & w.isNotNull()
     either = v.isNotNull() | w.isNotNull()

@@ -207,6 +207,26 @@ def _sarg(v) -> str:
     return str(_scalar(v))
 
 
+_GLOB_SPECIALS = set("*?[]{}")
+
+
+def _exact_name(t: str) -> bool:
+    """True when ``t`` is a literal metric name (no glob syntax) — the
+    precondition for routing a refetch verb's derived target through the
+    batched ``fetch_names`` path."""
+    return bool(t) and not (set(t) & _GLOB_SPECIALS)
+
+
+def _is_plain_leaf(template: str) -> bool:
+    """True when a refetch template parses to a bare path (no function
+    call) — '%' is a legal path char, so the unsubstituted template
+    parses as-is."""
+    try:
+        return isinstance(parse_target(template), Leaf)
+    except InvalidArgumentError:
+        return False
+
+
 #: functions that synthesize series from the render window instead of
 #: consuming one (graphite render/functions.py's requestContext-only verbs)
 _ZERO_SERIES = frozenset({
@@ -219,7 +239,7 @@ _ZERO_SERIES = frozenset({
 def evaluate_target(node, fetch, step: int, start: int = 0,
                     end: int | None = None, spark=None,
                     tag_fetch=None, meta: dict | None = None,
-                    events_fetch=None) -> DataFrame:
+                    events_fetch=None, fetch_names=None) -> DataFrame:
     """Evaluate a parsed target: ``fetch(glob) -> DataFrame(name, ts,
     value)`` supplies the leaves; ``step`` is the fetched grid's bucket
     seconds (perSecond needs it) and ``start`` the aligned window start
@@ -229,7 +249,13 @@ def evaluate_target(node, fetch, step: int, start: int = 0,
     timeFunction, …) — without them those verbs raise graphite's 400.
     ``tag_fetch(specs) -> DataFrame(name, ts, value)`` backs
     ``seriesByTag`` leaves; ``events_fetch(tags) -> DataFrame(when)``
-    backs the ``events(*tags)`` annotation-overlay verb.  ``meta``, when
+    backs the ``events(*tags)`` annotation-overlay verb.
+    ``fetch_names(names) -> DataFrame(name, ts, value)`` (optional) reads
+    an explicit exact-name list in ONE plan — when supplied, the refetch
+    verbs (applyByNode / useSeriesAbove / aliasQuery) batch their derived
+    targets through it instead of re-entering the evaluator once per
+    matched name, so their sub-plan count is independent of how many
+    names matched.  ``meta``, when
     supplied, collects render hints that don't change the data
     (``consolidate`` from consolidateBy/cumulative, ``xff`` from
     setXFilesFactor) for the renderer to honor at consolidation time."""
@@ -709,13 +735,36 @@ def evaluate_target(node, fetch, step: int, start: int = 0,
             node_i = _iarg(rest[0])
             template = _sarg(rest[1])
             new_name = _sarg(rest[2]) if len(rest) > 2 and rest[2] else None
-            # one render's worth of distinct prefixes (dashboard-sized);
-            # each prefix re-enters the evaluator with '%' substituted —
-            # graphite's applyByNode contract
+            # one render's worth of distinct prefixes (dashboard-sized)
             prefixes = sorted({
                 ".".join(r["name"].split(".")[: node_i + 1])
                 for r in s.select("name").distinct().collect()
             })
+            if not prefixes:
+                return s.select("name", "ts", "value").limit(0)
+            # BATCHED path: a pure-path template whose substitutions are
+            # all exact names reads the whole derived set in ONE plan via
+            # fetch_names — sub-plan count independent of matched prefixes
+            derived = [template.replace("%", p) for p in prefixes]
+            if (
+                fetch_names is not None
+                and _is_plain_leaf(template)
+                and all(_exact_name(d) for d in derived)
+                and len(set(derived)) == len(derived)
+            ):
+                fetched = fetch_names(derived).select("name", "ts", "value")
+                if new_name:
+                    mdf = fetched.sparkSession.createDataFrame(
+                        [(d, new_name.replace("%", p))
+                         for d, p in zip(derived, prefixes)],
+                        "name string, _new string",
+                    )
+                    fetched = fetched.join(
+                        S.F.broadcast(mdf), "name"
+                    ).select(S.F.col("_new").alias("name"), "ts", "value")
+                return fetched
+            # template is an expression (or a glob): graphite's contract is
+            # one evaluator re-entry per prefix with '%' substituted
             out = None
             for p in prefixes:
                 sub = ev(parse_target(template.replace("%", p)))
@@ -727,22 +776,48 @@ def evaluate_target(node, fetch, step: int, start: int = 0,
                 else:
                     sub = sub.select("name", "ts", "value")
                 out = sub if out is None else out.unionByName(sub)
-            return out if out is not None else s.select("name", "ts", "value").limit(0)
+            return out
         if f == "compressPeriodicGaps":
             return S.compress_periodic_gaps(s)
         if f == "aliasQuery":
             # graphite 1.1: re.sub each name into a new target, evaluate
             # it, and interpolate its last value into newName ('%d'/'%f'
-            # style).  Distinct-name loop is dashboard-bounded, like
-            # applyByNode/useSeriesAbove.
+            # style)
             search, replace = _sarg(rest[0]), _sarg(rest[1])
             new_name = _sarg(rest[2])
             names = sorted(
                 r["name"] for r in s.select("name").distinct().collect()
             )
+            if not names:
+                return s.select("name", "ts", "value").limit(0)
+            qs = [re.sub(search, replace, nm) for nm in names]
+            # BATCHED path: all derived targets are exact names — ONE
+            # fetch_names read, ONE per-name latest-value aggregation, one
+            # dashboard-sized collect; the rename is a broadcast join
+            if fetch_names is not None and all(_exact_name(q) for q in qs):
+                lastv = {
+                    r["name"]: r["v"]
+                    for r in fetch_names(sorted(set(qs)))
+                    .filter(S.F.col("value").isNotNull())
+                    .groupBy("name")
+                    .agg(S.F.max_by("value", "ts").alias("v"))
+                    .collect()
+                }
+                mapping = []
+                for nm, q in zip(names, qs):
+                    if q not in lastv:
+                        raise InvalidArgumentError(
+                            f"aliasQuery: no current value for {q!r}")
+                    mapping.append((nm, new_name % lastv[q]))
+                mdf = s.sparkSession.createDataFrame(
+                    mapping, "name string, _new string")
+                return s.join(S.F.broadcast(mdf), "name").select(
+                    S.F.col("_new").alias("name"), "ts", "value"
+                )
+            # derived targets are expressions/globs: per-name re-entry
+            # (dashboard-bounded, graphite's own shape for this verb)
             out = None
-            for nm in names:
-                q = re.sub(search, replace, nm)
+            for nm, q in zip(names, qs):
                 sub = ev(parse_target(q))
                 row = (
                     sub.filter(S.F.col("value").isNotNull())
@@ -758,8 +833,6 @@ def evaluate_target(node, fetch, step: int, start: int = 0,
                     S.F.lit(label).alias("name"), "ts", "value"
                 )
                 out = branch if out is None else out.unionByName(branch)
-            if out is None:
-                return s.select("name", "ts", "value").limit(0)
             return out
         if f == "useSeriesAbove":
             cut = _farg(rest[0])
@@ -768,11 +841,23 @@ def evaluate_target(node, fetch, step: int, start: int = 0,
                 r["name"]
                 for r in S.maximum_above(s, cut).select("name").distinct().collect()
             )
+            if not names:
+                return s.select("name", "ts", "value").limit(0)
+            derived = [re.sub(search, replace, nm) for nm in names]
+            # BATCHED path: exact derived names read in ONE plan (dup
+            # substitutions keep the per-name loop so graphite's
+            # one-series-per-source-name union shape is preserved)
+            if (
+                fetch_names is not None
+                and all(_exact_name(d) for d in derived)
+                and len(set(derived)) == len(derived)
+            ):
+                return fetch_names(derived).select("name", "ts", "value")
             out = None
-            for nm in names:
-                sub = fetch(re.sub(search, replace, nm))
+            for d in derived:
+                sub = fetch(d)
                 out = sub if out is None else out.unionByName(sub)
-            return out if out is not None else s.select("name", "ts", "value").limit(0)
+            return out
         # -- name-decorating legend verbs ----------------------------------
         if f == "cactiStyle":
             # optional system/units args tweak graphite's number formatting

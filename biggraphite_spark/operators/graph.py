@@ -67,14 +67,23 @@ def pagerank(
         init_col = F.lit(1.0 / n)
         base = ids
     else:
-        seed_ids = [r[0] for r in seeds.select(id_col).distinct().collect()]
-        n_seeds = len(seed_ids)
+        # seed membership rides a broadcast-joined flag column, not an
+        # isin literal — a million-seed personalization would otherwise
+        # serialize the whole seed set into every plan (and the literal
+        # itself into the query string).  One broadcast hash join, then
+        # the flag is a plain column the teleport/init expressions read.
+        seed_flag = seeds.select(
+            F.col(id_col).alias("id")
+        ).distinct().withColumn("_seed", F.lit(True))
+        n_seeds = seed_flag.count()
         if n_seeds == 0:
             raise ValueError("personalized pagerank needs a non-empty seed set")
-        is_seed = F.col("id").isin(seed_ids)
+        base = ids.join(F.broadcast(seed_flag), "id", "left").select(
+            "id", F.coalesce(F.col("_seed"), F.lit(False)).alias("_seed")
+        ).localCheckpoint()
+        is_seed = F.col("_seed")
         tele_col = F.when(is_seed, (1.0 - damping) / n_seeds).otherwise(0.0)
         init_col = F.when(is_seed, 1.0 / n_seeds).otherwise(0.0)
-        base = ids
     ranks = base.select("id", init_col.alias("rank"))
     for i in range(iterations):
         contribs = (
@@ -100,6 +109,7 @@ def triangle_stats(
     pairs: DataFrame,
     nodes: DataFrame,
     id_col: str = "doc_id",
+    salt: int = 1,
 ) -> DataFrame:
     """Per-node triangle count + local clustering coefficient over an
     undirected graph given as CANONICAL pairs ``(a, b)`` with ``a < b``.
@@ -114,15 +124,35 @@ def triangle_stats(
 
     Shape: the pair graph is ≪ the corpus by construction (same argument
     as PageRank above); three hash joins keyed on node ids, no
-    cartesian.  Skewed hubs can be salted upstream; the LSH verify step
-    already bounds degree by the band-collision rate.
+    cartesian.  For the LSH near-dup graph the verify step already bounds
+    degree by the band-collision rate, so the default is unsalted.
+
+    ``salt > 1`` splits the wedge join's middle-node key: the e1 side is
+    bucketed by ``hash(a) % salt`` and the e2 side replicated into every
+    bucket, so a hub that sits in half the pairs has its D_in x D_out
+    wedge enumeration spread across ``salt`` tasks instead of landing on
+    ONE shuffle partition (the classic skew-join salt; the wedge WORK is
+    inherent to the graph — salting distributes it).  Results are
+    identical for any salt (pinned by the skew test).
     """
     p = pairs.select(F.col("a"), F.col("b"))
-    e1 = p.alias("e1")
-    e2 = p.alias("e2")
     e3 = p.alias("e3")
+    if salt > 1:
+        e1 = p.withColumn(
+            "_salt", F.pmod(F.hash("a"), F.lit(salt))
+        ).alias("e1")
+        e2 = p.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        ).alias("e2")
+        wedge_cond = (F.col("e1.b") == F.col("e2.a")) & (
+            F.col("e1._salt") == F.col("e2._salt")
+        )
+    else:
+        e1 = p.alias("e1")
+        e2 = p.alias("e2")
+        wedge_cond = F.col("e1.b") == F.col("e2.a")
     tri = (
-        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        e1.join(e2, wedge_cond)
         .join(
             e3,
             (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),

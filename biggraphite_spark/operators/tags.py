@@ -236,13 +236,43 @@ class TagStore:
         canon = {canonicalize_series(s) for s in series}
         with self._write_lock:
             kept = self._existing().filter(~F.col("series").isin(*canon))
-            staging = self.path.rstrip("/") + ".staging"
-            kept.write.mode("overwrite").parquet(staging)
-            import shutil
-
-            shutil.rmtree(self.path, ignore_errors=True)
-            shutil.move(staging, self.path)
+            self._rewrite(kept)
         return True
+
+    def _rewrite(self, df: DataFrame, partitions: int | None = None) -> None:
+        """Staged rewrite: write to a sibling dir, then swap — readers never
+        see a half-written store.  Must be called under the write lock."""
+        staging = self.path.rstrip("/") + ".staging"
+        out = df if partitions is None else df.repartition(partitions)
+        # the staging write fully materializes the plan while self.path
+        # still exists; only then is the old dir swapped out
+        out.write.mode("overwrite").parquet(staging)
+        import shutil
+
+        shutil.rmtree(self.path, ignore_errors=True)
+        shutil.move(staging, self.path)
+
+    #: target rows per compacted parquet file — small enough to broadcast
+    #: slices, large enough that a year of churn is a handful of files
+    _COMPACT_ROWS_PER_FILE = 4_000_000
+
+    def compact(self, target_files: int | None = None) -> int:
+        """Fold the append-accreted file set back into a few dense files.
+
+        Every upsert batch appends its delta as new parquet part-files, so
+        a year of tag churn accretes thousands of tiny files even though
+        the ROWS never duplicate (the anti-join guarantees that) — the
+        classic small-files problem.  Compaction is the standard immutable-
+        store answer: read, repartition to ``ceil(rows / 4M)`` files (or
+        ``target_files``), staged rewrite.  Returns the file count written.
+        """
+        with self._write_lock:
+            existing = self._existing()
+            if target_files is None:
+                n = existing.count()
+                target_files = max(1, -(-n // self._COMPACT_ROWS_PER_FILE))
+            self._rewrite(existing, partitions=target_files)
+        return target_files
 
 
 def with_tags(df: DataFrame, series_col: str = "series") -> DataFrame:

@@ -189,6 +189,8 @@ class _Handler(BaseHTTPRequestHandler):
     def _send(self, code: int, payload=None) -> None:
         body = b"" if payload is None else json.dumps(payload).encode()
         self.send_response(code)
+        for k, v in getattr(self, "_extra_headers", ()):
+            self.send_header(k, v)
         if body:
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
@@ -487,23 +489,34 @@ class GraphiteWeb:
         units = {"s": 1, "min": 60, "h": 3600, "d": 86400, "w": 604800,
                  "mon": 30 * 86400, "y": 365 * 86400}
 
-        def offset(txt: str, sign: int) -> int:
-            for suffix in sorted(units, key=len, reverse=True):
-                if txt.endswith(suffix):
-                    return sign * int(txt[: -len(suffix)]) * units[suffix]
-            raise InvalidArgumentError(f"bad relative time {value!r}")
+        # <ref>([+-]offset)* — ref defaults to now.  graphite's attime
+        # grammar chains signed offsets (now-7d+2h) and lets one sign cover
+        # several <n><unit> pairs (-1d2h == -(1d+2h)); parse_timeOffset
+        # loops, so we strip trailing signed groups right-to-left
+        group_re = re.compile(r"([+-])((?:\d+(?:mon|min|s|h|d|w|y))+)$")
+        pair_re = re.compile(r"(\d+)(mon|min|s|h|d|w|y)")
 
-        # <ref>[+-]offset — ref defaults to now
+        def group_offset(sign: str, body: str) -> int:
+            pairs = pair_re.findall(body)
+            if "".join(n + u for n, u in pairs) != body:
+                raise InvalidArgumentError(f"bad relative time {value!r}")
+            mul = -1 if sign == "-" else 1
+            return sum(mul * int(n) * units[u] for n, u in pairs)
+
         ref, delta = v, 0
-        for sep in ("-", "+"):
-            # rightmost sign that isn't the leading char splits ref/offset
-            i = v.rfind(sep)
-            if i > 0:
-                ref, delta = v[:i], offset(v[i + 1:], -1 if sep == "-" else 1)
+        while True:
+            m = group_re.search(ref)
+            if not m or m.start() == 0 and ref[0] not in "+-":
                 break
-        else:
-            if v.startswith("-"):
-                ref, delta = "now", offset(v[1:], -1)
+            ref, delta = ref[: m.start()], delta + group_offset(
+                m.group(1), m.group(2))
+            if not ref:  # pure relative form like "-1d2h": ref is now
+                ref = "now"
+                break
+        if ref is v and v.startswith("-"):
+            # "-5min" with no unit-parseable tail already handled above;
+            # keep the legacy error for a bare dash form that didn't parse
+            raise InvalidArgumentError(f"bad relative time {value!r}")
         now = self.engine.now
         midnight = now - (now % 86400)
         named = {
@@ -539,6 +552,7 @@ class GraphiteWeb:
         start: int,
         end: int,
         max_points: int | None = None,
+        info: dict | None = None,
     ) -> list[dict]:
         """graphite ``format=json``: one series object per matched metric,
         ``datapoints`` = [[value|null, ts], ...] over the dense aligned grid.
@@ -584,6 +598,9 @@ class GraphiteWeb:
                     tag_fetch=lambda specs: self.engine.read_names(
                         self.find_series_by_tag(specs), start, end
                     ).series,
+                    fetch_names=lambda names: self.engine.read_names(
+                        names, start, end
+                    ).series,
                     meta=meta,
                     events_fetch=(
                         None if self.events_store is None
@@ -599,15 +616,28 @@ class GraphiteWeb:
                 series_df = rr.series
                 meta = {}
             n_buckets = max(1, (rr.end - rr.start) // rr.step)
-            if max_points is None and n_buckets > DEFAULT_RENDER_MAX_POINTS:
+            mp = max_points
+            if mp is None and n_buckets > DEFAULT_RENDER_MAX_POINTS:
                 # no maxDataPoints from the client: still bound the driver
                 # collect — a year-wide window over a 5000-series glob would
                 # otherwise serialize n_series x n_buckets rows through the
                 # driver.  graphite-web draws at image width anyway; 10k
                 # buckets per series is beyond any drawable resolution.
-                max_points = DEFAULT_RENDER_MAX_POINTS
-            if max_points and max_points > 0 and n_buckets > max_points:
-                factor = -(-n_buckets // max_points)  # ceil
+                # graphite-web's format=json returns full resolution, so the
+                # implicit consolidation is SURFACED to the caller via
+                # ``info`` (the HTTP layer turns it into an
+                # X-BG-Consolidated response header) — data-export clients
+                # can detect that values were averaged.
+                mp = DEFAULT_RENDER_MAX_POINTS
+                if info is not None:
+                    info.setdefault("consolidations", []).append({
+                        "target": target,
+                        "buckets": n_buckets,
+                        "max_points": mp,
+                        "func": meta.get("consolidate", "average"),
+                    })
+            if mp and mp > 0 and n_buckets > mp:
+                factor = -(-n_buckets // mp)  # ceil
                 new_step = rr.step * factor
                 bucket = (
                     F.lit(rr.start)
@@ -731,6 +761,8 @@ class _GraphiteHandler(BaseHTTPRequestHandler):
     def _send_text(self, code: int, text: str, ctype: str) -> None:
         body = text.encode()
         self.send_response(code)
+        for k, v in getattr(self, "_extra_headers", ()):
+            self.send_header(k, v)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
@@ -914,7 +946,19 @@ class _GraphiteHandler(BaseHTTPRequestHandler):
             return self._send(400, {"message": f"format {fmt!r} unsupported"})
         mdp_raw = q.get("maxDataPoints", [""])[0]
         mdp = int(mdp_raw) if mdp_raw else None
-        series = self.app.render(targets, start, end, max_points=mdp)
+        info: dict = {}
+        series = self.app.render(targets, start, end, max_points=mdp,
+                                 info=info)
+        if info.get("consolidations"):
+            # surface the implicit (no-maxDataPoints) consolidation so data
+            # consumers can tell the values were averaged (ADVICE r6)
+            self._extra_headers = [(
+                "X-BG-Consolidated",
+                "; ".join(
+                    f"{c['func']} {c['buckets']}->{c['max_points']}"
+                    for c in info["consolidations"]
+                ),
+            )]
         if q.get("graphType", [""])[0] == "pie":
             # graphite pie mode: collapse each series to one value with
             # pieMode average|maximum|minimum (render/views.py renderView)
@@ -962,7 +1006,12 @@ class _GraphiteHandler(BaseHTTPRequestHandler):
             ]
         callback = q.get("jsonp", [""])[0]
         if callback:
-            # graphite jsonp: callback(<json>) as text/javascript
+            # graphite jsonp: callback(<json>) as text/javascript.  The
+            # callback must be a plain JS identifier path — reflecting an
+            # arbitrary string would let any caller echo script content
+            # from this origin (JSONP injection)
+            if not re.fullmatch(r"[A-Za-z0-9_$.]+", callback):
+                return self._send(400, {"message": "invalid jsonp callback"})
             return self._send_text(
                 200, f"{callback}({json.dumps(series)})", "text/javascript"
             )

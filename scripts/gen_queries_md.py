@@ -24,7 +24,9 @@ oracle_twins.py).
 |---|---|---|---|"""
 
 
-def main() -> None:
+def render() -> str:
+    """The full QUERIES.md content for the live registry — pure, so a
+    pytest can assert the committed file hasn't drifted from queries()."""
     names = list(e.queries())
     oracles = set(e._ORACLES)
     lines = [HEADER]
@@ -33,10 +35,15 @@ def main() -> None:
         doc = doc[:170] + ("..." if len(doc) > 170 else "")
         check = "oracle" if n in oracles else "rows-only"
         lines.append(f"| {i} | `{n}` | {check} | {doc} |")
+    return "\n".join(lines) + "\n"
+
+
+def main() -> None:
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "QUERIES.md")
     with open(path, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write(render())
+    names = list(e.queries())
     unchecked = [n for n in names if n not in e._DRIVER_GREEN]
     print(f"{len(names)} queries; {len(unchecked)} front-loaded")
 

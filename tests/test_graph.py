@@ -201,3 +201,26 @@ def test_hits_integer_replay_and_provenance_direction(spark):
     assert got[9]["hub"] == 0 and got[9]["auth"] == 0
     with pytest.raises(ValueError):
         hits(edges, nodes, iterations=0)
+
+
+def test_personalized_seeds_ride_a_broadcast_join(spark):
+    """Seed membership is a broadcast-joined flag, not an isin literal — a
+    million-seed personalization must not serialize the seed set into the
+    plan.  The r6 replay golden above pins the VALUES; this pins the
+    shape."""
+    import io
+    from contextlib import redirect_stdout
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "a long, b long")
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3)], ["doc_id"])
+    seeds = spark.createDataFrame([(1,), (3,)], ["doc_id"])
+    ranks = pagerank(edges, nodes, seeds=seeds, iterations=4)
+    plan = io.StringIO()
+    with redirect_stdout(plan):
+        ranks.explain("formatted")
+    text = plan.getvalue()
+    assert " IN (" not in text and " INSET " not in text, text
+    # the flag column comes out of the checkpointed broadcast join; the
+    # teleport term reads it as a plain column
+    assert "_seed" in text, text

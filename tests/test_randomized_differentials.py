@@ -261,8 +261,9 @@ def test_agg_expr_randomized(spark):
 
 def test_aggregate_series_lists_randomized(spark):
     """All 12 pairwise seriesLists forms vs a python brute force over a
-    seeded random pair of lists with nulls and unequal list lengths —
-    the positional sorted-name zip + safe* pair semantics."""
+    seeded random pair of equal-length lists with nulls — the positional
+    sorted-name zip + safe* pair semantics.  Unequal lengths raise, like
+    graphite-web's InputParameterError (400)."""
     from biggraphite_spark.functions.series import aggregate_series_lists
 
     rnd = random.Random(31)
@@ -276,7 +277,15 @@ def test_aggregate_series_lists_randomized(spark):
                 rows.append((f"{prefix}.{i}", t * 60, v))
         return rows
 
-    rows_a, rows_b = mk("a", 4), mk("b", 3)  # unmatched rank 4 drops
+    rows_a, rows_b = mk("a", 3), mk("b", 3)
+    with pytest.raises(ValueError):
+        aggregate_series_lists(
+            spark.createDataFrame(
+                rows_a, "name string, ts long, value double"),
+            spark.createDataFrame(
+                mk("c", 4), "name string, ts long, value double"),
+            "sum",
+        )
     a = spark.createDataFrame(rows_a, "name string, ts long, value double")
     b = spark.createDataFrame(rows_b, "name string, ts long, value double")
 

@@ -164,3 +164,82 @@ def test_lsh_dedup_robust_to_hot_shingle_skew(spark):
     # and the answer itself is clean: boilerplate alone must not make
     # distinct docs near-dups at J >= 0.5
     assert build(skewed).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Graph-family skew: hub node in half the pairs
+# ---------------------------------------------------------------------------
+
+HUB_D = 1500          # hub degree per side -> 2.25M wedges through the hub
+HUB = 10_000
+UNI_K = 27            # 3000 nodes x 27^2 ~= 2.2M wedges, spread uniformly
+
+
+def _hub_pairs(spark):
+    """Canonical (a < b) pair graph where ONE node sits in ~half the
+    pairs — the boilerplate-document shape an LSH near-dup graph grows
+    when the verify threshold is loose."""
+    lo = spark.range(HUB_D).select(F.col("id").alias("a"), F.lit(HUB).alias("b"))
+    hi = spark.range(HUB_D).select(
+        F.lit(HUB).alias("a"), (F.col("id") + HUB + 1).alias("b"))
+    closing = spark.range(300).select(
+        F.col("id").alias("a"), (F.col("id") + HUB + 1).alias("b"))
+    return lo.unionAll(hi).unionAll(closing).localCheckpoint()
+
+
+def _uniform_pairs(spark):
+    """Same order of wedge work, no hub: every node wedges K^2 ways."""
+    return spark.range(3000).select(
+        F.col("id").alias("a"),
+        F.explode(F.sequence(F.col("id") + 1, F.col("id") + UNI_K)).alias("b"),
+    ).localCheckpoint()
+
+
+def test_triangle_hub_skew_within_2x_of_uniform(spark):
+    """A hub in 50% of pairs must not serialize the wedge enumeration.
+
+    Why it holds: the pair graph is small enough that Catalyst BROADCASTS
+    one side of the wedge join, so the hub's D^2 wedges are produced by
+    every probe-side input partition in parallel — broadcast joins have no
+    shuffle key to skew.  The wedge WORK itself is inherent to the graph
+    (both fixtures enumerate ~2.2M wedges), so equal work is the fair
+    comparison, and the bound is the same 2x the downsample path pins."""
+    from biggraphite_spark.operators.graph import triangle_stats
+
+    hub_nodes = spark.range(2 * HUB).select(F.col("id").alias("doc_id"))
+    uni_nodes = spark.range(3000 + UNI_K + 1).select(F.col("id").alias("doc_id"))
+    hub = triangle_stats(_hub_pairs(spark), hub_nodes)
+    uni = triangle_stats(_uniform_pairs(spark), uni_nodes)
+    _timed(hub)  # warm codegen on both shapes
+    _timed(uni)
+    pairs = [(_timed(uni), _timed(hub)) for _ in range(3)]
+    t_uni = min(u for u, _ in pairs)
+    t_hub = min(h for _, h in pairs)
+    assert t_hub <= 2.0 * max(t_uni, 0.2), (
+        f"hub {t_hub:.2f}s vs uniform {t_uni:.2f}s ({pairs})")
+    # the skew-immunity comes from the broadcast: pin it in the plan
+    plan = io.StringIO()
+    with redirect_stdout(plan):
+        hub.explain("formatted")
+    assert "BroadcastHashJoin" in plan.getvalue()
+
+
+def test_triangle_salt_identical_results(spark):
+    """The salted wedge join — the escape hatch for pair graphs too big to
+    broadcast, where a hub key WOULD pile onto one shuffle partition — is
+    result-identical to the unsalted plan on the hub fixture."""
+    from biggraphite_spark.operators.graph import triangle_stats
+
+    nodes = spark.range(2 * HUB).select(F.col("id").alias("doc_id"))
+    p = _hub_pairs(spark)
+    plain = {
+        (r["doc_id"], r["degree"], r["triangles"])
+        for r in triangle_stats(p, nodes).collect()
+    }
+    salted = {
+        (r["doc_id"], r["degree"], r["triangles"])
+        for r in triangle_stats(p, nodes, salt=8).collect()
+    }
+    assert plain == salted
+    # sanity: the hub fixture actually HAS triangles (closing pairs)
+    assert any(t > 0 for _, _, t in plain)

@@ -289,3 +289,30 @@ def test_tagged_carbon_ingest_to_tag_query(spark, tmp_path):
         for r in find_series(store.series(), ["datacenter=dc1"]).collect()
     ]
     assert found == ["disk.used;datacenter=dc1;rack=a1"]
+
+
+def test_tag_store_compaction(spark, tmp_path):
+    """N upsert batches accrete N append deltas (small-files problem);
+    compact() folds them into one dense file set with identical reads."""
+    import glob as _glob
+
+    from biggraphite_spark.operators.tags import TagStore
+
+    path = str(tmp_path / "tagdb")
+    store = TagStore(spark, path)
+    for i in range(6):
+        store.tag_multi_series([f"m{i};dc=east;host=h{i}", f"n{i};dc=west"])
+    before = sorted(r["series"] for r in store.series().collect())
+    files_before = len(_glob.glob(path + "/part-*"))
+    assert files_before >= 6  # one-plus files per append batch
+
+    nfiles = store.compact()
+    assert nfiles == 1  # 12 rows << rows-per-file target
+    files_after = len(_glob.glob(path + "/part-*"))
+    assert files_after == 1
+    after = sorted(r["series"] for r in store.series().collect())
+    assert after == before
+
+    # the store stays writable after a compaction (lock released, path live)
+    store.tag_series("p;dc=north")
+    assert "p;dc=north" in {r["series"] for r in store.series().collect()}

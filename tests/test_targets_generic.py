@@ -604,3 +604,121 @@ def test_optional_args_batch2(spark):
     b = {r["ts"]: r["value"] for r in _run(
         df2, "holtWintersForecast(x, '7d', '10min')").collect()}
     assert a != b  # different season lengths give different forecasts
+
+
+# -- batched refetch verbs (fetch_names path) ---------------------------------
+
+
+def test_series_lists_length_mismatch_is_400(spark):
+    a = spark.createDataFrame(
+        [("x.1", 0, 2.0), ("x.2", 0, 5.0)], "name string, ts long, value double")
+    b = spark.createDataFrame(
+        [("y.1", 0, 3.0)], "name string, ts long, value double")
+    fetch = lambda g: a if g.startswith("x") else b  # noqa: E731
+    # graphite raises InputParameterError (400) on unequal list lengths —
+    # silently zipping would truncate data
+    with pytest.raises(InvalidArgumentError):
+        evaluate_target(
+            parse_target("diffSeriesLists(x.*, y.*)"), fetch=fetch, step=60)
+
+
+def test_pow_series_negative_base(spark):
+    # math.pow(-2, 3) == -8 in graphite's safePow; only a DOMAIN error
+    # (negative base, non-integer exponent -> NaN) nulls the bucket
+    rows = [("a", 0, -2.0), ("b", 0, 3.0), ("a", 60, -2.0), ("b", 60, 0.5)]
+    df = spark.createDataFrame(rows, "name string, ts long, value double")
+    got = _vals(df, "powSeries(p.*)")
+    assert got[("powSeries(p.*)", 0)] == -8.0
+    assert got[("powSeries(p.*)", 60)] is None
+
+
+def _tracking_fetch_names(df):
+    calls = []
+
+    def fetch_names(names):
+        calls.append(list(names))
+        return df.filter(F.col("name").isin(list(names)))
+
+    return fetch_names, calls
+
+
+def test_apply_by_node_batched_single_fetch(spark):
+    rows = [("app.h1.busy", 0, 2.0), ("app.h1.total", 0, 4.0),
+            ("app.h2.busy", 0, 3.0), ("app.h2.total", 0, 6.0)]
+    df = spark.createDataFrame(rows, ["name", "ts", "value"])
+
+    def fetch(glob):
+        rx = "^" + glob.replace(".", r"\.").replace("*", "[^.]*") + "$"
+        return df.filter(F.col("name").rlike(rx))
+
+    fetch_names, calls = _tracking_fetch_names(df)
+    got = evaluate_target(
+        parse_target("applyByNode(app.*.busy, 1, '%.total', '%.t')"),
+        fetch=fetch, fetch_names=fetch_names, step=60,
+    ).collect()
+    # ONE batched read for BOTH prefixes — sub-plan count independent of
+    # how many names matched
+    assert calls == [["app.h1.total", "app.h2.total"]]
+    assert {(r["name"], r["value"]) for r in got} == {
+        ("app.h1.t", 4.0), ("app.h2.t", 6.0)}
+    # expression templates keep graphite's per-prefix re-entry semantics
+    got2 = evaluate_target(
+        parse_target(
+            "applyByNode(app.*.busy, 1, 'divideSeries(%.busy, %.total)', '%.util')"
+        ),
+        fetch=fetch, fetch_names=fetch_names, step=60,
+    ).collect()
+    assert {(r["name"], r["value"]) for r in got2} == {
+        ("app.h1.util", 0.5), ("app.h2.util", 0.5)}
+    assert len(calls) == 1  # the expression path never used fetch_names
+
+
+def test_use_series_above_batched_single_fetch(spark):
+    rows = [("req.a.count", 0, 100.0), ("req.b.count", 0, 5.0),
+            ("req.c.count", 0, 70.0),
+            ("req.a.p99", 0, 1.5), ("req.b.p99", 0, 9.9),
+            ("req.c.p99", 0, 3.3)]
+    df = spark.createDataFrame(rows, ["name", "ts", "value"])
+
+    def fetch(glob):
+        if glob.endswith(".count"):
+            return df.filter("name like '%count'")
+        return df.filter(F.col("name") == glob)
+
+    fetch_names, calls = _tracking_fetch_names(df)
+    got = evaluate_target(
+        parse_target("useSeriesAbove(req.*.count, 50, 'count', 'p99')"),
+        fetch=fetch, fetch_names=fetch_names, step=60,
+    ).collect()
+    assert calls == [["req.a.p99", "req.c.p99"]]
+    assert {(r["name"], r["value"]) for r in got} == {
+        ("req.a.p99", 1.5), ("req.c.p99", 3.3)}
+
+
+def test_alias_query_batched_single_fetch(spark):
+    data = spark.createDataFrame(
+        [("ch.1.rate", 0, 1.0), ("ch.1.rate", 60, 2.0),
+         ("ch.2.rate", 0, 5.0), ("ch.2.rate", 60, 7.0),
+         ("ch.1.freq", 0, 430.0), ("ch.1.freq", 60, 440.0),
+         ("ch.2.freq", 60, 880.0)],
+        ["name", "ts", "value"],
+    )
+
+    def fetch(glob):
+        return data.filter(F.col("name").rlike(
+            "^" + glob.replace(".", r"\.").replace("*", "[^.]*") + "$"))
+
+    fetch_names, calls = _tracking_fetch_names(data)
+    got = evaluate_target(
+        parse_target(
+            "aliasQuery(ch.*.rate, 'ch\\.(\\d+)\\.rate', 'ch.\\1.freq',"
+            " 'Channel %d MHz')"
+        ),
+        fetch=fetch, fetch_names=fetch_names, step=60,
+    ).collect()
+    assert calls == [["ch.1.freq", "ch.2.freq"]]
+    names = {r["name"] for r in got}
+    assert names == {"Channel 440 MHz", "Channel 880 MHz"}
+    assert sorted(
+        r["value"] for r in got if r["name"] == "Channel 440 MHz"
+    ) == [1.0, 2.0]

@@ -835,3 +835,53 @@ def test_events_store_concurrent_adds_get_distinct_ids(spark, tmp_path):
     stored = store.get_data().collect()
     assert sorted(r["id"] for r in stored) == [1, 2]
     assert {r["what"] for r in stored} == {"e0", "e1"}
+
+
+def test_render_default_cap_surfaces_header(graphite_server, monkeypatch):
+    # ADVICE r6: the implicit (no-maxDataPoints) consolidation must be
+    # detectable by data-export clients — X-BG-Consolidated header
+    import biggraphite_spark.web as web_mod
+
+    monkeypatch.setattr(web_mod, "DEFAULT_RENDER_MAX_POINTS", 10)
+    url = f"{graphite_server}/render?target=bg.click.u0&from=-2d&until=now"
+    with urllib.request.urlopen(url) as r:
+        assert r.status == 200
+        hdr = r.headers["X-BG-Consolidated"]
+    assert hdr and hdr.startswith("average ") and "->10" in hdr
+    # explicit maxDataPoints is the client's own choice: no header
+    with urllib.request.urlopen(url + "&maxDataPoints=10") as r:
+        assert r.headers.get("X-BG-Consolidated") is None
+
+
+def test_jsonp_callback_validated(graphite_server):
+    base = f"{graphite_server}/render?target=bg.click.u0&from=-2d&until=now"
+    # identifier paths pass
+    with urllib.request.urlopen(base + "&jsonp=my.module$cb_1") as r:
+        assert r.read().decode().startswith("my.module$cb_1(")
+    # script content is rejected, not reflected (JSONP injection)
+    bad = urllib.parse.quote("alert(1);//")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(base + f"&jsonp={bad}")
+    assert ei.value.code == 400
+
+
+def test_chained_at_style_offsets(graphite_server):
+    """graphite attime chains signed offsets (now-2d+1d) and lets one sign
+    cover several <n><unit> pairs (-1d2h == 26h back)."""
+    base = f"{graphite_server}/render?target=bg.click.u0"
+    _, a = _get(base + "&from=now-2d%2B1d&until=now")
+    _, b = _get(base + "&from=-1d&until=now")
+    assert a[0]["datapoints"] == b[0]["datapoints"]
+
+    _, c = _get(base + "&from=-1d2h&until=now")
+    _, d = _get(base + "&from=now-26h&until=now")
+    assert c[0]["datapoints"] == d[0]["datapoints"]
+
+    # offsets stack on named and absolute refs too
+    _, e = _get(base + "&from=midnight-1d%2B1h&until=midnight")
+    _, f = _get(base + "&from=yesterday%2B1h&until=midnight")
+    assert e[0]["datapoints"] == f[0]["datapoints"]
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(base + "&from=now-1d%2B2parsecs")
+    assert ei.value.code == 400

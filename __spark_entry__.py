@@ -6624,8 +6624,12 @@ _SERIES_LISTS_ORACLE = f"""
 WITH {_series_cte(_SL_GLOB)},
 d AS (SELECT name, ts - (ts % 86400) AS ts, sum(value) AS value
       FROM s GROUP BY 1, 2),
-a AS (SELECT * FROM d WHERE name LIKE 'bg.click.%'),
-b AS (SELECT * FROM d WHERE name LIKE 'bg.view.%'),
+cu AS (SELECT split_part(name, '.', 3) AS u FROM d
+       GROUP BY 1 HAVING count(DISTINCT split_part(name, '.', 2)) = 2),
+a AS (SELECT * FROM d WHERE name LIKE 'bg.click.%'
+      AND split_part(name, '.', 3) IN (SELECT u FROM cu)),
+b AS (SELECT * FROM d WHERE name LIKE 'bg.view.%'
+      AND split_part(name, '.', 3) IN (SELECT u FROM cu)),
 ra AS (SELECT name, row_number() OVER (ORDER BY name) AS r
        FROM (SELECT DISTINCT name FROM a)),
 rb AS (SELECT name AS name2, row_number() OVER (ORDER BY name) AS r
@@ -6647,17 +6651,39 @@ def gr_series_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     zipped POSITIONALLY by sorted-name rank — not joined by name — then
     combined bucket-wise with safe* pair semantics (diff keeps the
     non-null side).  Each list is first re-bucketed daily (summarize) so
-    the sparse hourly finals actually collide positionally.  The oracle
-    replays the zip as row_number-over-distinct-names joins; the daily
-    sums are FP-association-sensitive, so the PAIRED +1.23e-9 tie-breaker
-    applies (see _series_cte)."""
+    the sparse hourly finals actually collide positionally.  graphite
+    raises a 400 on unequal list lengths (and so does the verb now), and
+    gen_sf1's clone replication gives click/view DIFFERENT u1*
+    populations at sf1 — so both lists are restricted to the user
+    suffixes present under BOTH event types, equal length by
+    construction at every scale.  The oracle replays the zip as
+    row_number-over-distinct-names joins; the daily sums are
+    FP-association-sensitive, so the PAIRED +1.23e-9 tie-breaker applies
+    (see _series_cte)."""
     _utc(spark)
     from biggraphite_spark.functions.targets import evaluate_target, parse_target
 
     node = parse_target(_SERIES_LISTS_EXPR)
-    df = evaluate_target(
-        node, fetch=lambda g: _hourly_finals(spark, sf_dir, g), step=3600
+    s = _hourly_finals(spark, sf_dir, _SL_GLOB)
+    suffix = F.split(F.col("name"), r"\.").getItem(2)
+    common = (
+        s.select(
+            suffix.alias("u"),
+            F.split(F.col("name"), r"\.").getItem(1).alias("t"),
+        )
+        .distinct()
+        .groupBy("u")
+        .agg(F.count_distinct("t").alias("n"))
+        .filter(F.col("n") == 2)
+        .select("u")
     )
+    paired = s.join(F.broadcast(common), suffix == F.col("u"), "left_semi")
+
+    def fetch(g: str) -> DataFrame:
+        pre = "bg.click." if g.startswith("bg.click") else "bg.view."
+        return paired.filter(F.col("name").startswith(pre))
+
+    df = evaluate_target(node, fetch=fetch, step=3600)
     return df.select(
         "name", "ts", F.round(F.col("value") + 1.23e-9, 6).alias("value")
     )

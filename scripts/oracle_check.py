@@ -67,6 +67,11 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
 
     con = duckdb.connect()
+    # bound the oracle's thread pool when several checkers share the box
+    # (scripts/oracle_sweep.py parallel mode); default = all cores
+    duck_threads = os.environ.get("SPARK_GRAFT_DUCK_THREADS")
+    if duck_threads:
+        con.execute(f"SET threads={int(duck_threads)}")
     for t in TABLES:
         # driver testdata ships single parquet FILES; Spark-generated scale
         # dirs (scripts/gen_sf1.py) are DIRECTORIES of part files

@@ -95,7 +95,7 @@ def main() -> None:
     exact = sample[0]
     patterns = {
         "exact": exact,
-        "component_star": "bg.*",
+        "all_metrics": "bg.*.*",
         "leaf_star": "bg.click.*",
         "prefix_star": "bg.click.u1*",
         "brace_group": "bg.{click,view}.u*2",

@@ -97,7 +97,10 @@ def main() -> None:
         q.stop()
         q.awaitTermination()
 
-    progress = [json.loads(p) for p in q.recentProgress]
+    progress = [
+        json.loads(p.json if hasattr(p, "json") else p)
+        for p in q.recentProgress
+    ]
     batches = [p for p in progress if p.get("numInputRows", 0) > 0]
     rows_in = sum(p["numInputRows"] for p in batches)
     if batches:

@@ -177,7 +177,17 @@ def main() -> None:
         # between measurements, not inside any)
         time.sleep(0.1)
 
-    items = list(entrymod.queries().items())
+    # SPARK_GRAFT_ONLY="tpch_q1,events_funnel" restricts the run — the
+    # sf10-shape stretch point times a 20-query shuffle-sensitive subset,
+    # not the full registry (BASELINE.md "Round-7: sf10 stretch point")
+    only = {
+        n.strip()
+        for n in os.environ.get("SPARK_GRAFT_ONLY", "").split(",")
+        if n.strip()
+    }
+    items = [
+        (n, f) for n, f in entrymod.queries().items() if not only or n in only
+    ]
     step = restart_every if restart_every else len(items) or 1
     for ci in range(0, len(items), step):
         if ci:

@@ -104,6 +104,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    blocks: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means the corpus, then inside each
     cluster drop every vector whose cosine to a LOWER-id cluster-mate
@@ -114,9 +115,22 @@ def semantic_dedup(
     Scale shape: the only quadratic stage is the within-cluster pair join,
     and the clusters bound it — that is the entire point of SemDeDup's
     design (pairs never cross cells, so fan-out is sum of cell^2 sizes,
-    tuned by k), and the join key (cluster) hash-partitions it evenly.
-    Cosines are rounded to 5 digits before the threshold compare so the
-    keep decision is engine-portable.
+    tuned by k).  Cosines are rounded to 5 digits before the threshold
+    compare so the keep decision is engine-portable.
+
+    ``blocks`` block-salts the pair join: with a bare ``cluster`` key the
+    shuffle has only k distinct keys, so at small k the quadratic stage
+    runs on ≤k cores no matter how wide the cluster is (measured at the
+    sf10 stretch point: loadavg pinned at ~7 with k=8 on 32 cores) — and
+    AQE's skew splitter can't help because the blowup is in join OUTPUT
+    cardinality, which it never sees.  Salting keys the join on
+    (cluster, id-hash block): the probe side keeps one block per row, the
+    build side replicates each row to all ``blocks`` sub-blocks, so every
+    qualifying pair still meets exactly once while the pair work spreads
+    over k x blocks partitions.  Cost: one extra ``blocks``-way fan-out of
+    the build side's rows — linear, corpus-sized — for full-cluster
+    parallelism of the quadratic stage.  Default: enough blocks to fill
+    ``defaultParallelism`` when k alone would not.
     """
     from .similarity import dot_expr, norm_expr
 
@@ -133,11 +147,20 @@ def semantic_dedup(
         .withColumn("nrm", norm_expr(F.col("v")))
         .cache()
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
+    if blocks is None:
+        par = embeddings.sparkSession.sparkContext.defaultParallelism
+        blocks = max(1, (2 * par + k - 1) // k)
+    a = assigned.withColumn(
+        "blk", F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(blocks))
+    ).alias("a")
+    b = assigned.withColumn(
+        "blk", F.explode(F.array(*[F.lit(i) for i in range(blocks)]))
+    ).alias("b")
     dropped = (
         a.join(
             b,
             (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.blk") == F.col("b.blk"))
             & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
         )
         .filter(

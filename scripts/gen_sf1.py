@@ -10,7 +10,12 @@ shuffle volumes all scale 10x — the same construction TPC-H itself uses
 for scale factors (more customers, not hotter customers).  region/nation
 stay fixed (constant-size in TPC-H proper).
 
-Usage: python scripts/gen_sf1.py [out_dir]   (default /root/repo/testdata_sf1)
+Usage: python scripts/gen_sf1.py [out_dir] [copies] [src_dir]
+       (defaults /root/repo/testdata_sf1, 10, /root/testdata/sf0.1)
+
+``copies=100`` produces the sf10-shape decade directly (the construction
+composes: 100 one-shot replicas == 10 replicas of 10, since region/nation
+are fixed and strides come from the source max key).
 """
 
 from __future__ import annotations
@@ -38,7 +43,12 @@ FIXED = ["region", "nation"]
 
 
 def main() -> None:
+    global SRC, COPIES
     out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
+    if len(sys.argv) > 2:
+        COPIES = int(sys.argv[2])
+    if len(sys.argv) > 3:
+        SRC = sys.argv[3]
     from pyspark.sql import functions as F
 
     from biggraphite_spark.session import get_spark

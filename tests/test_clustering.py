@@ -102,3 +102,31 @@ def test_semantic_dedup_pairs_never_cross_clusters(spark):
     by_id = {r["vec_id"]: r for r in out}
     # 1/3 share a cell (same direction) -> 3 drops; 2/4 nearly same direction
     assert by_id[1]["keep"] is True and by_id[3]["keep"] is False
+
+
+def test_semantic_dedup_block_salting_preserves_pairs(spark):
+    """The block-salted pair join is a pure plan change: every qualifying
+    within-cluster pair meets exactly once whatever the block count, so
+    the keep-set is identical at blocks=1 (the unsalted shape), the
+    default, and a block count larger than any cluster."""
+    from biggraphite_spark.operators.clustering import semantic_dedup
+
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        base = [1.0, 0.0] if i % 2 else [0.0, 1.0]
+        rows.append((i, [v + rng.random() * 1e-4 for v in base]))
+    df = _emb(spark, rows)
+    outs = [
+        sorted(
+            (r["vec_id"], r["cluster"], r["keep"])
+            for r in semantic_dedup(
+                df, k=2, iters=2, threshold=0.999, blocks=b
+            ).collect()
+        )
+        for b in (1, None, 17)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+    assert any(not keep for _, _, keep in outs[0])  # the dedup actually fired

@@ -74,10 +74,16 @@ def main() -> None:
             "verify_sec": round(t_ver, 1),
         }), flush=True)
 
-    # 2. SemDeDup with the production k ∝ N knob at sf10
+    # 2. SemDeDup at sf10 across the k knob.  k=8 (the oracle-tractable
+    # contract setting) means 25k-wide cells and ~2.5e9 pair cosines —
+    # the expression form needed >40 min wall / ~600 CPU-min here even
+    # block-salted (the knob's quadratic contract, sum of cell^2); the
+    # Arrow pair stage makes even that measurable.  k=80 reproduces the
+    # sf1 k=8 cell width one decade up (the production k ∝ N setting);
+    # k=800 is the paper-faithful sqrt-ish point.
     emb = spark.read.parquet(f"{sf10}/embeddings.parquet")
     n = emb.count()
-    for k in (8, 80):
+    for k in (8, 80, 800):
         t0 = time.time()
         kept = semantic_dedup(emb, k=k).filter("keep").count()
         spark.catalog.clearCache()

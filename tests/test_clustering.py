@@ -130,3 +130,79 @@ def test_semantic_dedup_block_salting_preserves_pairs(spark):
     ]
     assert outs[0] == outs[1] == outs[2]
     assert any(not keep for _, _, keep in outs[0])  # the dedup actually fired
+
+
+def test_semantic_dedup_arrow_equals_expr(spark):
+    """The Arrow pair stage and the join+filter form are bit-exact twins
+    (same fold order, same HALF_UP rounding): identical keep-sets."""
+    from biggraphite_spark.operators.clustering import semantic_dedup
+
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(90)
+    ] + [(100 + i, [v * 1.0001 for v in r[1]]) for i, r in enumerate(
+        [(j, [rng.uniform(-1, 1) for _ in range(8)]) for j in range(30)]
+    )]
+    df = _emb(spark, rows)
+    got = {
+        m: sorted(
+            (r["vec_id"], r["cluster"], r["keep"])
+            for r in semantic_dedup(
+                df, k=3, iters=2, threshold=0.98, method=m
+            ).collect()
+        )
+        for m in ("expr", "arrow")
+    }
+    assert got["expr"] == got["arrow"]
+
+
+def test_kmeans_arrow_equals_expr(spark):
+    from biggraphite_spark.operators.clustering import kmeans
+
+    import random
+
+    rng = random.Random(13)
+    df = _emb(
+        spark,
+        [(i, [rng.uniform(-2, 2) for _ in range(6)]) for i in range(120)],
+    )
+    got = {
+        m: sorted(
+            (r["vec_id"], r["cluster"], r["dist"])
+            for r in kmeans(df, k=4, iters=3, method=m).collect()
+        )
+        for m in ("expr", "arrow")
+    }
+    assert got["expr"] == got["arrow"]
+
+
+def test_round_half_up_vectorized_matches_spark_semantics():
+    """The vectorized round is Spark's F.round: HALF_UP on the
+    shortest-decimal repr, including the boundary cases where binary
+    rounding and decimal rounding split."""
+    import numpy as np
+
+    from biggraphite_spark.operators.vectorized import (
+        _round_half_up_scalar,
+        round_half_up,
+    )
+
+    vals = np.array(
+        [
+            0.1234565,        # repr sits exactly on the half boundary
+            0.12345649999999999,
+            -0.1234565,       # HALF_UP is away from zero
+            2.5e-06, 1.5e-06, 0.9499950, 0.9499949999,
+            1.0, 0.0, 123456.9999995, float("nan"), float("inf"),
+        ]
+    )
+    got = round_half_up(vals, 6)
+    for v, g in zip(vals, got):
+        if np.isnan(v):
+            assert np.isnan(g)
+        elif np.isinf(v):
+            assert np.isinf(g)
+        else:
+            assert g == _round_half_up_scalar(float(v), 6), repr(v)

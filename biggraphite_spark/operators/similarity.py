@@ -433,6 +433,7 @@ def ann_ivfpq_topk(
     pq_k: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "arrow",
 ) -> DataFrame:
     """IVF-PQ: coarse cells prune the corpus, PQ codes compress what's left,
     queries score candidates by ASYMMETRIC distance — full-precision query
@@ -451,9 +452,19 @@ def ann_ivfpq_topk(
         for r in centroid_vectors(embeddings, id_col, vec_col).collect()
     ]
     pq_cb = pq_codebook(embeddings, m=m, k=pq_k, vec_col=vec_col, id_col=id_col)
-    corpus = assign_cells(embeddings, ivf_cb, id_col, vec_col).select(
-        "neighbor_id", "cell", pq_code_expr(F.col("cv"), pq_cb, m).alias("code_arr")
-    )
+    assigned = assign_cells(embeddings, ivf_cb, id_col, vec_col)
+    if method == "arrow":
+        # the encode is the HOF-bound stage (PERF.md finding 29); the Arrow
+        # twin emits the identical codes (pq_codes_arrow docstring)
+        corpus = pq_codes_arrow(
+            assigned.select("neighbor_id", "cell", "cv"), pq_cb, m, "cv",
+            keep=("neighbor_id", "cell"),
+        )
+    else:
+        corpus = assigned.select(
+            "neighbor_id", "cell",
+            pq_code_expr(F.col("cv"), pq_cb, m).alias("code_arr"),
+        )
     # Exchange barrier between encode and decode: without it CollapseProject
     # inlines the full per-subspace distance computation into every one of
     # the reconstruction's 64 element lookups (codes re-derived ~65x per
@@ -659,6 +670,56 @@ def pq_code_expr(v: Column, codebook: list[list[float]], m: int) -> Column:
     return bind_col(v, codes_of)
 
 
+def pq_codes_arrow(
+    df: DataFrame,
+    codebook: list[list[float]],
+    m: int,
+    vec_col: str,
+    keep: tuple[str, ...],
+) -> DataFrame:
+    """Bit-exact Arrow twin of :func:`pq_code_expr` (PERF.md findings
+    29/36): the encode is HOF-interpretation-bound (~2 ms/row at m=8,
+    k=16, 64 dims), and the distance folds carry no rounding, so the
+    numpy mirror — the same dim-sequential ``acc + diff*diff`` per
+    subspace, first-occurrence argmin — reproduces the codes exactly
+    (pinned by an expr==arrow equality test and the shared oracles).
+    Input ``df`` must carry ``keep`` columns plus ``vec_col`` as
+    array<double>; output is ``keep`` + ``code_arr`` (array<int>).
+    Precondition: no null/NaN vectors (the corpus contract)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    C = np.asarray(codebook, dtype=np.float64)
+    dim = C.shape[1]
+    d_sub = dim // m
+    out_schema = T.StructType(
+        [df.schema[c] for c in keep]
+        + [T.StructField("code_arr", T.ArrayType(T.IntegerType()))]
+    )
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                dists = np.zeros((len(pdf), C.shape[0]), dtype=np.float64)
+                for i in range(d_sub):
+                    col = j * d_sub + i
+                    diff = V[:, col][:, None] - C[:, col][None, :]
+                    dists += diff * diff
+                codes[:, j] = np.argmin(dists, axis=1)
+            out = pdf[list(keep)].copy()
+            out["code_arr"] = list(codes)
+            yield out
+
+    return df.mapInPandas(enc, out_schema)
+
+
 def pq_recon_expr(code_arr: Column, codebook: list[list[float]], m: int) -> Column:
     """Decode a PQ code word back to its reconstruction vector (each
     subspace's dims copied from the coded centroid) — the asymmetric-distance
@@ -685,6 +746,7 @@ def pq_quantize(
     k: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    method: str = "arrow",
 ) -> DataFrame:
     """Product quantization: split each vector into ``m`` subspaces, assign
     every subvector to its nearest codebook centroid (L2, first-index
@@ -701,8 +763,14 @@ def pq_quantize(
     if codebook is None:
         codebook = pq_codebook(emb, m=m, k=k, vec_col=vec_col, id_col=id_col)
     v = as_double_array(F.col(vec_col))
-    codes = pq_code_expr(v, codebook, m)
-    with_codes = emb.select(id_col, v.alias("v"), codes.alias("code_arr"))
+    if method == "arrow":
+        with_codes = pq_codes_arrow(
+            emb.select(id_col, v.alias("v")), codebook, m, "v",
+            keep=(id_col, "v"),
+        )
+    else:
+        codes = pq_code_expr(v, codebook, m)
+        with_codes = emb.select(id_col, v.alias("v"), codes.alias("code_arr"))
     recon = pq_recon_expr(F.col("code_arr"), codebook, m)
     scored = with_codes.select(
         id_col,

@@ -155,3 +155,30 @@ def test_weighted_sample_reproducible_and_weight_biased(spark):
     pop = df.agg({"n_chars": "avg"}).first()[0]
     samp = df.filter(df.doc_id.isin(a)).agg({"n_chars": "avg"}).first()[0]
     assert samp > pop
+
+
+def test_pq_quantize_arrow_equals_expr(spark):
+    """The Arrow PQ encode is a bit-exact twin of the expression form
+    (same fold order, no rounding in the distances, first-index argmin):
+    identical codes and reconstruction cosines."""
+    import random
+
+    from pyspark.sql import Row
+
+    rng = random.Random(17)
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(16)])
+            for i in range(80)
+        ]
+    )
+    got = {
+        m: sorted(
+            (r["vec_id"], r["pq_codes"], r["recon_cosine"])
+            for r in __import__(
+                "biggraphite_spark.operators.similarity", fromlist=["pq_quantize"]
+            ).pq_quantize(emb, m=4, k=8, method=m).collect()
+        )
+        for m in ("expr", "arrow")
+    }
+    assert got["expr"] == got["arrow"]

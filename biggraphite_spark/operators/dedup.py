@@ -250,6 +250,70 @@ def minhash_signatures_projection(
     return docs.select("doc_id", F.inline(F.array(sig_struct)))
 
 
+def minhash_signatures_arrow(
+    docs: DataFrame, k: int = DEFAULT_K, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Bit-exact Arrow twin of :func:`minhash_signatures_projection`
+    (PERF.md finding 36 applied to the LSH build — the signature pass is
+    the shared subtree of every pair-graph query).  The whole pipeline is
+    integer/string arithmetic, so exactness needs only faithful
+    replication, no FP argument:
+
+    - ``str.split(" ")`` == Spark ``split(text, ' ')`` at limit -1 (both
+      keep empty tokens, including trailing);
+    - ``hashlib.md5`` over UTF-8 == Spark ``md5`` (same salted input
+      ``f"{s}:" + shingle``), lowercase hex either side;
+    - Python ``min`` over 8-char ASCII-hex slices == ``array_min`` on
+      UTF8String (both bytewise);
+    - duplicate shingles need no dedup — they cannot change a min.
+
+    Measured ~5x over the HOF projection at sf0.1 (hashlib's C md5 vs
+    interpreted transform trees).  Pinned equal by test and by every LSH
+    oracle downstream of :func:`lsh_near_dups`.
+    """
+    from pyspark.sql import types as T
+
+    n_digests = (k + 3) // 4
+    out_schema = T.StructType(
+        [docs.schema["doc_id"]]
+        + [T.StructField(f"h{j}", T.StringType()) for j in range(k)]
+    )
+
+    def sig(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cols: dict[str, list] = {f"h{j}": [] for j in range(k)}
+            for text in pdf[text_col]:
+                parts = text.split(" ")
+                if len(parts) >= n:
+                    sh = [
+                        " ".join(parts[i : i + n])
+                        for i in range(len(parts) - n + 1)
+                    ]
+                else:
+                    sh = [" ".join(parts)]
+                for s in range(n_digests):
+                    pre = f"{s}:".encode()
+                    digs = [
+                        hashlib.md5(pre + g.encode("utf-8")).hexdigest()
+                        for g in sh
+                    ]
+                    for q in range(4):
+                        j = s * 4 + q
+                        if j >= k:
+                            break
+                        lo, hi = q * 8, q * 8 + 8
+                        cols[f"h{j}"].append(min(d[lo:hi] for d in digs))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, **cols})
+
+    return docs.select("doc_id", text_col).mapInPandas(sig, out_schema)
+
+
 def band_keys(
     signatures: DataFrame, k: int = DEFAULT_K, bands: int = DEFAULT_BANDS
 ) -> DataFrame:
@@ -297,6 +361,7 @@ def lsh_near_dups(
     k: int = DEFAULT_K,
     bands: int = DEFAULT_BANDS,
     n: int = 3,
+    method: str = "arrow",
 ) -> DataFrame:
     """MinHash-LSH candidates verified with true Jaccard (array_intersect on
     the candidate pairs only) — the scale path for near-dup detection.
@@ -307,9 +372,16 @@ def lsh_near_dups(
     uncached, the signature subtree would execute four times.  Signatures
     come from the PROJECTION form (bit-identical to the aggregation form,
     pytest-pinned; ~2x faster at sf0.1 and zero shuffle), so the cached
-    relation is one scan-speed pass over the corpus.
+    relation is one scan-speed pass over the corpus.  ``method="arrow"``
+    (default) swaps in :func:`minhash_signatures_arrow` — same signatures
+    bit-for-bit, hashlib's C md5 instead of interpreted HOF trees.
     """
-    sigs = minhash_signatures_projection(docs, k=k, n=n).cache()
+    sig_fn = (
+        minhash_signatures_arrow
+        if method == "arrow"
+        else minhash_signatures_projection
+    )
+    sigs = sig_fn(docs, k=k, n=n).cache()
     cands = lsh_candidate_pairs(sigs, k=k, bands=bands)
     sh = with_shingles(docs, n=n).select("doc_id", "shingles").cache()
     pairs = (
@@ -710,7 +782,7 @@ def lsh_edit_verify(
     the longer text).  Integer distances are engine-exact; the one ratio
     is rounded on the documented lattice.
     """
-    sigs = minhash_signatures_projection(docs, k=k, n=n).cache()
+    sigs = minhash_signatures_arrow(docs, k=k, n=n).cache()
     cands = lsh_candidate_pairs(sigs, k=k, bands=bands)
     texts = docs.select("doc_id", text_col)
     pairs = cands.join(

@@ -59,6 +59,38 @@ def test_projection_signatures_match_aggregation_form(spark):
     assert agg == proj
 
 
+def test_arrow_signatures_match_projection_form(spark):
+    """All three signature forms are bit-identical — the Arrow twin must
+    reproduce the split/md5/min pipeline exactly, including the degenerate
+    short-text branch and empty-token behaviour of split-on-space."""
+    from pyspark.sql import Row
+
+    from biggraphite_spark.operators.dedup import minhash_signatures_arrow
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(60)
+    edge = spark.createDataFrame(
+        [
+            Row(doc_id=900001, text="one two"),          # < n tokens
+            Row(doc_id=900002, text=""),                  # empty text
+            Row(doc_id=900003, text="a  b   c d"),        # empty tokens
+            Row(doc_id=900004, text=" leading and trailing "),
+            Row(doc_id=900005, text="uni çödé tøkens reppeat uni çödé tøkens"),
+        ]
+    )
+    for df in (docs.select("doc_id", "text"), edge):
+        proj = {
+            r["doc_id"]: r.asDict()
+            for r in minhash_signatures_projection(df).collect()
+        }
+        arrow = {
+            r["doc_id"]: r.asDict()
+            for r in minhash_signatures_arrow(df).collect()
+        }
+        assert proj == arrow
+
+
 def test_near_dup_filter_batch_semantics(spark):
     corpus = spark.createDataFrame(CORPUS, DOC_SCHEMA)
     stream_docs = spark.createDataFrame(STREAM_ROWS, DOC_SCHEMA)

@@ -44,8 +44,52 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     )
 
 
-def with_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    return docs.select("doc_id", shingles_col(F.col(text_col), n).alias("shingles"))
+def with_shingles(
+    docs: DataFrame, text_col: str = "text", n: int = 3, method: str = "arrow"
+) -> DataFrame:
+    """(doc_id, shingles) for every document.  ``method="arrow"`` (default)
+    computes the shingle arrays in one ``mapInPandas`` pass — pure string
+    arithmetic, so the twin is exact by faithful replication: Python
+    ``str.split(" ")`` == Spark ``split`` at limit -1 (empty tokens kept),
+    ``dict.fromkeys`` == ``array_distinct`` (both keep first occurrence),
+    and the sub-n fallback joins the whole token list either way.  The
+    expression form (``shingles_col``) remains the column-level builder
+    the signature projection composes with."""
+    if method != "arrow":
+        return docs.select(
+            "doc_id", shingles_col(F.col(text_col), n).alias("shingles")
+        )
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            docs.schema["doc_id"],
+            T.StructField("shingles", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for text in pdf[text_col]:
+                parts = text.split(" ")
+                if len(parts) >= n:
+                    grams = [
+                        " ".join(parts[i : i + n])
+                        for i in range(len(parts) - n + 1)
+                    ]
+                    out.append(list(dict.fromkeys(grams)))
+                else:
+                    out.append([" ".join(parts)])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "shingles": out}
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(gen, out_schema)
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:

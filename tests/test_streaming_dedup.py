@@ -158,3 +158,31 @@ def test_persisted_band_index_probe_is_exchange_free_on_index_side(spark, dirs):
         assert got == [1, 2]
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_arrow_shingles_match_expression_form(spark):
+    from pyspark.sql import Row
+
+    from biggraphite_spark.operators.dedup import with_shingles
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(60)
+    edge = spark.createDataFrame(
+        [
+            Row(doc_id=900001, text="one two"),
+            Row(doc_id=900002, text=""),
+            Row(doc_id=900003, text="a  b   c d a  b   c d"),  # dup grams
+            Row(doc_id=900004, text=" x y z "),
+        ]
+    )
+    for df in (docs.select("doc_id", "text"), edge):
+        expr = {
+            r["doc_id"]: list(r["shingles"])
+            for r in with_shingles(df, method="expr").collect()
+        }
+        arrow = {
+            r["doc_id"]: list(r["shingles"])
+            for r in with_shingles(df, method="arrow").collect()
+        }
+        assert expr == arrow  # arrays equal INCLUDING order

@@ -116,6 +116,22 @@ def _stage1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stage1_from_raw(spark, sf_dir)
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the stage1 source (events.parquet): per-file
+    (name, mtime_ns, size).  Cheap (stat only), and any regeneration of the
+    dataset — even same-size — bumps mtime."""
+    p = os.path.join(sf_dir, "events.parquet")
+    parts = []
+    if os.path.isdir(p):
+        for f in sorted(os.listdir(p)):
+            st = os.stat(os.path.join(p, f))
+            parts.append(f"{f}:{st.st_mtime_ns}:{st.st_size}")
+    elif os.path.exists(p):
+        st = os.stat(p)
+        parts.append(f"events.parquet:{st.st_mtime_ns}:{st.st_size}")
+    return "|".join(parts)
+
+
 def materialize_store(spark: SparkSession, sf_dir: str, base_dir: str | None = None,
                       bucketed: bool = True) -> dict[str, float]:
     """Materialize the 1h stage into a PointStore (plain day-partitioned +
@@ -141,10 +157,22 @@ def materialize_store(spark: SparkSession, sf_dir: str, base_dir: str | None = N
     timings: dict[str, float] = {}
     # SPARK_GRAFT_REUSE_STORE=1 skips the rewrite when the store already
     # holds this sf_dir's stage1 (bench reruns at big SFs: the sf10 write
-    # costs ~5 min and the data is immutable between runs)
-    if os.environ.get("SPARK_GRAFT_REUSE_STORE") and os.path.isdir(
-        store.stage_path(STAGE1)
-    ):
+    # costs ~5 min and the data is immutable between runs).  Reuse is only
+    # valid when (a) every layout a read could select exists — the bucketed
+    # path too when bucketed=True, since SPARK_GRAFT_STORE_MODE=bucketed is
+    # decided below — and (b) the stored source fingerprint matches: a
+    # regenerated sf_dir with the same basename must invalidate the store,
+    # not silently serve the previous generation's stage1.
+    fp_path = os.path.join(base, ".source_fingerprint")
+    fp_now = _source_fingerprint(sf_dir)
+    layouts_ok = os.path.isdir(store.stage_path(STAGE1)) and (
+        not bucketed or os.path.isdir(store.stage_path(STAGE1) + "_bucketed")
+    )
+    fp_ok = False
+    if layouts_ok and os.path.exists(fp_path):
+        with open(fp_path) as fh:
+            fp_ok = fh.read() == fp_now
+    if os.environ.get("SPARK_GRAFT_REUSE_STORE") and layouts_ok and fp_ok:
         timings["materialize_reused"] = 1.0
     else:
         raw = _stage1_from_raw(spark, sf_dir)
@@ -155,6 +183,8 @@ def materialize_store(spark: SparkSession, sf_dir: str, base_dir: str | None = N
             t0 = _time.time()
             store.write_bucketed(raw, STAGE1)
             timings["materialize_bucketed_sec"] = round(_time.time() - t0, 3)
+        with open(fp_path, "w") as fh:
+            fh.write(fp_now)
     # which layout serves reads: bucketed trades one exchange per regroup
     # for (n_buckets x n_days) files — the right trade on a cluster, but on
     # the local bench the 992-small-file listing costs more than the

@@ -1532,12 +1532,16 @@ def aggregate_series_lists(a: DataFrame, b: DataFrame, how: str) -> DataFrame:
     graphite-web raises InputParameterError (a 400) when the two lists
     differ in length — silently dropping unmatched ranks would hand data
     clients a truncated zip, so the same contract is kept here.  Both
-    sides are cached first: the length check is a driver-side action, and
-    without the cache it would evaluate each (possibly render-deep) series
-    subtree once for the count and AGAIN for the pairing — measured 2x on
-    gr_series_lists (4.5s vs 2.3s at sf0.1)."""
+    sides are materialized once (eager localCheckpoint, not .cache()):
+    the length check is a driver-side action, and without materialization
+    it would evaluate each (possibly render-deep) series subtree once for
+    the count and AGAIN for the pairing — measured 2x on gr_series_lists
+    (4.5s vs 2.3s at sf0.1).  localCheckpoint blocks are released by the
+    ContextCleaner when the result drops out of scope — including on the
+    length-mismatch raise — where CacheManager entries would accumulate
+    for the session across repeated calls."""
     how = _AGG_ALIASES.get(how, how)
-    a, b = a.cache(), b.cache()
+    a, b = a.localCheckpoint(eager=True), b.localCheckpoint(eager=True)
     na = a.select("name").distinct().count()
     nb = b.select("name").distinct().count()
     if na != nb:

@@ -202,19 +202,21 @@ def semantic_dedup(
 
     ``method="arrow"`` (default) additionally runs BOTH hot loops through
     the bit-exact vectorized twins (:mod:`.vectorized`): assignment via
-    :func:`assign_clusters_arrow`, and the within-cell pair stage as one
-    ``applyInPandas`` per cluster that evaluates the pair cosines in
-    blocked numpy with the same dim-sequential folds and the same HALF_UP
-    5-digit rounding.  Identical keep-set (pinned by an expr==arrow
-    equality test and the shared DuckDB oracle); measured ~50x less
-    per-pair cost than the interpreted HOF filter.  ``method="expr"``
-    keeps the pure join+Column form, block-salted as above.
+    :func:`assign_clusters_arrow`, and the within-cell pair stage as
+    ``applyInPandas`` tasks keyed on the SAME (cluster, block) salt
+    algebra — probe side one id-hash block per row, build side replicated
+    per block — evaluating the pair cosines in blocked numpy with the
+    same dim-sequential folds and the same HALF_UP 5-digit rounding.
+    Identical keep-set (pinned by an expr==arrow equality test and the
+    shared DuckDB oracle); measured ~50x less per-pair cost than the
+    interpreted HOF filter.  ``method="expr"`` keeps the pure join+Column
+    form, block-salted as above.
     """
     from .similarity import dot_expr, norm_expr
 
     if method == "arrow":
         return _semantic_dedup_arrow(
-            embeddings, k, iters, threshold, id_col, vec_col
+            embeddings, k, iters, threshold, id_col, vec_col, blocks
         )
 
     # norms precomputed per ROW before the self-join (the _paired_cosine
@@ -275,14 +277,27 @@ def _semantic_dedup_arrow(
     threshold: float,
     id_col: str,
     vec_col: str,
+    blocks: int | None = None,
 ) -> DataFrame:
-    """Arrow form of :func:`semantic_dedup`'s pair stage: one
-    ``applyInPandas`` per cluster, pair cosines evaluated in blocked numpy
-    with the fold-order dot products and HALF_UP rounding of
-    :mod:`.vectorized` — bit-identical keep decisions to the join+filter
-    form at ~50x less per-pair cost.  Parallelism is one task per cell
-    (the k>=cores production regime); the expr path's block salting covers
-    the small-k case if it ever needs to run wide."""
+    """Arrow form of :func:`semantic_dedup`'s pair stage, BLOCK-SALTED like
+    the expr form: pair cosines evaluated in blocked numpy with the
+    fold-order dot products and HALF_UP rounding of :mod:`.vectorized` —
+    bit-identical keep decisions to the join+filter form at ~50x less
+    per-pair cost.
+
+    A bare ``groupBy("cluster")`` gives one ``applyInPandas`` task per
+    cell, so at small k the quadratic stage runs on ≤k cores (sf10
+    stretch table: k=8 at 421.9s vs k=80 at 38.0s on 32 cores).  The salt
+    algebra mirrors the expr join: the PROBE side keeps one id-hash block
+    per row, the BUILD side replicates every row to all ``blocks``
+    sub-blocks, and the grouping key becomes (cluster, blk) — k x blocks
+    tasks.  Each probe row still meets every lower-id cluster-mate
+    (exactly once per probe), and "dropped = any(cos >= thr over lower
+    ids)" is idempotent under replication, so no distinct pass is needed.
+    Per-pair cosines are computed by the same fold-order kernels whichever
+    block a pair lands in, so the keep set is bit-identical to the
+    unsalted and expr forms (pinned by tests).  ``blocks=1`` skips the
+    union entirely (the k >= cores regime — zero salting overhead)."""
     from pyspark.sql import types as T
 
     assigned = assign_clusters_arrow(
@@ -301,8 +316,67 @@ def _semantic_dedup_arrow(
         ]
     )
     thr = float(threshold)
+    if blocks is None:
+        par = embeddings.sparkSession.sparkContext.defaultParallelism
+        blocks = max(1, (2 * par + k - 1) // k)
 
-    def cell(pdf):
+    if blocks == 1:
+
+        def cell(pdf):
+            import numpy as np
+            import pandas as pd
+
+            from biggraphite_spark.operators.vectorized import (
+                round_half_up,
+                seq_dot_block,
+                seq_norm,
+            )
+
+            pdf = pdf.sort_values(
+                id_col, kind="mergesort"
+            ).reset_index(drop=True)
+            n = len(pdf)
+            V = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            dropped = np.zeros(n, dtype=bool)
+            if n > 1:
+                nrm = seq_norm(V)
+                # block rows so the pair matrices stay ~64 MB however wide
+                # the cell is; ids are unique, so ascending-id position
+                # order makes "strictly lower id" a triangular mask
+                blk = max(1, 8_000_000 // n)
+                for i0 in range(1, n, blk):
+                    i1 = min(i0 + blk, n)
+                    dots = seq_dot_block(V[i0:i1], V[:i1])
+                    denom = np.multiply(
+                        nrm[i0:i1][:, None], nrm[:i1][None, :]
+                    )
+                    cos = round_half_up(dots / denom, 5)
+                    tri = (
+                        np.arange(i1)[None, :]
+                        < np.arange(i0, i1)[:, None]
+                    )
+                    dropped[i0:i1] = ((cos >= thr) & tri).any(axis=1)
+            return pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster": pdf["cluster"],
+                    "keep": ~dropped,
+                }
+            )
+
+        return assigned.groupBy("cluster").applyInPandas(cell, out_schema)
+
+    # salted: the assignment subtree feeds both union branches — cached so
+    # the corpus scan + assignment runs once (the expr path does the same)
+    assigned = assigned.cache()
+    probe = assigned.withColumn(
+        "blk", F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(blocks))
+    ).withColumn("is_probe", F.lit(True))
+    build = assigned.withColumn(
+        "blk", F.explode(F.array(*[F.lit(i) for i in range(blocks)]))
+    ).withColumn("is_probe", F.lit(False))
+
+    def salted_cell(pdf):
         import numpy as np
         import pandas as pd
 
@@ -312,32 +386,42 @@ def _semantic_dedup_arrow(
             seq_norm,
         )
 
-        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        n = len(pdf)
-        V = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+        p = pdf[pdf["is_probe"]].sort_values(
+            id_col, kind="mergesort"
+        ).reset_index(drop=True)
+        b = pdf[~pdf["is_probe"]]
+        n = len(p)
         dropped = np.zeros(n, dtype=bool)
-        if n > 1:
-            nrm = seq_norm(V)
-            # block rows so the pair matrices stay ~64 MB however wide the
-            # cell is; ids are unique, so ascending-id position order makes
-            # "strictly lower id" a triangular mask
-            blk = max(1, 8_000_000 // n)
-            for i0 in range(1, n, blk):
+        if n and len(b):
+            P = np.asarray(p["v"].tolist(), dtype=np.float64)
+            B = np.asarray(b["v"].tolist(), dtype=np.float64)
+            ids_p = p[id_col].to_numpy()
+            ids_b = b[id_col].to_numpy()
+            nrm_p = seq_norm(P)
+            nrm_b = seq_norm(B)
+            blk = max(1, 8_000_000 // max(1, len(b)))
+            for i0 in range(0, n, blk):
                 i1 = min(i0 + blk, n)
-                dots = seq_dot_block(V[i0:i1], V[:i1])
-                denom = np.multiply(nrm[i0:i1][:, None], nrm[:i1][None, :])
+                dots = seq_dot_block(P[i0:i1], B)
+                denom = np.multiply(
+                    nrm_p[i0:i1][:, None], nrm_b[None, :]
+                )
                 cos = round_half_up(dots / denom, 5)
-                tri = np.arange(i1)[None, :] < np.arange(i0, i1)[:, None]
-                dropped[i0:i1] = ((cos >= thr) & tri).any(axis=1)
+                lower = ids_b[None, :] < ids_p[i0:i1][:, None]
+                dropped[i0:i1] = ((cos >= thr) & lower).any(axis=1)
         return pd.DataFrame(
             {
-                id_col: pdf[id_col],
-                "cluster": pdf["cluster"],
+                id_col: p[id_col],
+                "cluster": p["cluster"],
                 "keep": ~dropped,
             }
         )
 
-    return assigned.groupBy("cluster").applyInPandas(cell, out_schema)
+    return (
+        probe.unionByName(build)
+        .groupBy("cluster", "blk")
+        .applyInPandas(salted_cell, out_schema)
+    )
 
 
 def _fit_centroids(

@@ -76,6 +76,11 @@ def with_shingles(
                 continue
             out = []
             for text in pdf[text_col]:
+                if text is None:
+                    # expr form: size(split(NULL)) = -1 < n, so the sub-n
+                    # branch fires and array(array_join(NULL)) is [NULL]
+                    out.append([None])
+                    continue
                 parts = text.split(" ")
                 if len(parts) >= n:
                     grams = [
@@ -333,6 +338,11 @@ def minhash_signatures_arrow(
                 continue
             cols: dict[str, list] = {f"h{j}": [] for j in range(k)}
             for text in pdf[text_col]:
+                if text is None:
+                    # expr form: the whole digest tree nulls out on null text
+                    for j in range(k):
+                        cols[f"h{j}"].append(None)
+                    continue
                 parts = text.split(" ")
                 if len(parts) >= n:
                     sh = [
@@ -815,6 +825,7 @@ def lsh_edit_verify(
     bands: int = DEFAULT_BANDS,
     n: int = 3,
     text_col: str = "text",
+    method: str = "arrow",
 ) -> DataFrame:
     """MinHash-LSH candidates verified with TRUE EDIT DISTANCE instead of
     Jaccard: levenshtein runs only on the banded candidate pairs, so the
@@ -824,9 +835,16 @@ def lsh_edit_verify(
 
     Keeps pairs with relative distance ≤ ``max_rel_dist`` (distance over
     the longer text).  Integer distances are engine-exact; the one ratio
-    is rounded on the documented lattice.
+    is rounded on the documented lattice.  ``method`` picks the signature
+    builder like every other LSH entry point — ``"arrow"`` (default) or
+    ``"expr"`` for the HOF projection form (bit-identical, debug path).
     """
-    sigs = minhash_signatures_arrow(docs, k=k, n=n).cache()
+    sig_fn = (
+        minhash_signatures_arrow
+        if method == "arrow"
+        else minhash_signatures_projection
+    )
+    sigs = sig_fn(docs, k=k, n=n, text_col=text_col).cache()
     cands = lsh_candidate_pairs(sigs, k=k, bands=bands)
     texts = docs.select("doc_id", text_col)
     pairs = cands.join(

@@ -50,11 +50,20 @@ def round_half_up(a: np.ndarray, scale: int) -> np.ndarray:
     s = float(10.0**scale)
     scaled = a * s
     # HALF_UP is away-from-zero on the .5 boundary
-    fast = np.where(
-        scaled >= 0.0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
-    ) / s
-    frac = np.abs(scaled - np.floor(scaled) - 0.5)
-    suspicious = (frac < 1e-8) & np.isfinite(scaled)
+    with np.errstate(invalid="ignore"):
+        fast = np.where(
+            scaled >= 0.0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+        ) / s
+        frac = np.abs(scaled - np.floor(scaled) - 0.5)
+        # The boundary guard must scale with the float spacing of the
+        # SCALED value: above |scaled| ~ 5e7, ulp(scaled) > 1e-8, so a
+        # shortest-decimal half-boundary (e.g. 2098.9539385 at scale 6)
+        # sits more than 1e-8 from binary 0.5 yet still ties in decimal.
+        # 4*spacing covers the scaling multiply's rounding plus the two
+        # subtractions in frac; the 1e-8 floor keeps the small-magnitude
+        # behaviour (and fallback rate) of the original guard.
+        tol = np.maximum(1e-8, 4.0 * np.spacing(np.abs(scaled)))
+        suspicious = (frac < tol) & np.isfinite(scaled)
     if suspicious.any():
         idx = np.flatnonzero(suspicious)
         flat = np.ascontiguousarray(fast).ravel()

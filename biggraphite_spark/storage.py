@@ -120,8 +120,32 @@ class PointStore:
         )
         return name
 
-    def read_bucketed(self, spark: SparkSession, stage: Stage) -> DataFrame:
-        return spark.table(self.bucketed_table(stage))
+    def read_bucketed(
+        self, spark: SparkSession, stage: Stage, n_buckets: int = 32
+    ) -> DataFrame:
+        """Read the bucketed layout, re-registering the external table when
+        the session's (in-memory) catalog doesn't have it — the reuse path:
+        a fresh session pointed at a store written by an earlier one
+        (SPARK_GRAFT_REUSE_STORE) has the files but not the saveAsTable
+        registration, and only the table's CLUSTERED BY spec hands scans
+        the exchange-free HashPartitioning(name)."""
+        name = self.bucketed_table(stage)
+        if not spark.catalog.tableExists(name):
+            path = self.stage_path(stage) + "_bucketed"
+            sample = spark.read.parquet(path)
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in sample.schema.fields
+                if f.name != "pday"
+            )
+            spark.sql(
+                f"CREATE TABLE {name} ({cols}, pday INT) USING parquet "
+                f"PARTITIONED BY (pday) "
+                f"CLUSTERED BY (name) SORTED BY (name, ts) "
+                f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+            )
+            spark.catalog.recoverPartitions(name)
+        return spark.table(name)
 
     # -- retention expiry --------------------------------------------------
     def expire(self, stage: Stage, now: int, margin: int = OUT_OF_ORDER_S) -> list[int]:

@@ -123,12 +123,13 @@ def test_semantic_dedup_block_salting_preserves_pairs(spark):
         sorted(
             (r["vec_id"], r["cluster"], r["keep"])
             for r in semantic_dedup(
-                df, k=2, iters=2, threshold=0.999, blocks=b
+                df, k=2, iters=2, threshold=0.999, blocks=b, method=m
             ).collect()
         )
         for b in (1, None, 17)
+        for m in ("expr", "arrow")
     ]
-    assert outs[0] == outs[1] == outs[2]
+    assert all(o == outs[0] for o in outs[1:])
     assert any(not keep for _, _, keep in outs[0])  # the dedup actually fired
 
 
@@ -206,3 +207,48 @@ def test_round_half_up_vectorized_matches_spark_semantics():
             assert np.isinf(g)
         else:
             assert g == _round_half_up_scalar(float(v), 6), repr(v)
+
+
+def test_round_half_up_boundary_large_magnitude():
+    """Half-boundary values at magnitudes where ulp(x*10^6) > 1e-8: the
+    tie-detection tolerance must scale with float spacing or the Decimal
+    fallback is skipped and the binary fast path misrounds (e.g.
+    2098.9539385 -> 2098.953938 instead of 2098.953939)."""
+    import numpy as np
+
+    from biggraphite_spark.operators.vectorized import (
+        _round_half_up_scalar,
+        round_half_up,
+    )
+
+    rng = np.random.default_rng(8)
+    ints = rng.integers(46, 5000, size=20000)
+    decs = rng.integers(0, 10**6, size=20000)
+    vals = np.array(
+        [float(f"{i}.{d:06d}5") for i, d in zip(ints, decs)]
+    )
+    got = round_half_up(vals, 6)
+    expect = np.array([_round_half_up_scalar(float(v), 6) for v in vals])
+    bad = np.flatnonzero(got != expect)
+    assert bad.size == 0, [repr(float(vals[i])) for i in bad[:5]]
+    # the documented regression value from the round-7 advisory
+    one = round_half_up(np.array([2098.9539385]), 6)[0]
+    assert one == _round_half_up_scalar(2098.9539385, 6)
+
+
+def test_round_half_up_nonfinite_no_warning():
+    """inf/nan inputs pass through without RuntimeWarning (the frac
+    computation is inf-inf = nan without the errstate guard)."""
+    import warnings
+
+    import numpy as np
+
+    from biggraphite_spark.operators.vectorized import round_half_up
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        got = round_half_up(
+            np.array([float("inf"), float("-inf"), float("nan"), 1.5e-6]), 6
+        )
+    assert np.isposinf(got[0]) and np.isneginf(got[1]) and np.isnan(got[2])
+    assert got[3] == 2e-6

@@ -47,6 +47,36 @@ def test_shingles(docs):
     assert len(row["shingles"]) == 4
 
 
+def test_shingles_and_signatures_null_text_parity(spark):
+    """Null text must not kill the Arrow twins (AttributeError on
+    .split) — both forms agree: shingles [NULL] (the expr sub-n branch
+    fires on size(NULL)=-1), signatures all-NULL."""
+    from biggraphite_spark.operators.dedup import (
+        minhash_signatures_arrow,
+        minhash_signatures_projection,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, None), (3, "x y")], "doc_id long, text string"
+    )
+    sh = {
+        m: sorted(
+            (r.doc_id, r.shingles)
+            for r in with_shingles(df, method=m).collect()
+        )
+        for m in ("arrow", "expr")
+    }
+    assert sh["arrow"] == sh["expr"]
+    assert dict(sh["arrow"])[2] == [None]
+    sig_a = sorted(
+        tuple(r) for r in minhash_signatures_arrow(df, k=8).collect()
+    )
+    sig_e = sorted(
+        tuple(r) for r in minhash_signatures_projection(df, k=8).collect()
+    )
+    assert sig_a == sig_e
+
+
 def test_ngram_jaccard_finds_near_dup(docs):
     pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, 0.3).collect()}
     assert pairs[(0, 1)] == 1.0  # identical

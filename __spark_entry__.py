@@ -5281,6 +5281,71 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 1
 """
 
 
+def _simhash64_oracle() -> str:
+    """64-bit simhash: bits 0..31 from md5(token), 32..63 from the salted
+    md5('1:' || token); bit 63's weight is -2^63 (two's complement — the
+    Spark builder adds the same terms in the same ascending order, so both
+    BIGINT chains stay in range)."""
+
+    def _src(i: int) -> str:
+        return (
+            f"substr(h, {i + 1}, 1)" if i < 32 else f"substr(h2, {i - 31}, 1)"
+        )
+
+    sums = ", ".join(
+        f"sum(w * CASE WHEN instr('89abcdef', {_src(i)}) > 0 "
+        f"THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(64)
+    )
+    hash_terms = " + ".join(
+        f"(CASE WHEN s{i} >= 0 THEN "
+        + ("(-9223372036854775808)::BIGINT" if i == 63 else f"(1::BIGINT << {i})")
+        + " ELSE 0 END)"
+        for i in range(64)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+cnt AS (SELECT doc_id, token, count(*) AS w, md5(token) AS h,
+               md5('1:' || token) AS h2
+        FROM tok GROUP BY doc_id, token),
+sums AS (SELECT doc_id, {sums} FROM cnt GROUP BY doc_id)
+SELECT doc_id, CAST({hash_terms} AS BIGINT) AS simhash FROM sums
+"""
+
+
+_SIMHASH_PAIRS64_ORACLE = f"""
+WITH s AS ({_simhash64_oracle()}),
+b AS (SELECT doc_id, simhash, bb, (simhash >> (bb * 16)) & 65535 AS key
+      FROM s, (SELECT unnest([0, 1, 2, 3]) AS bb)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa,
+                         b2.doc_id AS doc_b, b2.simhash AS sb
+         FROM b a JOIN b b2
+           ON a.bb = b2.bb AND a.key = b2.key AND a.doc_id < b2.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
+@_register("doc_simhash_pairs64", _SIMHASH_PAIRS64_ORACLE)
+def doc_simhash_pairs64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at PRODUCTION width: 64 bits, hamming <= 3,
+    Manku 4-band (16-bit slices) pigeonhole blocking.  The 16-bit variant
+    (doc_simhash_pairs) saturates its 65k hash space under clone
+    replication (46.8M qualifying pairs at sf1 — a checker-capacity case);
+    at 64 bits only true near-dups collide, so the pair relation stays
+    bounded at every scale and the full value-hash property holds
+    registry-wide."""
+    _utc(spark)
+    from biggraphite_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        _load_parallel(spark, sf_dir, "documents"),
+        max_hamming=3,
+        bits=64,
+        bands=4,
+    )
+
+
 @_register("doc_simhash_pairs", _SIMHASH_PAIRS_ORACLE)
 def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup PAIRS (Manku et al. 2007): hamming <= 1 over the

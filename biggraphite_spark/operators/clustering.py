@@ -297,7 +297,24 @@ def _semantic_dedup_arrow(
     Per-pair cosines are computed by the same fold-order kernels whichever
     block a pair lands in, so the keep set is bit-identical to the
     unsalted and expr forms (pinned by tests).  ``blocks=1`` skips the
-    union entirely (the k >= cores regime — zero salting overhead)."""
+    union entirely (the k >= cores regime — zero salting overhead).
+
+    Before the pair stage, EXACT-DUPLICATE vectors are collapsed to their
+    min-id representative per (cluster, vector) group.  This is a pure
+    optimization, not an approximation: an identical lower-id twin always
+    yields ``round(dot(v,v)/(|v|·|v|), 5) = 1.0 >= threshold`` (the FP
+    quotient is within a few ulp of 1, eight orders below the rounding
+    lattice), so every non-representative is dropped by the brute-force
+    semantics too; and any member of group H below rep(G) implies
+    ``min(H) < rep(G)`` with the identical cosine, so comparing
+    representatives decides exactly the brute-force predicate.  The pair
+    work falls from Σ cell² to Σ distinct-cell² — the difference between
+    feasible and not on clone-heavy corpora (boilerplate cliques; the sf10
+    generator's 100x replication), where the bandwidth-bound pair kernel
+    cannot be salted out of the quadratic total.  Applied only when
+    ``threshold <= 1.0`` (above 1.0 identical twins would NOT drop, and
+    the collapse would be wrong — degenerate but gated)."""
+    from pyspark.sql import Window
     from pyspark.sql import types as T
 
     assigned = assign_clusters_arrow(
@@ -316,6 +333,16 @@ def _semantic_dedup_arrow(
         ]
     )
     thr = float(threshold)
+    collapse = thr <= 1.0
+    if collapse:
+        w = Window.partitionBy("cluster", "v")
+        withrep = assigned.withColumn("rep_id", F.min(id_col).over(w))
+        pair_input = (
+            withrep.filter(F.col(id_col) == F.col("rep_id"))
+            .select(id_col, "v", "cluster")
+        )
+    else:
+        pair_input = assigned
     if blocks is None:
         par = embeddings.sparkSession.sparkContext.defaultParallelism
         blocks = max(1, (2 * par + k - 1) // k)
@@ -364,15 +391,18 @@ def _semantic_dedup_arrow(
                 }
             )
 
-        return assigned.groupBy("cluster").applyInPandas(cell, out_schema)
+        rep_out = pair_input.groupBy("cluster").applyInPandas(
+            cell, out_schema
+        )
+        return _expand_reps(withrep, rep_out, id_col) if collapse else rep_out
 
-    # salted: the assignment subtree feeds both union branches — cached so
+    # salted: the pair-input subtree feeds both union branches — cached so
     # the corpus scan + assignment runs once (the expr path does the same)
-    assigned = assigned.cache()
-    probe = assigned.withColumn(
+    pair_input = pair_input.cache()
+    probe = pair_input.withColumn(
         "blk", F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(blocks))
     ).withColumn("is_probe", F.lit(True))
-    build = assigned.withColumn(
+    build = pair_input.withColumn(
         "blk", F.explode(F.array(*[F.lit(i) for i in range(blocks)]))
     ).withColumn("is_probe", F.lit(False))
 
@@ -417,10 +447,27 @@ def _semantic_dedup_arrow(
             }
         )
 
-    return (
+    rep_out = (
         probe.unionByName(build)
         .groupBy("cluster", "blk")
         .applyInPandas(salted_cell, out_schema)
+    )
+    return _expand_reps(withrep, rep_out, id_col) if collapse else rep_out
+
+
+def _expand_reps(withrep: DataFrame, rep_out: DataFrame, id_col: str) -> DataFrame:
+    """Fan the representative keep decisions back out to all members of
+    each identical-vector group: non-representatives are dropped (their
+    lower-id identical twin forces cos 1.0 >= threshold under the
+    brute-force semantics), the representative inherits its pair-stage
+    verdict."""
+    verdicts = rep_out.select(
+        F.col(id_col).alias("rep_id"), F.col("keep").alias("rep_keep")
+    )
+    return withrep.join(verdicts, "rep_id").select(
+        id_col,
+        "cluster",
+        ((F.col(id_col) == F.col("rep_id")) & F.col("rep_keep")).alias("keep"),
     )
 
 

@@ -689,19 +689,39 @@ def dup_clusters(
 
 
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
-    """SimHash over the token multiset: one md5 per token, ``bits`` weighted
+    """SimHash over the token multiset: md5 per token, ``bits`` weighted
     bit-sums, sign -> bit.  Bits come from the top bit of each hex digit of
-    the token's md5 (bit i from hex char i), so the oracle can mirror it with
-    plain substr/instr arithmetic."""
+    the token's md5 (bit i from hex char i), so the oracle can mirror it
+    with plain substr/instr arithmetic.  One digest carries 32 bits; widths
+    up to 64 draw bits 32..63 from a second salted digest
+    ``md5('1:' || token)``.  At ``bits=64`` the top bit's weight is
+    Long.MIN_VALUE (two's complement: setting bit 63 == adding -2^63; the
+    other 63 bits sum below 2^63, so the chain never overflows — the same
+    argument holds in the BIGINT oracle, which adds the terms in the same
+    ascending-bit order)."""
+    if not 1 <= bits <= 64:
+        raise ValueError("simhash supports 1..64 bits")
     toks = F.explode(F.split(F.col(text_col), " ")).alias("token")
     exploded = docs.select("doc_id", toks)
     counted = exploded.groupBy("doc_id", "token").agg(F.count("*").alias("w"))
     counted = counted.withColumn("h", F.md5("token"))
+    if bits > 32:
+        counted = counted.withColumn(
+            "h2", F.md5(F.concat(F.lit("1:"), F.col("token")))
+        )
+
+    def _bit_char(i: int):
+        return (
+            F.substring("h", i + 1, 1)
+            if i < 32
+            else F.substring("h2", i - 31, 1)
+        )
+
     bit_sums = [
         F.sum(
             F.col("w")
             * F.when(
-                F.instr(F.lit("89abcdef"), F.substring("h", i + 1, 1)) > 0, 1
+                F.instr(F.lit("89abcdef"), _bit_char(i)) > 0, 1
             ).otherwise(-1)
         ).alias(f"s{i}")
         for i in range(bits)
@@ -709,7 +729,8 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
     sums = counted.groupBy("doc_id").agg(*bit_sums)
     hash_val = None
     for i in range(bits):
-        term = F.when(F.col(f"s{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        weight = F.lit(-(1 << 63)) if i == 63 else F.lit(1 << i)
+        term = F.when(F.col(f"s{i}") >= 0, weight).otherwise(F.lit(0))
         hash_val = term if hash_val is None else hash_val + term
     return sums.select("doc_id", hash_val.cast("long").alias("simhash"))
 

@@ -159,6 +159,43 @@ def test_semantic_dedup_arrow_equals_expr(spark):
     assert got["expr"] == got["arrow"]
 
 
+def test_semantic_dedup_clone_collapse_matches_brute_force(spark):
+    """The arrow path's exact-duplicate collapse (min-id representative per
+    (cluster, vector) group enters the pair stage; members inherit the
+    drop) is a pure optimization: on a heavily clone-replicated corpus —
+    the regime it exists for — the keep-set matches the brute-force expr
+    join exactly, including across interleaved group ids."""
+    from biggraphite_spark.operators.clustering import semantic_dedup
+
+    import random
+
+    rng = random.Random(23)
+    distinct = [
+        [rng.uniform(-1, 1) for _ in range(6)] for _ in range(12)
+    ]
+    # 12 distinct vectors x 15 interleaved exact copies + a few near-dups
+    rows = [
+        (g + 12 * c, distinct[g]) for c in range(15) for g in range(12)
+    ] + [
+        (1000 + g, [v * 1.00005 for v in distinct[g]]) for g in range(6)
+    ]
+    df = _emb(spark, rows)
+    got = {
+        m: sorted(
+            (r["vec_id"], r["cluster"], r["keep"])
+            for r in semantic_dedup(
+                df, k=3, iters=2, threshold=0.98, method=m
+            ).collect()
+        )
+        for m in ("expr", "arrow")
+    }
+    assert got["expr"] == got["arrow"]
+    kept = [vid for vid, _, keep in got["arrow"] if keep]
+    # every clone group collapses to exactly its lowest id (vec_ids 0..11),
+    # and the scaled near-dups (cos ~ 1) are dropped against them
+    assert set(kept) == set(range(12))
+
+
 def test_kmeans_arrow_equals_expr(spark):
     from biggraphite_spark.operators.clustering import kmeans
 

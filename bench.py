@@ -87,6 +87,56 @@ def _fresh_jvm(spark, entrymod):
     return spark
 
 
+def build_record(
+    samples: dict[str, list[float]],
+    errors: dict[str, str],
+    chunk_loadavg: list[float],
+    mat: dict,
+    sf_dir: str,
+    passes: int,
+    partial: bool,
+) -> dict:
+    """Assemble the one-line JSON record with the SUMMARY FIELDS FIRST:
+    the driver's round-7 record lost its tail (total + loadavg fields)
+    to truncation, which cost an adjudication re-measurement.  Scalars
+    (value, sf, loadavg, materialization, errors) lead; the large maps
+    (queries, then the even larger samples) come last, so any prefix of
+    the line still carries the headline numbers.  Field order is pinned
+    by tests/test_bench_record.py."""
+    import statistics
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # median_low: with the default 2 passes this reports the better
+    # sample — contention noise is one-sided, so low = attributable
+    timings = {
+        n: round(statistics.median_low(v), 3) for n, v in samples.items() if v
+    }
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "passes": passes,
+        "n_queries": len(timings),
+        "loadavg_chunks": chunk_loadavg,
+    }
+    # attribution for outlier runs: this box carries noisy-neighbor load
+    # (BASELINE.md; PERF.md finding 23), so a 1.5-2x suite total with
+    # loadavg >> our own 32 threads is environment, not regression
+    try:
+        out["loadavg_1m"] = round(os.getloadavg()[0], 1)
+    except OSError:
+        pass
+    out.update(mat)
+    if errors:
+        out["errors"] = errors
+    if partial:
+        out["partial"] = True
+    out["queries"] = timings
+    out["samples"] = {n: v for n, v in samples.items() if len(v) > 1}
+    return out
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     import __spark_entry__ as entrymod
@@ -116,38 +166,9 @@ def main() -> None:
     chunk_loadavg: list[float] = []
 
     def emit(partial: bool) -> None:
-        import statistics
-
-        sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-        # median_low: with the default 2 passes this reports the better
-        # sample — contention noise is one-sided, so low = attributable
-        timings = {
-            n: round(statistics.median_low(v), 3)
-            for n, v in samples.items()
-            if v
-        }
-        out = {
-            "metric": "headline_queries_total_wall",
-            "value": round(sum(timings.values()), 3),
-            "unit": "sec",
-            "queries": timings,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            "passes": passes,
-            "samples": {n: v for n, v in samples.items() if len(v) > 1},
-            "loadavg_chunks": chunk_loadavg,
-            **mat,
-        }
-        if errors:
-            out["errors"] = errors
-        if partial:
-            out["partial"] = True
-        # attribution for outlier runs: this box carries noisy-neighbor load
-        # (BASELINE.md; PERF.md finding 23), so a 1.5-2x suite total with
-        # loadavg >> our own 32 threads is environment, not regression
-        try:
-            out["loadavg_1m"] = round(os.getloadavg()[0], 1)
-        except OSError:
-            pass
+        out = build_record(
+            samples, errors, chunk_loadavg, mat, SF_DIR, passes, partial
+        )
         print(json.dumps(out), flush=True)
 
     # If a harness timeout SIGTERMs this process mid-suite, the timings

@@ -96,6 +96,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument("root", help="directory of .wsp files")
     sp.add_argument("--out", help="write points/ + catalog/ parquet here")
+    sp = sub.add_parser(
+        "compact-tags",
+        help="fold the TagDB's append-accreted part-files into dense files",
+    )
+    sp.add_argument("path", help="TagStore parquet directory")
+    sp.add_argument(
+        "--target-files", type=int, default=None,
+        help="exact output file count (default: ceil(rows / 4M))",
+    )
+    sp.add_argument(
+        "--min-files", type=int, default=16,
+        help="trigger policy: skip unless the store has at least this many "
+        "part-files (compaction is pure I/O churn below it); 0 forces",
+    )
     sub.add_parser("shell", help="interactive Python with the engine in scope")
 
     args = p.parse_args(argv)
@@ -291,6 +305,27 @@ def _dispatch(args, eng) -> int:
         n_metrics = meta.count()
         n_points = points.count()
         print(f"# imported {n_metrics} metrics, {n_points} points")
+    elif args.cmd == "compact-tags":
+        # operational sibling of the reference's metadata repair verbs: the
+        # upsert path appends one delta per batch (tags.py TagStore), so a
+        # long-lived store accretes small files; this folds them back.
+        import glob as _glob
+        import os as _os
+
+        from .operators.tags import TagStore
+
+        n_parts = len(
+            _glob.glob(_os.path.join(args.path, "part-*"))
+        )
+        if args.min_files and n_parts < args.min_files:
+            print(
+                f"# skipped: {n_parts} part-files < --min-files "
+                f"{args.min_files}"
+            )
+            return 0
+        store = TagStore(eng.catalog.sparkSession, args.path)
+        written = store.compact(target_files=args.target_files)
+        print(f"# compacted {n_parts} part-files -> {written}")
     elif args.cmd == "shell":
         # cli/command_shell.py: drop into an interpreter with the connected
         # accessor in scope; here the locals are the engine + session

@@ -178,3 +178,28 @@ def test_import_whisper_subcommand(spark, capsys, tmp_path):
     }
     cat = spark.read.parquet(str(out_dir / "catalog")).collect()
     assert cat[0]["name"] == "a.b.c"
+
+
+def test_compact_tags_subcommand(spark, capsys, tmp_path):
+    """compact-tags: trigger policy skips a small store, --min-files 0
+    forces the fold, and reads are identical afterwards."""
+    from biggraphite_spark.operators.tags import TagStore
+
+    path = str(tmp_path / "tagdb")
+    store = TagStore(spark, path)
+    # 6 upsert batches -> >= 6 appended part-file sets
+    for i in range(6):
+        store.tag_multi_series([f"m{i};dc=par{i % 2};app=web"])
+    before = sorted(r["series"] for r in store._existing().collect())
+
+    out = _run(capsys, "compact-tags", path)  # default --min-files 16
+    assert "# skipped:" in out
+
+    out = _run(capsys, "compact-tags", path, "--min-files", "0",
+               "--target-files", "2")
+    assert "-> 2" in out
+    import glob
+
+    assert len(glob.glob(os.path.join(path, "part-*"))) == 2
+    after = sorted(r["series"] for r in TagStore(spark, path)._existing().collect())
+    assert after == before

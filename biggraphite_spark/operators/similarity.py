@@ -248,6 +248,7 @@ def ann_ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "arrow",
 ) -> DataFrame:
     """IVF-style approximate top-k: assign every corpus vector to its nearest
     centroid cell, probe each query's ``nprobe`` closest cells, brute-force
@@ -261,14 +262,21 @@ def ann_ivf_topk(
     each query batch reads ``nprobe`` partitions — the IVF promise,
     expressed as partition pruning; the only shuffle left is the per-query
     top-k over candidate similarities.
+
+    ``method="arrow"`` (default) runs the two HOF-interpretation-bound
+    loops — corpus cell assignment (rows x cells cosines) and candidate
+    scoring (one cosine per joined pair) — through the bit-exact numpy
+    twins (:func:`assign_cells_arrow`, the pair scorer of
+    :func:`_probe_topk`); ``"expr"`` keeps the pure Column forms.
     """
     codebook = [
         (r["label"], list(r["cv"]))
         for r in centroid_vectors(embeddings, id_col, vec_col).collect()
     ]
-    assigned = assign_cells(embeddings, codebook, id_col, vec_col)
+    assign = assign_cells_arrow if method == "arrow" else assign_cells
+    assigned = assign(embeddings, codebook, id_col, vec_col)
     probed = probe_cells(queries, codebook, nprobe, id_col, vec_col)
-    return _probe_topk(assigned, probed, k)
+    return _probe_topk(assigned, probed, k, method=method)
 
 
 def assign_cells(
@@ -292,6 +300,74 @@ def assign_cells(
             ).getField("neg")
         ).alias("cell"),
     )
+
+
+def assign_cells_arrow(
+    embeddings: DataFrame,
+    codebook: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bit-exact Arrow twin of :func:`assign_cells` (finding 36's template
+    applied to the IVF corpus side): the same per-centroid rounded cosines
+    — dim-sequential dot, norms-multiplied-first denominator, HALF_UP
+    5-digit round, centroid norms from the SAME driver-side python fold
+    the expr form embeds as literals — and the same argmax with
+    smallest-label tie-break (``array_max`` over (csim, -label) structs ==
+    "strictly greater, or equal and lower label", order-independent).
+    Output: neighbor_id, cv, cn, cell."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    labels = [label for label, _ in codebook]
+    C = np.asarray([cv for _, cv in codebook], dtype=np.float64)
+    # the expr form embeds lit(math.sqrt(sum(...))) — reuse those doubles
+    cns = np.asarray(
+        [math.sqrt(sum(v * v for v in cv)) for _, cv in codebook],
+        dtype=np.float64,
+    )
+    src = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(F.col(vec_col)).alias("cv"),
+    )
+    out_schema = T.StructType(
+        [
+            src.schema["neighbor_id"],
+            T.StructField("cv", T.ArrayType(T.DoubleType())),
+            T.StructField("cn", T.DoubleType()),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+
+    def assign(batches):
+        import pandas as pd
+
+        from biggraphite_spark.operators.vectorized import (
+            round_half_up,
+            seq_dot_vec,
+            seq_norm,
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(pdf["cv"].tolist(), dtype=np.float64)
+            vn = seq_norm(V)
+            best_s = np.full(len(pdf), -np.inf)
+            best_l = np.zeros(len(pdf), dtype=np.int64)
+            for pos, label in enumerate(labels):
+                csim = round_half_up(
+                    seq_dot_vec(V, C[pos]) / (vn * cns[pos]), 5
+                )
+                better = (csim > best_s) | ((csim == best_s) & (label < best_l))
+                best_s = np.where(better, csim, best_s)
+                best_l = np.where(better, label, best_l)
+            out = pdf[["neighbor_id", "cv"]].copy()
+            out["cn"] = vn
+            out["cell"] = best_l.astype(np.int32)
+            yield out
+
+    return src.mapInPandas(assign, out_schema)
 
 
 def probe_cells(
@@ -322,17 +398,75 @@ def probe_cells(
     ).select("query_id", "qv", "qn", (-F.col("probe.neg")).alias("cell"))
 
 
-def _probe_topk(assigned: DataFrame, probed: DataFrame, k: int) -> DataFrame:
-    sims = (
-        assigned.join(F.broadcast(probed), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", _paired_cosine().alias("sim"))
+def _probe_topk(
+    assigned: DataFrame, probed: DataFrame, k: int, method: str = "expr"
+) -> DataFrame:
+    pairs = assigned.join(F.broadcast(probed), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
     )
+    if method == "arrow":
+        sims = paired_cosine_arrow(pairs, "qv", "qn", "cv", "cn")
+    else:
+        sims = pairs.select(
+            "query_id", "neighbor_id", _paired_cosine().alias("sim")
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         sims.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def paired_cosine_arrow(
+    pairs: DataFrame,
+    a_vec: str,
+    a_norm: str,
+    b_vec: str,
+    b_norm: str,
+) -> DataFrame:
+    """Bit-exact Arrow twin of the ``_paired_cosine`` projection on a
+    joined pair relation: per row, the same dim-sequential dot fold
+    (:func:`.vectorized.seq_dot_rows`), the same norms-multiplied-first
+    denominator, the same HALF_UP 5-digit round — one ``mapInPandas``
+    pass instead of an interpreted zip_with+aggregate per pair (the
+    probe-side hot loop of the IVF family, PERF.md finding 39).
+    Output: (query_id, neighbor_id, sim)."""
+    from pyspark.sql import types as T
+
+    src = pairs.select("query_id", "neighbor_id", a_vec, a_norm, b_vec, b_norm)
+    out_schema = T.StructType(
+        [
+            src.schema["query_id"],
+            src.schema["neighbor_id"],
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        from biggraphite_spark.operators.vectorized import (
+            round_half_up,
+            seq_dot_rows,
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.asarray(pdf[a_vec].tolist(), dtype=np.float64)
+            B = np.asarray(pdf[b_vec].tolist(), dtype=np.float64)
+            denom = pdf[a_norm].to_numpy() * pdf[b_norm].to_numpy()
+            sim = round_half_up(seq_dot_rows(A, B) / denom, 5)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "sim": sim,
+                }
+            )
+
+    return src.mapInPandas(score, out_schema)
 
 
 def ann_ivf_topk_filtered(
@@ -343,6 +477,7 @@ def ann_ivf_topk_filtered(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "arrow",
 ) -> DataFrame:
     """Filtered vector search: IVF top-k restricted to corpus vectors
     satisfying a metadata predicate — the "WHERE lang='en'" every vector
@@ -360,11 +495,12 @@ def ann_ivf_topk_filtered(
         (r["label"], list(r["cv"]))
         for r in centroid_vectors(embeddings, id_col, vec_col).collect()
     ]
-    assigned = assign_cells(
+    assign = assign_cells_arrow if method == "arrow" else assign_cells
+    assigned = assign(
         embeddings.filter(corpus_filter), codebook, id_col, vec_col
     )
     probed = probe_cells(queries, codebook, nprobe, id_col, vec_col)
-    return _probe_topk(assigned, probed, k)
+    return _probe_topk(assigned, probed, k, method=method)
 
 
 def write_ivf_corpus(
@@ -412,16 +548,18 @@ def ann_ivf_topk_partitioned(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "arrow",
 ) -> DataFrame:
     """IVF probe against a :func:`write_ivf_corpus` index — the 100 TB read
     path.  ``cell`` is a partition column, and the broadcast equi-join on it
     triggers dynamic partition pruning: only the probed cells' directories
     are scanned (asserted by test_similarity_partitioned via
     ``input_file_name``), so probe cost scales with nprobe/cells of the
-    corpus, not its size."""
+    corpus, not its size.  ``method`` picks the pair-scorer form (the
+    index on disk is form-independent)."""
     assigned = spark.read.parquet(path)
     probed = probe_cells(queries, codebook, nprobe, id_col, vec_col)
-    return _probe_topk(assigned, probed, k)
+    return _probe_topk(assigned, probed, k, method=method)
 
 
 def ann_ivfpq_topk(
@@ -452,7 +590,8 @@ def ann_ivfpq_topk(
         for r in centroid_vectors(embeddings, id_col, vec_col).collect()
     ]
     pq_cb = pq_codebook(embeddings, m=m, k=pq_k, vec_col=vec_col, id_col=id_col)
-    assigned = assign_cells(embeddings, ivf_cb, id_col, vec_col)
+    assign = assign_cells_arrow if method == "arrow" else assign_cells
+    assigned = assign(embeddings, ivf_cb, id_col, vec_col)
     if method == "arrow":
         # the encode is the HOF-bound stage (PERF.md finding 29); the Arrow
         # twin emits the identical codes (pq_codes_arrow docstring)
@@ -479,17 +618,21 @@ def ann_ivfpq_topk(
         "neighbor_id", "cell", recon.alias("rv")
     ).withColumn("rn", norm_expr(F.col("rv")))
     probed = probe_cells(queries, ivf_cb, nprobe, id_col, vec_col)
-    sims = (
-        candidates.join(F.broadcast(probed), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
+    pairs = candidates.join(F.broadcast(probed), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    if method == "arrow":
+        # the asymmetric-distance loop (full-precision query x PQ
+        # reconstruction) through the same bit-exact pair scorer
+        sims = paired_cosine_arrow(pairs, "qv", "qn", "rv", "rn")
+    else:
+        sims = pairs.select(
             "query_id",
             "neighbor_id",
             F.round(
                 dot_expr(F.col("qv"), F.col("rv")) / (F.col("qn") * F.col("rn")), 5
             ).alias("sim"),
         )
-    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         sims.withColumn("rank", F.row_number().over(w).cast("long"))

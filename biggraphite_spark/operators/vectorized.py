@@ -94,6 +94,27 @@ def seq_norm(V: np.ndarray) -> np.ndarray:
     return np.sqrt(acc)
 
 
+def seq_dot_vec(V: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Row-wise dot against ONE vector — ``out[i] = dot(V[i], c)`` in fold
+    order, the twin of ``dot_expr(row, literal_centroid)`` (the cell
+    assign/probe loops)."""
+    acc = np.zeros(V.shape[0], dtype=np.float64)
+    for j in range(V.shape[1]):
+        acc += V[:, j] * c[j]
+    return acc
+
+
+def seq_dot_rows(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Row-PAIRED dot products — ``out[i] = dot(A[i], B[i])`` accumulated
+    dim-sequentially, the twin of ``dot_expr`` evaluated on a joined pair
+    relation (one candidate pair per row).  Not a matmul for the same
+    reason as :func:`seq_dot_block`."""
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for j in range(A.shape[1]):
+        acc += A[:, j] * B[:, j]
+    return acc
+
+
 def seq_dot_block(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     """All-pairs dot products between the rows of ``A`` (m x d) and ``B``
     (n x d) as an m x n matrix, accumulated dim-sequentially so every

@@ -164,3 +164,52 @@ def test_refresh_ivf_appends_equal_full_rebuild(spark, tmpdir):
     # the new vectors are actually reachable
     got_ids = {t[1] for t in ranked(inc_path)}
     assert 100 in got_ids and 101 in got_ids
+
+
+def test_ivf_and_ivfpq_arrow_equals_expr(spark):
+    """The Arrow probe twins (assign_cells_arrow + paired_cosine_arrow) are
+    bit-exact against the HOF expression forms: identical (query, neighbor,
+    sim, rank) sets for both ann_ivf_topk and ann_ivfpq_topk, and the
+    standalone cell assignment matches row-for-row including ties."""
+    import random
+
+    from biggraphite_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_ivfpq_topk,
+        assign_cells,
+        assign_cells_arrow,
+        centroid_vectors,
+    )
+
+    rng = random.Random(42)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 3)
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    q = emb.filter(F.col("vec_id") < 4)
+
+    for fn in (ann_ivf_topk, ann_ivfpq_topk):
+        got = {
+            m: sorted(
+                tuple(r)
+                for r in fn(emb, q, nprobe=2, k=5, method=m).collect()
+            )
+            for m in ("expr", "arrow")
+        }
+        assert got["expr"] == got["arrow"], fn.__name__
+
+    codebook = [
+        (r["label"], list(r["cv"])) for r in centroid_vectors(emb).collect()
+    ]
+    a = sorted(
+        (r["neighbor_id"], r["cell"], r["cn"])
+        for r in assign_cells_arrow(emb, codebook).collect()
+    )
+    e = sorted(
+        (r["neighbor_id"], r["cell"], r["cn"])
+        for r in assign_cells(emb, codebook).collect()
+    )
+    assert a == e

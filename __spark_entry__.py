@@ -7048,6 +7048,85 @@ def doc_quality_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_capped_edges_ctes(d: int, k: int = 16, bands: int = 4) -> str:
+    """LSH edge CTEs with the per-node fanout cap of
+    ``dedup.cap_pair_fanout``: weighted pairs -> symmetrize -> per-node
+    top-d by (jaccard desc, partner asc) -> canonical-pair dedup ->
+    symmetric edges.  Weights are the rounded-jaccard lattice, so the
+    rank order is engine-portable."""
+    base = _lsh_edges_ctes(k=k, bands=bands)
+    # rebuild the pairs CTE carrying the rounded jaccard weight
+    base = base.replace(
+        """pairs AS (SELECT doc_a, doc_b
+          FROM (SELECT doc_a, doc_b, len(list_intersect(da.sh, db.sh)) AS shared,
+                       len(da.sh) AS na, len(db.sh) AS nb
+                FROM cand JOIN d da ON da.doc_id = doc_a JOIN d db ON db.doc_id = doc_b)
+          WHERE shared * 1.0 / (na + nb - shared) >= 0.5),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs)""",
+        f"""pairsw AS (SELECT doc_a, doc_b,
+                 ROUND(shared * 1.0 / (na + nb - shared), 6) AS w
+          FROM (SELECT doc_a, doc_b, len(list_intersect(da.sh, db.sh)) AS shared,
+                       len(da.sh) AS na, len(db.sh) AS nb
+                FROM cand JOIN d da ON da.doc_id = doc_a JOIN d db ON db.doc_id = doc_b)
+          WHERE shared * 1.0 / (na + nb - shared) >= 0.5),
+sym AS (SELECT doc_a AS node, doc_b AS partner, w FROM pairsw
+        UNION ALL SELECT doc_b, doc_a, w FROM pairsw),
+capd AS (SELECT LEAST(node, partner) AS doc_a,
+                GREATEST(node, partner) AS doc_b, MAX(w) AS w
+         FROM (SELECT node, partner, w,
+                      row_number() OVER (PARTITION BY node
+                                         ORDER BY w DESC, partner ASC) AS rk
+               FROM sym)
+         WHERE rk <= {d} GROUP BY 1, 2),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM capd
+          UNION ALL SELECT doc_b, doc_a FROM capd)""",
+    )
+    return base
+
+
+_PAGERANK_CAPPED_ORACLE = f"""
+WITH RECURSIVE
+{_lsh_capped_edges_ctes(3)},
+deg AS (SELECT a, CAST(count(*) AS DOUBLE) AS outd FROM edges GROUP BY a),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+pr AS (
+  SELECT 0 AS iter, doc_id, (SELECT 1.0 / n FROM nn) AS rank FROM documents
+  UNION ALL
+  SELECT pr.iter + 1, e.b AS doc_id,
+         (SELECT 0.15 / n FROM nn) + 0.85 * sum(pr.rank / deg.outd)
+  FROM pr JOIN edges e ON e.a = pr.doc_id JOIN deg ON deg.a = e.a
+  WHERE pr.iter < 10
+  GROUP BY pr.iter, e.b
+)
+SELECT doc.doc_id,
+       ROUND(COALESCE(p.rank, (SELECT 0.15 / n FROM nn))
+             * (SELECT n FROM nn) + 1.23e-9, 6) AS score
+FROM documents doc
+LEFT JOIN (SELECT doc_id, rank FROM pr WHERE iter = 10) p USING (doc_id)
+"""
+
+
+@_register("doc_pagerank_capped", _PAGERANK_CAPPED_ORACLE)
+def doc_pagerank_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-centrality over the DEGREE-CAPPED near-dup graph:
+    per-node pair fanout limited to the top-3 incident pairs by
+    (jaccard desc, partner asc), kept if ranked by EITHER endpoint
+    (dedup.cap_pair_fanout), then the same 10-iteration PageRank as
+    doc_pagerank.  The cap is the boilerplate-clique guard real corpora
+    need — a near-dup clique of c documents contributes c² pair-graph
+    edges and every graph fixpoint rides Σ deg², so templated/cloned
+    content otherwise dominates the round cost.  Capping bounds edges at
+    3N while keeping each node's strongest similarities; this contract
+    pins the capped edge-selection semantics end-to-end."""
+    _utc(spark)
+    from biggraphite_spark.operators.graph import neardup_pagerank
+
+    return neardup_pagerank(
+        _load_parallel(spark, sf_dir, "documents"), max_degree=3
+    )
+
+
 @_register("doc_pagerank", _PAGERANK_ORACLE)
 def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplication-centrality scoring: 10-iteration PageRank over the

@@ -451,6 +451,58 @@ def lsh_near_dups(
     )
 
 
+def cap_pair_fanout(
+    pairs: DataFrame, max_degree: int, weight_col: str = "jaccard"
+) -> DataFrame:
+    """Per-node pair-fanout cap: keep each node's top-``max_degree``
+    incident pairs by (weight desc, partner id asc); a pair survives if it
+    ranks for EITHER endpoint (k-NN-graph sparsification union semantics,
+    so no node is orphaned by a hub neighbour's budget).
+
+    Real corpora contain pathological near-dup cliques — boilerplate,
+    templated pages, licence headers — whose pair graphs grow
+    quadratically in the clique size and drown every downstream graph
+    fixpoint (PageRank/CC/triangles ride Σ deg², not Σ deg).  Capping
+    per-node fanout bounds the edge count at ``max_degree x nodes`` while
+    keeping each node's STRONGEST similarities, which is what the
+    representative-selection and quality-propagation consumers actually
+    use.  Deterministic: weights are pre-rounded (the lsh_near_dups
+    lattice) and ties break by partner id, so the kept set is
+    engine-portable and oracle-checkable.
+
+    Scale shape: one symmetrize (linear), one (node)-keyed window, one
+    canonical-pair dedup — no joins, no quadratic stage.
+    Output: (doc_a, doc_b, <weight_col>) with doc_a < doc_b.
+    """
+    from pyspark.sql import Window
+
+    sym = pairs.select(
+        F.col("doc_a").alias("node"),
+        F.col("doc_b").alias("partner"),
+        F.col(weight_col).alias("w"),
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("node"),
+            F.col("doc_a").alias("partner"),
+            F.col(weight_col).alias("w"),
+        )
+    )
+    wnd = Window.partitionBy("node").orderBy(F.desc("w"), F.asc("partner"))
+    kept = (
+        sym.withColumn("rk", F.row_number().over(wnd))
+        .filter(F.col("rk") <= max_degree)
+    )
+    return (
+        kept.select(
+            F.least("node", "partner").alias("doc_a"),
+            F.greatest("node", "partner").alias("doc_b"),
+            "w",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("w").alias(weight_col))
+    )
+
+
 #: edge-count bound under which connected components is solved driver-side.
 #: 5M edges ~ 80 MB of longs — trivial for any driver; the LSH pair graph of
 #: even a 100 TB corpus is usually far below this (pairs ≪ docs by design)
@@ -555,9 +607,14 @@ def dup_clusters(
     max_iters: int = 20,
     driver_max_edges: int = DRIVER_CC_MAX_EDGES,
     cc_method: str = "auto",
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Near-duplicate cluster assignment: connected components over the
     near-dup pair graph, labelled by the minimum doc_id in each component.
+    ``max_degree`` applies :func:`cap_pair_fanout` before the components
+    run (the boilerplate-clique guard); note capping can SPLIT a weakly
+    connected clique chain — the capped clustering is its own documented
+    semantics, not an approximation of the uncapped one.
 
     Every document gets a row — singletons are their own cluster — so the
     output is the dedup decision table a pipeline keeps: group by
@@ -591,6 +648,8 @@ def dup_clusters(
         raise ValueError(f"unknown cc_method {cc_method!r}")
     if pairs is None:
         pairs = lsh_near_dups(docs, threshold=threshold, k=k, bands=bands, n=n)
+    if max_degree is not None:
+        pairs = cap_pair_fanout(pairs, max_degree)
     pair_ids = pairs.select("doc_a", "doc_b").cache()
     # stream the edge list straight off the (now materializing) cache — no
     # separate count() job; the cap decision falls out of how far the

@@ -328,6 +328,7 @@ def neardup_pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     pairs: DataFrame | None = None,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Duplication-centrality scores: PageRank over the symmetric
     MinHash-LSH near-dup graph (``lsh_near_dups``).  Output
@@ -336,11 +337,16 @@ def neardup_pagerank(
     resolution with the documented paired tie-breaker.  Pass ``pairs``
     to reuse an already-built near-dup graph (the representatives
     composition feeds the same pairs to CC and PageRank — one LSH
-    pipeline, two consumers)."""
-    from .dedup import lsh_near_dups
+    pipeline, two consumers).  ``max_degree`` caps per-node pair fanout
+    (``dedup.cap_pair_fanout``, top-d by jaccard) before the iteration —
+    the boilerplate-clique guard: the fixpoint cost rides Σ deg², which
+    clone-replicated or templated corpora grow quadratically."""
+    from .dedup import cap_pair_fanout, lsh_near_dups
 
     if pairs is None:
         pairs = lsh_near_dups(docs, threshold=threshold)
+    if max_degree is not None:
+        pairs = cap_pair_fanout(pairs, max_degree)
     # the two-direction union references the pair subtree twice; cache it
     # or the LSH candidate+verify joins execute twice
     pairs = pairs.select("doc_a", "doc_b").cache()

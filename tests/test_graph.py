@@ -224,3 +224,62 @@ def test_personalized_seeds_ride_a_broadcast_join(spark):
     # the flag column comes out of the checkpointed broadcast join; the
     # teleport term reads it as a plain column
     assert "_seed" in text, text
+
+
+def test_cap_pair_fanout_union_semantics(spark):
+    """Degree cap keeps each node's top-d by (weight desc, partner asc),
+    and an edge survives if EITHER endpoint ranks it."""
+    from biggraphite_spark.operators.dedup import cap_pair_fanout
+
+    # star: node 0 pairs with 1..5 at varying weights; plus a spur 4-5
+    pairs = spark.createDataFrame(
+        [
+            (0, 1, 0.9), (0, 2, 0.8), (0, 3, 0.7), (0, 4, 0.6), (0, 5, 0.5),
+            (4, 5, 0.4),
+        ],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in cap_pair_fanout(pairs, max_degree=2).collect()
+    )
+    # node 0's top-2: (0,1), (0,2).  But every leaf also ranks its only
+    # edges: 3 keeps (0,3), 4 keeps (0,4)+(4,5), 5 keeps (0,5)+(4,5) —
+    # union semantics keeps all six edges here EXCEPT none dropped?  No:
+    # every edge is top-2 for its leaf endpoint, so all survive.
+    assert (0, 1, 0.9) in got and (4, 5, 0.4) in got
+    assert len(got) == 6
+
+    # tighten to d=1: each leaf keeps its strongest edge only; (4,5) is
+    # rank-2 for node 4 (0.6 > 0.4) AND rank-2 for node 5 (0.5 > 0.4) ->
+    # dropped.  (0,2..5) survive via their leaf endpoint's single slot.
+    got1 = sorted(
+        (r["doc_a"], r["doc_b"]) for r in cap_pair_fanout(pairs, 1).collect()
+    )
+    assert (4, 5) not in got1
+    assert got1 == [(0, 1), (0, 2), (0, 3), (0, 4), (0, 5)]
+
+
+def test_neardup_pagerank_capped_bounds_edges(spark):
+    """max_degree on neardup_pagerank changes scores only through the
+    documented capped edge set (clique fanout bounded)."""
+    from biggraphite_spark.operators.graph import neardup_pagerank
+
+    # a 6-clique of identical docs + 2 singletons
+    rows = [(i, "a b c d e f g h") for i in range(6)] + [
+        (10, "x y z w q r s t"), (11, "p o n m l k j i")
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        r["doc_id"]: r["score"]
+        for r in neardup_pagerank(docs, max_degree=2).collect()
+    }
+    uncapped = {
+        r["doc_id"]: r["score"]
+        for r in neardup_pagerank(docs).collect()
+    }
+    assert set(capped) == set(uncapped) == {0, 1, 2, 3, 4, 5, 10, 11}
+    # singletons hold the teleport score under both
+    assert capped[10] == uncapped[10]
+    # clique members still rank above singletons after capping
+    assert all(capped[i] > capped[10] for i in range(6))

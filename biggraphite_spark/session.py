@@ -54,7 +54,10 @@ def get_spark(app_name: str = "biggraphite-spark", cpus: int | None = None) -> S
                 "-XX:CICompilerCount=8",
             ),
         )
-        .config("spark.ui.enabled", "false")
+        # UI off by default (port + heap overhead per test session); the
+        # shuffle-volume audit (scripts/shuffle_audit.py) flips it on to
+        # read stage metrics from the REST surface
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # the driver-generated events.parquet carries TIMESTAMP(NANOS), which
         # the vectorized reader only accepts as int64 via this flag

@@ -7082,6 +7082,11 @@ capd AS (SELECT LEAST(node, partner) AS doc_a,
 edges AS (SELECT doc_a AS a, doc_b AS b FROM capd
           UNION ALL SELECT doc_b, doc_a FROM capd)""",
     )
+    if "capd" not in base:
+        raise AssertionError(
+            "_lsh_capped_edges_ctes: pairs-CTE replacement did not fire — "
+            "_lsh_edges_ctes' text changed; update the template here too"
+        )
     return base
 
 

@@ -336,7 +336,11 @@ def _semantic_dedup_arrow(
     collapse = thr <= 1.0
     if collapse:
         w = Window.partitionBy("cluster", "v")
-        withrep = assigned.withColumn("rep_id", F.min(id_col).over(w))
+        # cached: the rep relation feeds the pair stage AND the expand
+        # join — uncached, the assignment corpus pass would run twice
+        withrep = assigned.withColumn(
+            "rep_id", F.min(id_col).over(w)
+        ).cache()
         pair_input = (
             withrep.filter(F.col(id_col) == F.col("rep_id"))
             .select(id_col, "v", "cluster")

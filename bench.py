@@ -69,7 +69,18 @@ def _fresh_jvm(spark, entrymod):
     gateway down forces the next session into a brand-new java process.
     Restart cost (JVM boot + warm-up + store re-materialization) is paid
     BETWEEN measurements, never inside one.
+
+    The abandoned JVM must also be TERMINATED, not just disconnected:
+    PythonGatewayServer's main thread blocks on stdin until the PARENT
+    python exits, so a shutdown-but-alive JVM idles until end of bench
+    holding its full heap (measured 17-27 GB RSS each — ~65 GB across
+    three stale chunks) and, worse, its spark.local.dir shuffle/spill
+    files, which is what pushed the sf10 full-registry run out of disk
+    (PERF.md finding 39).  py4j's launch_gateway keeps the Popen handle
+    on ``gw.proc``; terminate it and reap.
     """
+    import subprocess
+
     from pyspark import SparkContext
     from biggraphite_spark.session import get_spark
 
@@ -77,6 +88,14 @@ def _fresh_jvm(spark, entrymod):
     gw = SparkContext._gateway
     if gw is not None:
         gw.shutdown()
+        proc = getattr(gw, "proc", None)
+        if proc is not None:
+            proc.terminate()
+            try:
+                proc.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait(timeout=10)
     SparkContext._gateway = None
     SparkContext._jvm = None
     os.environ.pop("PYSPARK_GATEWAY_PORT", None)
@@ -182,13 +201,48 @@ def main() -> None:
 
     signal.signal(signal.SIGTERM, on_term)
 
+    # SPARK_GRAFT_QUERY_TIMEOUT=N (seconds, 0=off) bounds any single
+    # query: a watchdog cancels all jobs at the deadline and the entry is
+    # recorded as a timeout error instead of stalling the whole registry.
+    # Motivated by the sf10 run, where the quadratic-by-design exact
+    # baselines (doc_dedup_ngram / doc_containment / doc_lsh_recall) spill
+    # past local disk — at 100 TB those run on a cluster's shuffle tier or
+    # not at all; here they must not take the other 162 queries down.
+    import threading
+
+    query_timeout = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "0"))
+
     def run_once(name, fn) -> None:
         t0 = time.time()
+        timed_out: list[bool] = []
+        timer = None
+        if query_timeout > 0:
+            sc = spark.sparkContext
+
+            def _cancel() -> None:
+                timed_out.append(True)
+                try:
+                    sc.cancelAllJobs()
+                except Exception:
+                    pass
+
+            timer = threading.Timer(query_timeout, _cancel)
+            timer.daemon = True
+            timer.start()
         try:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             samples.setdefault(name, []).append(round(time.time() - t0, 3))
         except Exception as e:
-            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            if timed_out:
+                errors[name] = (
+                    f"timeout>{query_timeout:g}s "
+                    f"(cancelled after {round(time.time() - t0, 1)}s)"
+                )
+            else:
+                errors[name] = f"{type(e).__name__}: {e}"[:300]
+        finally:
+            if timer is not None:
+                timer.cancel()
         # queries cache intermediates for their own branch fan-out; drop them
         # so every measurement stays cold and later queries don't inherit
         # heap pressure from earlier ones

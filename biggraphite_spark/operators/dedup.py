@@ -105,8 +105,94 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _shared_shingle_counts(
+    exploded: DataFrame,
+    extra_cond=None,
+    salt_blocks: int | None = None,
+    hot_min: int = 2048,
+) -> DataFrame:
+    """Shared-shingle pair counts — the posting self-join both exact-pair
+    operators (:func:`ngram_jaccard_pairs`, :func:`containment_pairs`) sit
+    on — with SKEW SALTING of hot shingles.
+
+    ``exploded`` is the posting relation ``(doc_id, n_sh, sh)``; the result
+    is one row per co-shingled pair: ``(doc_a, doc_b, na, nb, shared)``
+    with ``doc_a < doc_b``.  ``extra_cond(a, b)`` adds an exact-preserving
+    prune to the join condition (e.g. the Jaccard length filter).
+
+    Why salting: the sort-merge self-join hands ALL postings of one
+    shingle to one task, and a hot shingle with ``s`` postings emits
+    ``C(s,2)`` pair rows there — a boilerplate trigram present in 10% of a
+    clone-heavy corpus pins a single core for the whole quadratic burst
+    while 31 idle (observed: a 30-min one-task tail in doc_lsh_recall at
+    the sf10 shape).  AQE's skew splitter never helps because the blowup
+    is join OUTPUT, which it cannot see.  Same algebra as the SemDeDup
+    block salt (clustering.py): for shingles with ``>= hot_min`` postings
+    the probe side keeps one id-hash block per posting and the build side
+    replicates each posting to all ``salt_blocks`` blocks, so every
+    qualifying pair still meets exactly once but a hot key's pair work
+    spreads over ``salt_blocks`` tasks.  Cold shingles (the long tail)
+    join directly — no replication cost.  The union feeds ONE aggregation,
+    so each pair's ``shared`` count still sees every co-shingle exactly
+    once; the rewrite is physical only and bit-identical to the direct
+    join (pinned by tests).
+    """
+    sess = exploded.sparkSession
+    if salt_blocks is None:
+        salt_blocks = max(2, sess.sparkContext.defaultParallelism)
+    # the posting relation feeds FIVE subtrees (hot-key count, two sides
+    # of each of the two joins); materialize it once — eager
+    # localCheckpoint, not .cache(), so the blocks are released by the
+    # ContextCleaner when the result goes out of scope instead of pinning
+    # executor storage across repeated calls (the seriesLists pattern)
+    exploded = exploded.localCheckpoint(eager=True)
+
+    def pair_cond(a: str, b: str):
+        cond = (F.col(f"{a}.sh") == F.col(f"{b}.sh")) & (
+            F.col(f"{a}.doc_id") < F.col(f"{b}.doc_id")
+        )
+        if extra_cond is not None:
+            cond = cond & extra_cond(a, b)
+        return cond
+
+    hot_keys = (
+        exploded.groupBy("sh")
+        .agg(F.count("*").alias("sh_n"))
+        .filter(F.col("sh_n") >= hot_min)
+        .select("sh")
+    )
+    cold = exploded.join(F.broadcast(hot_keys), "sh", "left_anti")
+    cold_pairs = cold.alias("a").join(cold.alias("b"), pair_cond("a", "b"))
+
+    hot = exploded.join(F.broadcast(hot_keys), "sh", "left_semi")
+    ha = hot.withColumn(
+        "blk", F.pmod(F.crc32(F.col("doc_id").cast("string")), F.lit(salt_blocks))
+    ).alias("a")
+    hb = hot.withColumn(
+        "blk", F.explode(F.array(*[F.lit(i) for i in range(salt_blocks)]))
+    ).alias("b")
+    hot_pairs = ha.join(
+        hb, pair_cond("a", "b") & (F.col("a.blk") == F.col("b.blk"))
+    )
+
+    sel = ["a.doc_id", "a.n_sh", "a.sh", "b.doc_id", "b.n_sh"]
+    names = ["doc_a", "na", "sh", "doc_b", "nb"]
+    both = cold_pairs.select(
+        *[F.col(c).alias(n) for c, n in zip(sel, names)]
+    ).unionByName(
+        hot_pairs.select(*[F.col(c).alias(n) for c, n in zip(sel, names)])
+    )
+    return both.groupBy("doc_a", "doc_b", "na", "nb").agg(
+        F.count("*").alias("shared")
+    )
+
+
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.5, n: int = 3
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    salt_blocks: int | None = None,
+    hot_min: int = 2048,
 ) -> DataFrame:
     """Exact pairwise Jaccard over n-gram shingles, shingle-join pruned.
 
@@ -120,6 +206,7 @@ def ngram_jaccard_pairs(
       ``t*|A| <= |B| <= |A|/t``, pushed into the join condition, so pairs
       whose sizes alone rule out the threshold never reach the aggregation.
 
+    Hot shingles are skew-salted (see :func:`_shared_shingle_counts`).
     Still quadratic in co-shingled documents; at real scale prefer
     :func:`lsh_near_dups`.
     """
@@ -127,22 +214,14 @@ def ngram_jaccard_pairs(
     exploded = sh.select(
         "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("b.n_sh") * F.lit(threshold) <= F.col("a.n_sh"))
-            & (F.col("a.n_sh") * F.lit(threshold) <= F.col("b.n_sh")),
+    shared = _shared_shingle_counts(
+        exploded,
+        extra_cond=lambda a, b: (
+            F.col(f"{b}.n_sh") * F.lit(threshold) <= F.col(f"{a}.n_sh")
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
-        .agg(F.count("*").alias("shared"))
+        & (F.col(f"{a}.n_sh") * F.lit(threshold) <= F.col(f"{b}.n_sh")),
+        salt_blocks=salt_blocks,
+        hot_min=hot_min,
     )
     return (
         shared.withColumn(
@@ -154,7 +233,11 @@ def ngram_jaccard_pairs(
 
 
 def containment_pairs(
-    docs: DataFrame, threshold: float = 0.6, n: int = 3
+    docs: DataFrame,
+    threshold: float = 0.6,
+    n: int = 3,
+    salt_blocks: int | None = None,
+    hot_min: int = 2048,
 ) -> DataFrame:
     """Asymmetric containment near-dup pairs: ``C(A,B) = |A ∩ B| / |A|``
     (Broder's containment).  Catches what symmetric Jaccard structurally
@@ -177,20 +260,8 @@ def containment_pairs(
     exploded = sh.select(
         "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
-        .agg(F.count("*").alias("shared"))
+    shared = _shared_shingle_counts(
+        exploded, salt_blocks=salt_blocks, hot_min=hot_min
     )
     return (
         shared.withColumn("cont_a_in_b", F.col("shared") / F.col("na"))

@@ -36,7 +36,9 @@ EXCHANGE_BUDGETS = {
     "bg_fetch_1d": 11,
     "bg_downsample_dupslots": 9,
     "doc_dedup_minhash_lsh": 14,
-    "doc_containment": 9,
+    # containment's count covers the skew-salted posting join (hot/cold
+    # split + hot-key count over the checkpointed posting relation)
+    "doc_containment": 13,
     "emb_cosine_topk": 9,
     "emb_ann_ivfpq": 11,
     "tpch_q2": 13,

@@ -243,3 +243,36 @@ def test_triangle_salt_identical_results(spark):
     assert plain == salted
     # sanity: the hub fixture actually HAS triangles (closing pairs)
     assert any(t > 0 for _, _, t in plain)
+
+
+def test_salted_posting_join_identical_results(spark):
+    """The skew-salted shared-shingle self-join behind ngram_jaccard_pairs /
+    containment_pairs is result-identical to the direct join, on a corpus
+    where a hot boilerplate shingle engages the salted path AND clone pairs
+    span both paths (hot boilerplate shingles + cold unique shingles), so
+    the per-pair shared-count must sum correctly across the union."""
+    from biggraphite_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = _docs(spark, 0.30)
+    clones = base.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + N_DOCS).alias("doc_id"), "text"
+    )
+    docs = base.unionByName(clones).localCheckpoint()
+    for fn, key in (
+        (ngram_jaccard_pairs, "jaccard"),
+        (containment_pairs, "cont_a_in_b"),
+    ):
+        plain = {
+            (r["doc_a"], r["doc_b"], r[key])
+            for r in fn(docs, 0.5, hot_min=10**9).collect()
+        }
+        salted = {
+            (r["doc_a"], r["doc_b"], r[key])
+            for r in fn(docs, 0.5, salt_blocks=8, hot_min=8).collect()
+        }
+        assert plain == salted
+        # sanity: the clone construction actually produces pairs
+        assert len(plain) >= 50

@@ -150,6 +150,7 @@ def embedding_near_dups(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked.
 
@@ -160,6 +161,21 @@ def embedding_near_dups(
     (``id_a < id_b``).  Recall is tuned by the hyperplane count exactly like
     :func:`ann_lsh_topk`; a multi-table OR-amplified variant is the same plan
     unioned over several hyperplane sets.
+
+    ``collapse_exact`` (default): the pair COSINES are computed once per
+    distinct-vector pair, not once per member pair — the PERF.md finding-37
+    move applied to a pair-emitting operator.  A crawl corpus's exact
+    duplicates (identical vectors) share a bucket by construction, and a
+    member pair's cosine depends only on the two vectors, so within each
+    bucket the rows collapse to a min-id representative per distinct
+    vector, the quadratic cosine stage runs rep x rep, and qualifying rep
+    pairs expand back to member pairs through two cheap id joins (plus the
+    within-group pairs, whose self-cosine is computed once per group).
+    The output relation is IDENTICAL — same pairs, and bit-identical sims
+    because the same expression runs on the same vectors — but the 64-dim
+    fold count drops from sum of member-pair counts to sum of
+    distinct-pair counts (~10,000x fewer on a 100-way-replicated corpus).
+    ``collapse_exact=False`` keeps the direct member-pair join.
     """
     sig = (
         embeddings.select(
@@ -168,21 +184,73 @@ def embedding_near_dups(
         .withColumn("bucket", lsh_bucket_expr(F.col("v"), hyperplanes))
         .withColumn("n", norm_expr(F.col("v")))
     )
-    a = sig.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"), "bucket"
-    )
-    b = sig.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"), "bucket"
-    )
     sim = F.round(
         dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 5
     )
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("sim"))
+    if not collapse_exact:
+        a = sig.select(
+            F.col("id").alias("id_a"), F.col("v").alias("va"),
+            F.col("n").alias("na"), "bucket",
+        )
+        b = sig.select(
+            F.col("id").alias("id_b"), F.col("v").alias("vb"),
+            F.col("n").alias("nb"), "bucket",
+        )
+        return (
+            a.join(b, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", sim.alias("sim"))
+            .filter(F.col("sim") >= threshold)
+        )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket", "v")
+    mem = (
+        sig.withColumn("rid", F.min("id").over(w))
+        .withColumn("m", F.count("*").over(w))
+        .localCheckpoint(eager=True)  # feeds reps + two expansion sides
+    )
+    reps = mem.filter(F.col("id") == F.col("rid")).select("rid", "v", "n", "bucket", "m")
+
+    ra = reps.select(
+        F.col("rid").alias("ra"), F.col("v").alias("va"), F.col("n").alias("na"), "bucket"
+    )
+    rb = reps.select(
+        F.col("rid").alias("rb"), F.col("v").alias("vb"), F.col("n").alias("nb"), "bucket"
+    )
+    cross_reps = (
+        ra.join(rb, "bucket")
+        .filter(F.col("ra") < F.col("rb"))
+        .select("ra", "rb", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+    ma = mem.select(F.col("rid").alias("ra"), F.col("id").alias("ia"))
+    mb = mem.select(F.col("rid").alias("rb"), F.col("id").alias("ib"))
+    cross_pairs = (
+        cross_reps.join(ma, "ra")
+        .join(mb, "rb")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "sim",
+        )
+    )
+    self_sim = F.round(
+        dot_expr(F.col("v"), F.col("v")) / (F.col("n") * F.col("n")), 5
+    )
+    intra_reps = (
+        reps.filter(F.col("m") >= 2)
+        .select("rid", self_sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+    intra_pairs = (
+        intra_reps.join(mem.select("rid", F.col("id").alias("id_a")), "rid")
+        .join(mem.select("rid", F.col("id").alias("id_b")), "rid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim")
+    )
+    return cross_pairs.unionByName(intra_pairs)
 
 
 def centroid_vectors(

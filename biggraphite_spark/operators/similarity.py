@@ -209,7 +209,9 @@ def embedding_near_dups(
     mem = (
         sig.withColumn("rid", F.min("id").over(w))
         .withColumn("m", F.count("*").over(w))
-        .localCheckpoint(eager=True)  # feeds reps + two expansion sides
+        # lazy: materializes once at the caller's first action (feeds reps +
+        # two expansion sides) without running a job at plan-construction time
+        .localCheckpoint(eager=False)
     )
     reps = mem.filter(F.col("id") == F.col("rid")).select("rid", "v", "n", "bucket", "m")
 

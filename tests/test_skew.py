@@ -276,3 +276,55 @@ def test_salted_posting_join_identical_results(spark):
         assert plain == salted
         # sanity: the clone construction actually produces pairs
         assert len(plain) >= 50
+
+
+def test_containment_prefix_pairs_lossless(spark):
+    """The prefix-filtered scale path is BIT-IDENTICAL to the exact posting
+    self-join — across collapse modes (clone-collapse on/off/auto), the
+    skew-salted prefix join, and thresholds that make t*|A| integral (the
+    FP ceiling edge).  The fixture mixes a hot boilerplate shingle, exact
+    clones (exercising the distinct-set collapse + intra-group emission)
+    and a short-doc-inside-long-doc pair (the asymmetric case containment
+    exists for, which Jaccard-length pruning would drop)."""
+    from biggraphite_spark.operators.dedup import (
+        containment_pairs,
+        containment_prefix_pairs,
+    )
+
+    base = _docs(spark, 0.30)
+    clones = base.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + N_DOCS).alias("doc_id"), "text"
+    )
+    # short docs fully contained in their long source: first 8 tokens
+    shorts = base.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 2 * N_DOCS).alias("doc_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, 8), " ").alias("text"),
+    )
+    docs = base.unionByName(clones).unionByName(shorts).localCheckpoint()
+
+    for t in (0.5, 0.75, 1.0):
+        exact = sorted(
+            tuple(r) for r in containment_pairs(docs, t).collect()
+        )
+        assert len(exact) >= 60  # clones + short-in-long pairs both present
+        for kwargs in (
+            {"collapse": True},
+            {"collapse": False},
+            {"collapse": "auto"},
+            {"collapse": True, "salt_blocks": 8, "hot_min": 8},
+            {"collapse": False, "salt_blocks": 8, "hot_min": 8},
+        ):
+            got = sorted(
+                tuple(r)
+                for r in containment_prefix_pairs(docs, t, **kwargs).collect()
+            )
+            assert got == exact, (t, kwargs)
+    # the asymmetric pair class is really in the result: a short doc's
+    # containment in its source is 1.0 while the reverse is far below it
+    asym = [
+        r
+        for r in containment_pairs(docs, 0.75).collect()
+        if r["doc_b"] >= 2 * N_DOCS and r["cont_b_in_a"] == 1.0
+    ]
+    assert len(asym) >= 20
+    assert all(r["cont_a_in_b"] < 0.75 for r in asym)

@@ -150,7 +150,8 @@ def embedding_near_dups(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    collapse_exact: bool = True,
+    collapse_exact: bool | str = "auto",
+    collapse_ratio: float = 0.8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked.
 
@@ -162,7 +163,7 @@ def embedding_near_dups(
     :func:`ann_lsh_topk`; a multi-table OR-amplified variant is the same plan
     unioned over several hyperplane sets.
 
-    ``collapse_exact`` (default): the pair COSINES are computed once per
+    ``collapse_exact``: the pair COSINES are computed once per
     distinct-vector pair, not once per member pair — the PERF.md finding-37
     move applied to a pair-emitting operator.  A crawl corpus's exact
     duplicates (identical vectors) share a bucket by construction, and a
@@ -176,7 +177,24 @@ def embedding_near_dups(
     fold count drops from sum of member-pair counts to sum of
     distinct-pair counts (~10,000x fewer on a 100-way-replicated corpus).
     ``collapse_exact=False`` keeps the direct member-pair join.
+
+    ``collapse_exact="auto"`` (default) decides from the data: one cheap
+    aggregate probes ``approx_count_distinct(hash(vector)) / count`` and
+    collapses only when the ratio is below ``collapse_ratio`` — on a corpus
+    with few exact duplicates (distinct ~= total, the small-scale shape)
+    the rep mapping is pure overhead (measured 2.6x at sf0.1), while on the
+    clone-heavy sf10 shape the collapse is the difference between timeout
+    and ~6 s.  Either path emits the IDENTICAL relation, so the choice is
+    physical only.
     """
+    if collapse_exact == "auto":
+        probe = embeddings.agg(
+            F.count("*").alias("total"),
+            F.approx_count_distinct(F.xxhash64(F.col(vec_col))).alias("distinct"),
+        ).collect()[0]
+        collapse_exact = (
+            probe.total > 0 and probe.distinct / probe.total < collapse_ratio
+        )
     sig = (
         embeddings.select(
             F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v")

@@ -317,10 +317,40 @@ def test_embedding_neardup_collapse_matches_direct_join(spark):
                 df, hp, threshold=0.98, collapse_exact=mode
             ).collect()
         )
-        for mode in (True, False)
+        for mode in (True, False, "auto")
     }
-    assert got[True] == got[False]
+    # the clone-replicated fixture (8x multiplicity) must trip the auto
+    # probe into the collapse path AND all three modes must agree
+    assert got[True] == got[False] == got["auto"]
     # sanity: the fixture really exercises both pair kinds
     pairs = {(a, b) for a, b, _ in got[True]}
     assert any(a < 100 and b < 100 for a, b in pairs)      # within-group
     assert any(b >= 500 for _, b in pairs)                 # cross-group
+
+
+def test_embedding_neardup_auto_probe_skips_collapse_on_diverse_corpus(spark):
+    """collapse_exact='auto' on an all-distinct corpus must pick the direct
+    join (no rep machinery) and still emit the same relation as both forced
+    modes — the adaptive gate is physical only."""
+    import random
+
+    from biggraphite_spark.operators.similarity import embedding_near_dups
+
+    rng = random.Random(42)
+    base = [[rng.uniform(-1, 1) for _ in range(6)] for _ in range(40)]
+    rows = [(i, base[i]) for i in range(40)] + [
+        (100 + i, [v * 1.00005 for v in base[i]]) for i in range(10)
+    ]
+    df = _emb(spark, rows)
+    hp = [[rng.uniform(-1, 1) for _ in range(6)] for _ in range(3)]
+    got = {
+        mode: sorted(
+            (r["id_a"], r["id_b"], r["sim"])
+            for r in embedding_near_dups(
+                df, hp, threshold=0.98, collapse_exact=mode
+            ).collect()
+        )
+        for mode in (True, False, "auto")
+    }
+    assert got[True] == got[False] == got["auto"]
+    assert len(got["auto"]) >= 10

@@ -53,20 +53,38 @@ DATA_START = 1704067200  # 2024-01-01 00:00:00 UTC
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
+#: name -> {"max_sf": float, "reason": str}: queries that are
+#: quadratic-BY-DESIGN exact baselines, adjudicated not-to-run above a
+#: scale.  bench.py reads this and records a skipped-with-reason entry
+#: instead of a timeout/disk error; the schema is pinned by
+#: tests/test_scale_domains.py.  Every entry names its production sibling.
+_SCALE_DOMAINS: dict[str, dict] = {}
 
 
-def _register(name: str, oracle=None):
+def _register(name: str, oracle=None, scale_domain: dict | None = None):
     """Register a contract query; ``oracle`` is either an ANSI-SQL string or
     a zero-arg callable returning one (for python-twin literal oracles that
-    are computed lazily — see oracle_twins.py)."""
+    are computed lazily — see oracle_twins.py).  ``scale_domain`` tags a
+    deliberately-bounded baseline with the largest sf it should be measured
+    at and the reason (including its production sibling)."""
 
     def deco(fn):
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle
+        if scale_domain is not None:
+            _SCALE_DOMAINS[name] = scale_domain
         return fn
 
     return deco
+
+
+def scale_domains() -> dict[str, dict]:
+    """Machine-readable scale adjudications for bench.py: which registered
+    queries are exact quadratic baselines that must not be measured above
+    ``max_sf``, and why (each reason names the production sibling that IS
+    measured at every scale)."""
+    return dict(_SCALE_DOMAINS)
 
 
 def _twin(fn_name: str):
@@ -2508,7 +2526,16 @@ WHERE shared * 1.0 / (da.n + db.n - shared) >= 0.5
 """
 
 
-@_register("doc_dedup_ngram", _NGRAM_ORACLE)
+@_register(
+    "doc_dedup_ngram",
+    _NGRAM_ORACLE,
+    scale_domain={
+        "max_sf": 1,
+        "reason": "exact all-pairs n-gram Jaccard baseline (pair surface "
+        "sum(df^2)); production sibling doc_dedup_minhash_lsh runs at "
+        "every scale",
+    },
+)
 def doc_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs, shingle-join pruned (the exact
     baseline the LSH path approximates)."""
@@ -2606,7 +2633,16 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(docs, words)
 
 
-@_register("doc_containment", _CONTAINMENT_ORACLE)
+@_register(
+    "doc_containment",
+    _CONTAINMENT_ORACLE,
+    scale_domain={
+        "max_sf": 1,
+        "reason": "exact posting self-join without a sound size prune; "
+        "production sibling doc_containment_prefix emits the identical "
+        "relation at every scale",
+    },
+)
 def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup (Broder): catches a short document
     pasted inside a long one, which symmetric Jaccard scores near zero —
@@ -5243,7 +5279,16 @@ FROM c
 """
 
 
-@_register("doc_lsh_recall", _LSH_RECALL_ORACLE)
+@_register(
+    "doc_lsh_recall",
+    _LSH_RECALL_ORACLE,
+    scale_domain={
+        "max_sf": 1,
+        "reason": "contains the exact quadratic Jaccard baseline by "
+        "definition (recall denominator); recall is measured at "
+        "sf0.01/sf0.1/sf1",
+    },
+)
 def doc_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality evaluation of the LSH scale path against its exact baseline:
     recall/precision of MinHash(16)+LSH(4x4)-verified pairs vs exact
@@ -5414,7 +5459,16 @@ def doc_simhash_pairs64(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("doc_simhash_pairs", _SIMHASH_PAIRS_ORACLE)
+@_register(
+    "doc_simhash_pairs",
+    _SIMHASH_PAIRS_ORACLE,
+    scale_domain={
+        "max_sf": 1,
+        "reason": "16-bit SATURATION contract: the hash space itself "
+        "saturates (~4.7B pairs at sf10); production sibling "
+        "doc_simhash_pairs64 runs at every scale",
+    },
+)
 def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup PAIRS (Manku et al. 2007): hamming <= 1 over the
     16-bit simhash, candidates from a band-blocked equi-self-join (2 slices

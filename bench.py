@@ -112,6 +112,109 @@ def _fresh_jvm(spark, entrymod):
     return spark
 
 
+def _scratch_dirs(spark) -> list[str]:
+    """This app's disk-spill roots (shuffle files, spilled sorts, cached
+    blocks): the DiskBlockManager's local dirs.  Falls back to globbing the
+    tmpdir's blockmgr-* should the JVM accessor move."""
+    try:
+        dirs = (
+            spark._jvm.org.apache.spark.SparkEnv.get()
+            .blockManager()
+            .diskBlockManager()
+            .localDirs()
+        )
+        return [str(d.getAbsolutePath()) for d in dirs]
+    except Exception:
+        import glob
+        import tempfile
+
+        return glob.glob(os.path.join(tempfile.gettempdir(), "blockmgr-*"))
+
+
+def _dir_bytes(paths: list[str]) -> int:
+    total = 0
+    for p in paths:
+        for root, _dirs, files in os.walk(p, onerror=lambda _e: None):
+            for f in files:
+                try:
+                    total += os.stat(os.path.join(root, f)).st_size
+                except OSError:
+                    pass
+    return total
+
+
+def run_guarded(
+    spark,
+    action,
+    timeout_s: float = 0.0,
+    spill_limit_bytes: int = 0,
+    poll_s: float = 2.0,
+):
+    """Run ``action()`` (a Spark action) under a polling watchdog that
+    cancels all jobs when EITHER bound is breached:
+
+    - ``timeout_s``: wall-clock ceiling (0 = off);
+    - ``spill_limit_bytes``: growth of this app's scratch dirs (shuffle/
+      spill files) beyond their size at entry (0 = off) — motivated by the
+      sf10 run where one quadratic baseline filled the box's disk and took
+      the remaining queries down with it; a bounded query now fails fast
+      with a NAMED reason while the suite keeps going.
+
+    Returns ``(elapsed_s, breach_reason_or_None, exception_or_None)``.
+    Scope: cancelAllJobs interrupts EXECUTOR work only — driver-side stalls
+    (analysis/optimizer time, Python-side iteration between jobs) are not
+    interruptible from another thread, so a query stuck before job
+    submission runs to its natural end and the guard fires at the next job
+    boundary.  When a breach and a genuine failure coincide, both are
+    reported: the breach as the headline, the original exception alongside.
+    """
+    import threading
+
+    t0 = time.time()
+    breach: list[str] = []
+    done = threading.Event()
+    sc = spark.sparkContext
+    scratch = _scratch_dirs(spark) if spill_limit_bytes else []
+    base_bytes = _dir_bytes(scratch) if spill_limit_bytes else 0
+
+    def _watch() -> None:
+        while not done.wait(poll_s):
+            elapsed = time.time() - t0
+            if timeout_s > 0 and elapsed > timeout_s:
+                breach.append(
+                    f"timeout>{timeout_s:g}s (cancelled after {elapsed:.1f}s)"
+                )
+            elif spill_limit_bytes > 0:
+                grown = _dir_bytes(scratch) - base_bytes
+                if grown > spill_limit_bytes:
+                    breach.append(
+                        f"spill>{spill_limit_bytes / 1e9:g}GB "
+                        f"(scratch grew {grown / 1e9:.1f}GB "
+                        f"after {elapsed:.1f}s)"
+                    )
+            if breach:
+                try:
+                    sc.cancelAllJobs()
+                except Exception:
+                    pass
+                return
+
+    watcher = None
+    if timeout_s > 0 or spill_limit_bytes > 0:
+        watcher = threading.Thread(target=_watch, daemon=True)
+        watcher.start()
+    exc = None
+    try:
+        action()
+    except Exception as e:  # noqa: BLE001 — reported, not swallowed
+        exc = e
+    finally:
+        done.set()
+        if watcher is not None:
+            watcher.join(timeout=poll_s + 1)
+    return time.time() - t0, (breach[0] if breach else None), exc
+
+
 def build_record(
     samples: dict[str, list[float]],
     errors: dict[str, str],
@@ -120,6 +223,7 @@ def build_record(
     sf_dir: str,
     passes: int,
     partial: bool,
+    skipped: dict[str, str] | None = None,
 ) -> dict:
     """Assemble the one-line JSON record with the SUMMARY FIELDS FIRST:
     the driver's round-7 record lost its tail (total + loadavg fields)
@@ -155,6 +259,10 @@ def build_record(
     out.update(mat)
     if errors:
         out["errors"] = errors
+    if skipped:
+        # scale-domain adjudications (see __spark_entry__.scale_domains):
+        # a skipped-with-reason entry, not a timeout/disk error
+        out["skipped"] = skipped
     if partial:
         out["partial"] = True
     out["queries"] = timings
@@ -183,16 +291,35 @@ def main() -> None:
     _warm_up(spark)
     mat = _materialize(spark, entrymod)
 
+    # RECORD hygiene: a record taken on a loaded box measures the box, not
+    # the tree (the r8 sf0.1 record at loadavg 10.7 cost an adjudication).
+    # Warn-and-annotate, never block — the driver's own runs must not fail
+    # on a busy host, but the record should say so about itself.
+    loadavg_max = float(os.environ.get("SPARK_GRAFT_LOADAVG_MAX", "4"))
+    try:
+        start_load = os.getloadavg()[0]
+    except OSError:
+        start_load = 0.0
+    if loadavg_max > 0 and start_load > loadavg_max:
+        warning = (
+            f"start loadavg {start_load:.1f} > gate {loadavg_max:g}; "
+            "timings may include box contention"
+        )
+        print(f"bench: WARNING {warning}", file=sys.stderr)
+        mat = {**mat, "loadavg_warning": warning}
+
     # One broken query must NOT zero the whole bench (round-2 failure mode:
     # a single AnalysisException aborted the run with rc=1 and no timings).
     # Record the error per-query and keep measuring.
     samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    skipped: dict[str, str] = {}
     chunk_loadavg: list[float] = []
 
     def emit(partial: bool) -> None:
         out = build_record(
-            samples, errors, chunk_loadavg, mat, SF_DIR, passes, partial
+            samples, errors, chunk_loadavg, mat, SF_DIR, passes, partial,
+            skipped=skipped,
         )
         print(json.dumps(out), flush=True)
 
@@ -207,48 +334,42 @@ def main() -> None:
 
     signal.signal(signal.SIGTERM, on_term)
 
-    # SPARK_GRAFT_QUERY_TIMEOUT=N (seconds, 0=off) bounds any single
-    # query: a watchdog cancels all jobs at the deadline and the entry is
-    # recorded as a timeout error instead of stalling the whole registry.
-    # Motivated by the sf10 run, where the quadratic-by-design exact
-    # baselines (doc_dedup_ngram / doc_containment / doc_lsh_recall) spill
-    # past local disk — at 100 TB those run on a cluster's shuffle tier or
-    # not at all; here they must not take the other 162 queries down.
-    import threading
-
+    # SPARK_GRAFT_QUERY_TIMEOUT=N seconds and SPARK_GRAFT_SPILL_LIMIT_GB=G
+    # (0=off) bound any single query's EXECUTOR work: a polling watchdog
+    # (run_guarded) cancels all jobs at either ceiling and the entry is
+    # recorded as a named error instead of stalling the registry or filling
+    # the box's disk (the sf10 failure mode: one quadratic baseline spilled
+    # >78 GB and took the remaining queries down).  Driver-side stalls are
+    # out of the watchdog's reach — see run_guarded's docstring.
     query_timeout = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "0"))
+    spill_limit = int(
+        float(os.environ.get("SPARK_GRAFT_SPILL_LIMIT_GB", "0")) * 1e9
+    )
 
     def run_once(name, fn) -> None:
-        t0 = time.time()
-        timed_out: list[bool] = []
-        timer = None
-        if query_timeout > 0:
-            sc = spark.sparkContext
-
-            def _cancel() -> None:
-                timed_out.append(True)
-                try:
-                    sc.cancelAllJobs()
-                except Exception:
-                    pass
-
-            timer = threading.Timer(query_timeout, _cancel)
-            timer.daemon = True
-            timer.start()
-        try:
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            samples.setdefault(name, []).append(round(time.time() - t0, 3))
-        except Exception as e:
-            if timed_out:
-                errors[name] = (
-                    f"timeout>{query_timeout:g}s "
-                    f"(cancelled after {round(time.time() - t0, 1)}s)"
-                )
-            else:
-                errors[name] = f"{type(e).__name__}: {e}"[:300]
-        finally:
-            if timer is not None:
-                timer.cancel()
+        elapsed, breach, exc = run_guarded(
+            spark,
+            lambda: fn(spark, SF_DIR)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+            timeout_s=query_timeout,
+            spill_limit_bytes=spill_limit,
+        )
+        if exc is None and breach is None:
+            samples.setdefault(name, []).append(round(elapsed, 3))
+        elif exc is None:
+            # breach fired in the race window after the action finished:
+            # the success and its timing are genuine — record them (the
+            # stray cancelAllJobs is joined before run_guarded returns, so
+            # it cannot touch the next query's jobs)
+            samples.setdefault(name, []).append(round(elapsed, 3))
+        elif breach is not None:
+            # both the breach and the original exception, so a coinciding
+            # real failure is never misattributed as only a timeout
+            errors[name] = f"{breach} (original: {type(exc).__name__}: {exc})"[:300]
+        else:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
         # queries cache intermediates for their own branch fan-out; drop them
         # so every measurement stays cold and later queries don't inherit
         # heap pressure from earlier ones
@@ -269,6 +390,24 @@ def main() -> None:
     items = [
         (n, f) for n, f in entrymod.queries().items() if not only or n in only
     ]
+
+    # scale-domain adjudications: quadratic-by-design exact baselines are
+    # SKIPPED (with their registered reason) above their max_sf instead of
+    # dying as timeout/disk errors; SPARK_GRAFT_IGNORE_SCALE_DOMAINS=1
+    # forces them to run anyway (A/B and saturation measurements).
+    sf_str = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf_str)
+    except ValueError:
+        sf_val = 0.0
+    if not os.environ.get("SPARK_GRAFT_IGNORE_SCALE_DOMAINS"):
+        domains = getattr(entrymod, "scale_domains", dict)()
+        for n, dom in domains.items():
+            if sf_val > dom["max_sf"]:
+                skipped[n] = (
+                    f"scale_domain max_sf={dom['max_sf']:g}: {dom['reason']}"
+                )
+        items = [(n, f) for n, f in items if n not in skipped]
     step = restart_every if restart_every else len(items) or 1
     for ci in range(0, len(items), step):
         if ci:

@@ -2532,7 +2532,8 @@ WHERE shared * 1.0 / (da.n + db.n - shared) >= 0.5
     scale_domain={
         "max_sf": 1,
         "reason": "exact all-pairs n-gram Jaccard baseline (pair surface "
-        "sum(df^2)); production sibling doc_dedup_minhash_lsh runs at "
+        "sum(df^2)); production siblings doc_dedup_minhash_lsh "
+        "(approximate) and doc_dedup_ngram_prefix (lossless) run at "
         "every scale",
     },
 )
@@ -2543,6 +2544,24 @@ def doc_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biggraphite_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(_load_parallel(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@_register("doc_dedup_ngram_prefix", _NGRAM_ORACLE)
+def doc_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS scale path for exact n-gram Jaccard: distinct-set collapse
+    + df-ordered prefix filtering + Jaccard size prune, exact verify on
+    candidates only.  Shares the exact operator's oracle, so the
+    value-hash match proves nothing is dropped — where doc_dedup_minhash_lsh
+    is the *approximate* sibling (banding loses threshold-straddling
+    pairs, doc_lsh_recall measures how many), this one loses none and
+    still runs at every scale (the quadratic core is bounded by distinct
+    shingle sets and prefix-df instead of sum(df^2))."""
+    _utc(spark)
+    from biggraphite_spark.operators.dedup import jaccard_prefix_pairs
+
+    return jaccard_prefix_pairs(
+        _load_parallel(spark, sf_dir, "documents"), threshold=0.5
+    )
 
 
 _CONTAINMENT_ORACLE = f"""

@@ -278,6 +278,158 @@ def containment_pairs(
     )
 
 
+def _collapsed_sets(
+    docs: DataFrame, n: int, collapse: bool | str, collapse_ratio: float
+):
+    """Distinct-shingle-set collapse shared by the prefix-filtered pair
+    operators (the finding-37 move on the shingle relation): docs with
+    identical sets collapse to a min-id representative so the quadratic
+    candidate/verify stages run rep x rep.  ``collapse="auto"`` probes
+    ``approx_count_distinct(set hash) / count`` in one cheap pass and
+    collapses only below ``collapse_ratio``.  Returns ``(sh, members,
+    collapsed)`` where ``sh`` is the cached (doc_id, shingles, m) relation
+    the pair stages read (reps only when collapsed) and ``members`` maps
+    every doc to its representative (None when not collapsed)."""
+    from pyspark.sql import Window
+
+    sets = with_shingles(docs, n=n).select(
+        "doc_id", F.array_sort("shingles").alias("shingles")
+    )
+    if collapse == "auto":
+        probe = sets.agg(
+            F.count("*").alias("total"),
+            F.approx_count_distinct(
+                F.md5(F.array_join("shingles", "\x1f"))
+            ).alias("distinct"),
+        ).collect()[0]
+        collapse = probe.total > 0 and probe.distinct / probe.total < collapse_ratio
+
+    members = None
+    if collapse:
+        # members: every doc tagged with its set's min-id representative;
+        # lazy checkpoint — feeds the rep relation and both expansion sides
+        w = Window.partitionBy(F.md5(F.array_join("shingles", "\x1f")))
+        members = (
+            sets.withColumn("rid", F.min("doc_id").over(w))
+            .withColumn("m", F.count("*").over(w))
+            .localCheckpoint(eager=False)
+        )
+        sh = members.filter(F.col("doc_id") == F.col("rid")).select(
+            "doc_id", "shingles", "m"
+        )
+    else:
+        sh = sets.withColumn("m", F.lit(1))
+    return sh.cache(), members, collapse
+
+
+def _prefix_filtered_candidates(
+    sh: DataFrame,
+    threshold: float,
+    salt_blocks: int | None,
+    hot_min: int,
+    extra_cond=None,
+) -> DataFrame:
+    """DF-ordered prefix-filtered candidate pairs (AllPairs/PPJoin prefix
+    principle, Chaudhuri et al. 2006) over a (doc_id, shingles) relation.
+
+    Fix one global shingle order — ascending document frequency, ties by
+    shingle text.  Any pair whose qualifying relation implies
+    ``shared >= ceil(t * |A|)`` with A the smaller side (true for both
+    Broder containment at t and Jaccard at t, since a Jaccard-qualifying
+    pair shares ``>= t*max >= t*min``) must share at least one of A's first
+    ``|A| - ceil(t*|A|) + 1`` shingles in the global order (its PREFIX, its
+    rarest shingles).  Candidate volume is ``sum over prefix shingles of
+    df(g)`` instead of the exact self-join's ``sum over all shingles of
+    df(g)^2``, and rare-first ordering keeps boilerplate shingles (which
+    sort LAST) out of prefixes.  ``extra_cond(a, b)`` adds an
+    exact-preserving prune to the join condition (e.g. the Jaccard size
+    filter); residual hot prefix keys reuse the posting-join salt algebra
+    of :func:`_shared_shingle_counts`.  Output: distinct (doc_a < doc_b)
+    candidate pairs; every qualifying pair is present (the prune is
+    lossless), a false candidate costs the caller one verify.
+    """
+    from pyspark.sql import Window
+
+    sess = sh.sparkSession
+    if salt_blocks is None:
+        salt_blocks = max(2, sess.sparkContext.defaultParallelism)
+
+    exploded = (
+        sh.select(
+            "doc_id", F.size("shingles").alias("n_sh"),
+            F.explode("shingles").alias("sh"),
+        )
+        # feeds the df count, the full-side index (twice: hot/cold) and the
+        # prefix build — lazy checkpoint materializes it once at first action
+        .localCheckpoint(eager=False)
+    )
+    dfc = exploded.groupBy("sh").agg(F.count("*").alias("df"))
+
+    # per-doc global-order position; the 1e-9 slack keeps FP rounding of
+    # t*n_sh from overshooting the true integer ceiling (an undershoot only
+    # lengthens the prefix — still exact; an overshoot would lose pairs)
+    pos = F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "sh"))
+    required = F.greatest(
+        F.lit(1), F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+    )
+    prefix = (
+        exploded.join(dfc, "sh")
+        .withColumn("pos", pos)
+        .filter(F.col("pos") <= F.col("n_sh") - required + 1)
+        .select("doc_id", "n_sh", "sh")
+    )
+
+    # smaller side carries the prefix; ties broken by id so each unordered
+    # pair is generated from exactly one orientation
+    def pair_cond(a: str, b: str) -> Column:
+        cond = (F.col(f"{a}.sh") == F.col(f"{b}.sh")) & (
+            (F.col(f"{a}.n_sh") < F.col(f"{b}.n_sh"))
+            | (
+                (F.col(f"{a}.n_sh") == F.col(f"{b}.n_sh"))
+                & (F.col(f"{a}.doc_id") < F.col(f"{b}.doc_id"))
+            )
+        )
+        if extra_cond is not None:
+            cond = cond & extra_cond(a, b)
+        return cond
+
+    hot_keys = dfc.filter(F.col("df") >= hot_min).select("sh")
+    cold_cand = (
+        prefix.join(F.broadcast(hot_keys), "sh", "left_anti")
+        .alias("a")
+        .join(
+            exploded.join(F.broadcast(hot_keys), "sh", "left_anti").alias("b"),
+            pair_cond("a", "b"),
+        )
+    )
+    hot_a = (
+        prefix.join(F.broadcast(hot_keys), "sh", "left_semi")
+        .withColumn(
+            "blk", F.pmod(F.crc32(F.col("doc_id").cast("string")), F.lit(salt_blocks))
+        )
+        .alias("a")
+    )
+    hot_b = (
+        exploded.join(F.broadcast(hot_keys), "sh", "left_semi")
+        .withColumn("blk", F.explode(F.array(*[F.lit(i) for i in range(salt_blocks)])))
+        .alias("b")
+    )
+    hot_cand = hot_a.join(
+        hot_b, pair_cond("a", "b") & (F.col("a.blk") == F.col("b.blk"))
+    )
+    pair_ids = (
+        F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+        F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+    )
+    return (
+        cold_cand.select(*pair_ids)
+        .unionByName(hot_cand.select(*pair_ids))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+
+
 def containment_prefix_pairs(
     docs: DataFrame,
     threshold: float = 0.6,
@@ -339,111 +491,8 @@ def containment_prefix_pairs(
     and verify join on reps only, then two member-expansion joins bounded
     by the OUTPUT relation — nothing quadratic in corpus size survives.
     """
-    from pyspark.sql import Window
-
-    sess = docs.sparkSession
-    if salt_blocks is None:
-        salt_blocks = max(2, sess.sparkContext.defaultParallelism)
-
-    sets = with_shingles(docs, n=n).select(
-        "doc_id", F.array_sort("shingles").alias("shingles")
-    )
-    if collapse == "auto":
-        probe = sets.agg(
-            F.count("*").alias("total"),
-            F.approx_count_distinct(
-                F.md5(F.array_join("shingles", "\x1f"))
-            ).alias("distinct"),
-        ).collect()[0]
-        collapse = probe.total > 0 and probe.distinct / probe.total < collapse_ratio
-
-    if collapse:
-        # members: every doc tagged with its set's min-id representative;
-        # lazy checkpoint — feeds the rep relation and both expansion sides
-        w = Window.partitionBy(F.md5(F.array_join("shingles", "\x1f")))
-        members = (
-            sets.withColumn("rid", F.min("doc_id").over(w))
-            .withColumn("m", F.count("*").over(w))
-            .localCheckpoint(eager=False)
-        )
-        sh = members.filter(F.col("doc_id") == F.col("rid")).select(
-            "doc_id", "shingles", "m"
-        )
-    else:
-        sh = sets.withColumn("m", F.lit(1))
-    sh = sh.cache()
-
-    exploded = (
-        sh.select(
-            "doc_id", F.size("shingles").alias("n_sh"),
-            F.explode("shingles").alias("sh"),
-        )
-        # feeds the df count, the full-side index (twice: hot/cold) and the
-        # prefix build — lazy checkpoint materializes it once at first action
-        .localCheckpoint(eager=False)
-    )
-    dfc = exploded.groupBy("sh").agg(F.count("*").alias("df"))
-
-    # per-doc global-order position; the 1e-9 slack keeps FP rounding of
-    # t*n_sh from overshooting the true integer ceiling (an undershoot only
-    # lengthens the prefix — still exact; an overshoot would lose pairs)
-    pos = F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "sh"))
-    required = F.greatest(
-        F.lit(1), F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
-    )
-    prefix = (
-        exploded.join(dfc, "sh")
-        .withColumn("pos", pos)
-        .filter(F.col("pos") <= F.col("n_sh") - required + 1)
-        .select("doc_id", "n_sh", "sh")
-    )
-
-    # smaller side carries the prefix; ties broken by id so each unordered
-    # pair is generated from exactly one orientation
-    def shorter(a: str, b: str) -> Column:
-        return (F.col(f"{a}.n_sh") < F.col(f"{b}.n_sh")) | (
-            (F.col(f"{a}.n_sh") == F.col(f"{b}.n_sh"))
-            & (F.col(f"{a}.doc_id") < F.col(f"{b}.doc_id"))
-        )
-
-    hot_keys = dfc.filter(F.col("df") >= hot_min).select("sh")
-    cold_cand = (
-        prefix.join(F.broadcast(hot_keys), "sh", "left_anti")
-        .alias("a")
-        .join(
-            exploded.join(F.broadcast(hot_keys), "sh", "left_anti").alias("b"),
-            (F.col("a.sh") == F.col("b.sh")) & shorter("a", "b"),
-        )
-    )
-    hot_a = (
-        prefix.join(F.broadcast(hot_keys), "sh", "left_semi")
-        .withColumn(
-            "blk", F.pmod(F.crc32(F.col("doc_id").cast("string")), F.lit(salt_blocks))
-        )
-        .alias("a")
-    )
-    hot_b = (
-        exploded.join(F.broadcast(hot_keys), "sh", "left_semi")
-        .withColumn("blk", F.explode(F.array(*[F.lit(i) for i in range(salt_blocks)])))
-        .alias("b")
-    )
-    hot_cand = hot_a.join(
-        hot_b,
-        (F.col("a.sh") == F.col("b.sh"))
-        & (F.col("a.blk") == F.col("b.blk"))
-        & shorter("a", "b"),
-    )
-    pair_ids = (
-        F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
-        F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
-    )
-    cands = (
-        cold_cand.select(*pair_ids)
-        .unionByName(hot_cand.select(*pair_ids))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.lit(1).alias("_one"))
-        .drop("_one")
-    )
+    sh, members, collapse = _collapsed_sets(docs, n, collapse, collapse_ratio)
+    cands = _prefix_filtered_candidates(sh, threshold, salt_blocks, hot_min)
 
     verified = cands.join(
         sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")),
@@ -511,6 +560,98 @@ def containment_prefix_pairs(
         F.round("cont_a_in_b", 6).alias("cont_a_in_b"),
         F.round("cont_b_in_a", 6).alias("cont_b_in_a"),
     )
+
+
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    salt_blocks: int | None = None,
+    hot_min: int = 2048,
+    collapse: bool | str = "auto",
+    collapse_ratio: float = 0.8,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs via set collapse + prefix filtering — the
+    lossless scale sibling of :func:`ngram_jaccard_pairs` (where
+    :func:`lsh_near_dups` is the *approximate* one: banding loses
+    threshold-straddling pairs, this loses none).  Bit-identical output,
+    pinned by sharing the exact operator's DuckDB oracle.
+
+    Same machinery as :func:`containment_prefix_pairs`
+    (:func:`_collapsed_sets` + :func:`_prefix_filtered_candidates` — the
+    prefix rule is valid for Jaccard because ``J >= t`` implies
+    ``shared >= t*max(|A|,|B|) >= t*min``), plus the Jaccard-only
+    exact-preserving size prune pushed into the candidate join:
+    ``J >= t`` implies ``t*|B| <= |A| <= |B|/t``, so with A the smaller
+    side only ``|A| >= t*|B|`` pairs are generated — the asymmetric pairs
+    containment exists for are PRECISELY the ones this prune removes,
+    which is why the two operators stay separate.  Identical sets have
+    Jaccard exactly 1.0, so within-group member pairs are emitted directly
+    after the rep stage.
+    """
+    sh, members, collapse = _collapsed_sets(docs, n, collapse, collapse_ratio)
+    cands = _prefix_filtered_candidates(
+        sh,
+        threshold,
+        salt_blocks,
+        hot_min,
+        # a is the smaller side by pair_cond construction: J >= t needs
+        # |A| >= t*|B|
+        extra_cond=lambda a, b: (
+            F.col(f"{a}.n_sh") >= F.lit(threshold) * F.col(f"{b}.n_sh")
+        ),
+    )
+
+    verified = cands.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")),
+        "doc_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    rep_pairs = (
+        verified.withColumn(
+            "jaccard", inter / (F.size("sa") + F.size("sb") - inter)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    if not collapse:
+        return rep_pairs.select(
+            "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+        )
+
+    # expansion: Jaccard is symmetric, so member pairs inherit the rep
+    # pair's value regardless of id orientation
+    ma = members.select(F.col("rid").alias("doc_a"), F.col("doc_id").alias("ia"))
+    mb = members.select(F.col("rid").alias("doc_b"), F.col("doc_id").alias("ib"))
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    out = cross
+    if threshold <= 1.0:
+        # identical sets: Jaccard is exactly 1.0
+        intra = (
+            sh.filter(F.col("m") >= 2)
+            .select(F.col("doc_id").alias("rid"))
+            .join(members.select("rid", F.col("doc_id").alias("ia")), "rid")
+            .join(members.select("rid", F.col("doc_id").alias("ib")), "rid")
+            .filter(F.col("ia") < F.col("ib"))
+            .select(
+                F.col("ia").alias("doc_a"),
+                F.col("ib").alias("doc_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        out = out.unionByName(intra)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def minhash_signatures(docs: DataFrame, k: int = DEFAULT_K, n: int = 3) -> DataFrame:

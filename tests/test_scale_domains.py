@@ -37,13 +37,14 @@ def test_scale_domain_schema_and_membership():
     # every tagged baseline's sibling claim is live: the named sibling in
     # the reason text must itself be a registered, untagged query
     siblings = {
-        "doc_dedup_ngram": "doc_dedup_minhash_lsh",
-        "doc_containment": "doc_containment_prefix",
-        "doc_simhash_pairs": "doc_simhash_pairs64",
+        "doc_dedup_ngram": ("doc_dedup_minhash_lsh", "doc_dedup_ngram_prefix"),
+        "doc_containment": ("doc_containment_prefix",),
+        "doc_simhash_pairs": ("doc_simhash_pairs64",),
     }
-    for name, sib in siblings.items():
-        assert sib in domains[name]["reason"]
-        assert sib in registered and sib not in domains
+    for name, sibs in siblings.items():
+        for sib in sibs:
+            assert sib in domains[name]["reason"]
+            assert sib in registered and sib not in domains
 
 
 def test_bench_record_carries_skipped_map():

@@ -328,3 +328,35 @@ def test_containment_prefix_pairs_lossless(spark):
     ]
     assert len(asym) >= 20
     assert all(r["cont_a_in_b"] < 0.75 for r in asym)
+
+
+def test_jaccard_prefix_pairs_lossless(spark):
+    """The prefix-filtered exact-Jaccard scale path is bit-identical to the
+    all-pairs posting self-join, across collapse modes and the salted
+    join, including exact clones (intra-group Jaccard exactly 1.0)."""
+    from biggraphite_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = _docs(spark, 0.30)
+    clones = base.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + N_DOCS).alias("doc_id"), "text"
+    )
+    docs = base.unionByName(clones).localCheckpoint()
+
+    for t in (0.5, 1.0):
+        exact = sorted(
+            tuple(r) for r in ngram_jaccard_pairs(docs, t).collect()
+        )
+        assert len(exact) >= 40  # the clone pairs are all J = 1.0
+        for kwargs in (
+            {"collapse": True},
+            {"collapse": False},
+            {"collapse": True, "salt_blocks": 8, "hot_min": 8},
+        ):
+            got = sorted(
+                tuple(r)
+                for r in jaccard_prefix_pairs(docs, t, **kwargs).collect()
+            )
+            assert got == exact, (t, kwargs)

@@ -2702,7 +2702,17 @@ FROM c
 """
 
 
-@_register("doc_containment_recall", _CONTAINMENT_RECALL_ORACLE)
+@_register(
+    "doc_containment_recall",
+    _CONTAINMENT_RECALL_ORACLE,
+    scale_domain={
+        "max_sf": 1,
+        "reason": "contains the exact quadratic containment baseline by "
+        "definition (recall denominator); losslessness is additionally "
+        "pinned at every scale by doc_containment_prefix sharing the "
+        "exact oracle",
+    },
+)
 def doc_containment_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall/precision contract of the prefix-filtered containment path
     against the exact baseline (the doc_lsh_recall pattern).  Both engines

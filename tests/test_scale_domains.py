@@ -27,10 +27,13 @@ def test_scale_domain_schema_and_membership():
         assert set(dom) == {"max_sf", "reason"}, (name, dom)
         assert isinstance(dom["max_sf"], (int, float)) and dom["max_sf"] > 0
         assert isinstance(dom["reason"], str) and len(dom["reason"]) >= 20
-    # the round-8 adjudicated set, exactly: new tags need a new disposition
+    # the adjudicated set, exactly: new tags need a new disposition (the
+    # round-8 four + round-9's doc_containment_recall, which embeds the
+    # exact containment baseline as its recall denominator)
     assert set(domains) == {
         "doc_dedup_ngram",
         "doc_containment",
+        "doc_containment_recall",
         "doc_lsh_recall",
         "doc_simhash_pairs",
     }

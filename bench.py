@@ -170,12 +170,15 @@ def run_guarded(
     """
     import threading
 
-    t0 = time.time()
     breach: list[str] = []
     done = threading.Event()
     sc = spark.sparkContext
     scratch = _scratch_dirs(spark) if spill_limit_bytes else []
     base_bytes = _dir_bytes(scratch) if spill_limit_bytes else 0
+    # clock starts AFTER the baseline scratch walk: that walk is guard
+    # bookkeeping, not query work, and on a file-heavy scratch dir it is
+    # big enough to contaminate sub-second timings
+    t0 = time.time()
 
     def _watch() -> None:
         while not done.wait(poll_s):

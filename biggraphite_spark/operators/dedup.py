@@ -1355,6 +1355,8 @@ def lsh_edit_verify(
     n: int = 3,
     text_col: str = "text",
     method: str = "arrow",
+    collapse: bool | str = "auto",
+    collapse_ratio: float = 0.8,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with TRUE EDIT DISTANCE instead of
     Jaccard: levenshtein runs only on the banded candidate pairs, so the
@@ -1367,15 +1369,51 @@ def lsh_edit_verify(
     is rounded on the documented lattice.  ``method`` picks the signature
     builder like every other LSH entry point — ``"arrow"`` (default) or
     ``"expr"`` for the HOF projection form (bit-identical, debug path).
+
+    ``collapse`` (default "auto", distinct-ratio probed like the other
+    pair operators): signatures, band collisions AND the DP all depend
+    only on the TEXT, so exact-duplicate texts collapse to a min-id
+    representative — the candidate join and every levenshtein run once
+    per distinct TEXT pair, qualifying rep pairs expand to member pairs
+    through two output-bound id joins, and within-group pairs emit
+    distance 0 directly (identical texts always band-collide; the
+    empty/null-text groups are excluded exactly as the direct path drops
+    them: rel = 0/0 is null, a null signature never joins).  Output
+    relation identical; on a clone-heavy corpus the DP count drops by the
+    square of the duplication factor.
     """
+    from pyspark.sql import Window
+
     sig_fn = (
         minhash_signatures_arrow
         if method == "arrow"
         else minhash_signatures_projection
     )
-    sigs = sig_fn(docs, k=k, n=n, text_col=text_col).cache()
+    if collapse == "auto":
+        probe = docs.agg(
+            F.count("*").alias("total"),
+            F.approx_count_distinct(F.xxhash64(F.col(text_col))).alias("distinct"),
+        ).collect()[0]
+        collapse = probe.total > 0 and probe.distinct / probe.total < collapse_ratio
+
+    members = None
+    if collapse:
+        w = Window.partitionBy(text_col)
+        members = (
+            docs.select("doc_id", text_col)
+            .withColumn("rid", F.min("doc_id").over(w))
+            .withColumn("m", F.count("*").over(w))
+            .localCheckpoint(eager=False)
+        )
+        base = members.filter(F.col("doc_id") == F.col("rid")).select(
+            "doc_id", text_col, "m"
+        )
+    else:
+        base = docs.select("doc_id", text_col)
+
+    sigs = sig_fn(base, k=k, n=n, text_col=text_col).cache()
     cands = lsh_candidate_pairs(sigs, k=k, bands=bands)
-    texts = docs.select("doc_id", text_col)
+    texts = base.select("doc_id", text_col)
     pairs = cands.join(
         texts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(text_col, "ta"),
         "doc_a",
@@ -1385,15 +1423,58 @@ def lsh_edit_verify(
     )
     # exact-clone shortcut: levenshtein(x, x) = 0, and the O(len) equality
     # check dodges the O(len²) DP — on clone-heavy corpora (the common
-    # near-dup regime) most candidate pairs take this branch
+    # near-dup regime) most candidate pairs take this branch (under
+    # collapse the branch handles only hash-distinct-but-equal races; the
+    # group structure already removed identical texts)
     dist = F.when(F.col("ta") == F.col("tb"), F.lit(0)).otherwise(
         F.levenshtein("ta", "tb")
     )
     longer = F.greatest(F.length("ta"), F.length("tb"))
-    rel = dist / longer
-    return (
+    # two empty texts band-collide (identical real signatures) with
+    # longer = 0: the ratio is undefined, the pair must DROP — and under
+    # ANSI mode (Spark 4 default) a bare division would throw
+    # DIVIDE_BY_ZERO instead; the when() makes the null explicit
+    rel = F.when(longer > 0, dist / longer)
+    rep_pairs = (
         pairs.withColumn("edit_distance", dist.cast("long"))
         .withColumn("rel_dist", F.round(rel + 1.23e-9, 6))
         .filter(F.col("rel_dist") <= max_rel_dist)
         .select("doc_a", "doc_b", "edit_distance", "rel_dist")
     )
+    if not collapse:
+        return rep_pairs
+
+    ma = members.select(F.col("rid").alias("doc_a"), F.col("doc_id").alias("ia"))
+    mb = members.select(F.col("rid").alias("doc_b"), F.col("doc_id").alias("ib"))
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+            "edit_distance",  # symmetric, orientation-free
+            "rel_dist",
+        )
+    )
+    # identical texts: distance exactly 0, rel on the same rounding
+    # lattice; groups with empty or null text emit nothing (the direct
+    # path's 0/0-null filter and null-signature join semantics)
+    intra = (
+        base.filter((F.col("m") >= 2) & (F.length(text_col) > 0))
+        .select(F.col("doc_id").alias("rid"))
+        .join(members.select("rid", F.col("doc_id").alias("ia")), "rid")
+        .join(members.select("rid", F.col("doc_id").alias("ib")), "rid")
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            F.col("ia").alias("doc_a"),
+            F.col("ib").alias("doc_b"),
+            F.lit(0).cast("long").alias("edit_distance"),
+            F.round(F.lit(0.0) + 1.23e-9, 6).alias("rel_dist"),
+        )
+    )
+    out = cross.unionByName(intra)
+    # rel_dist 0.0 always passes (max_rel_dist >= 0 by contract), so no
+    # re-filter of intra is needed; guard anyway for negative thresholds
+    if max_rel_dist < 0:
+        out = out.filter(F.col("rel_dist") <= max_rel_dist)
+    return out

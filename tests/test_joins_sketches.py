@@ -449,3 +449,35 @@ def test_lsh_edit_verify_exact_dup_and_threshold(spark):
     if (1, 3) in got:  # candidate generation is band-dependent
         assert 0 < got[(1, 3)]["edit_distance"] <= 8
     assert all(r["rel_dist"] <= 0.4 for r in got.values())
+
+
+def test_lsh_edit_verify_collapse_identical(spark):
+    """The distinct-text collapse (signatures, band collisions and the DP
+    all depend only on the text) emits the IDENTICAL relation as the
+    direct path — exercised with clone groups (intra pairs, distance 0),
+    near-dup groups (cross rep pairs expand to member pairs), an
+    empty-text group and a null-text group (both must emit nothing, the
+    direct path's 0/0-null and null-signature semantics)."""
+    from pyspark.sql import functions as F
+
+    from biggraphite_spark.operators.dedup import lsh_edit_verify
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    rows = (
+        [(i, base) for i in range(5)]
+        + [(10 + i, base.replace("gamma", "gXmma")) for i in range(4)]
+        + [(20 + i, "unrelated words entirely different content " * 4) for i in range(3)]
+        + [(30, ""), (31, ""), (40, None), (41, None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        mode: sorted(
+            tuple(r) for r in lsh_edit_verify(df, collapse=mode).collect()
+        )
+        for mode in (True, False, "auto")
+    }
+    assert got[True] == got[False] == got["auto"]
+    pairs = {(a, b) for a, b, _, _ in got[True]}
+    assert (0, 1) in pairs                      # intra clone pair
+    assert any(a < 5 and 10 <= b < 14 for a, b in pairs)  # cross near-dup
+    assert all(a < 30 and b < 30 for a, b in pairs)  # empty/null emit nothing

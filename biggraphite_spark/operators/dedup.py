@@ -865,6 +865,8 @@ def lsh_near_dups(
     bands: int = DEFAULT_BANDS,
     n: int = 3,
     method: str = "arrow",
+    collapse: bool | str = "auto",
+    collapse_ratio: float = 0.8,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with true Jaccard (array_intersect on
     the candidate pairs only) — the scale path for near-dup detection.
@@ -878,26 +880,54 @@ def lsh_near_dups(
     relation is one scan-speed pass over the corpus.  ``method="arrow"``
     (default) swaps in :func:`minhash_signatures_arrow` — same signatures
     bit-for-bit, hashlib's C md5 instead of interpreted HOF trees.
+
+    ``collapse`` (default "auto", distinct-ratio probed): signatures, band
+    collisions and the Jaccard verify all depend only on the TEXT, so
+    exact-duplicate texts collapse to a min-id representative — the band
+    self-join and every array_intersect run once per distinct TEXT pair,
+    qualifying rep pairs expand through output-bound id joins, and
+    within-group pairs emit Jaccard exactly 1.0 directly (identical texts
+    always band-collide; null-text groups emit nothing, matching the
+    direct path's null-signature join semantics).  Output identical; this
+    is the pair-graph build every downstream graph contract shares, so
+    the clone-squared saving compounds.
     """
     sig_fn = (
         minhash_signatures_arrow
         if method == "arrow"
         else minhash_signatures_projection
     )
-    sigs = sig_fn(docs, k=k, n=n).cache()
+    base, members, collapsed = _collapsed_texts(docs, "text", collapse, collapse_ratio)
+    sigs = sig_fn(base, k=k, n=n).cache()
     cands = lsh_candidate_pairs(sigs, k=k, bands=bands)
-    sh = with_shingles(docs, n=n).select("doc_id", "shingles").cache()
+    sh = with_shingles(base, n=n).select("doc_id", "shingles").cache()
     pairs = (
         cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sa"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sb"), "doc_b")
     )
     inter = F.size(F.array_intersect("sa", "sb"))
     jac = inter / (F.size("sa") + F.size("sb") - inter)
-    return (
+    rep_pairs = (
         pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    if not collapsed:
+        return rep_pairs
+    out = _expand_member_pairs(rep_pairs, members, ["jaccard"])
+    if threshold <= 1.0:
+        # identical texts: Jaccard exactly 1.0 (the empty text included —
+        # its one-shingle set intersects itself); null-text groups never
+        # produce candidates on the direct path, so they emit nothing here
+        out = out.unionByName(
+            _intra_member_pairs(
+                base,
+                members,
+                eligible=F.col("text").isNotNull(),
+                value_exprs=[F.lit(1.0).alias("jaccard")],
+            )
+        )
+    return out
 
 
 def cap_pair_fanout(
@@ -1243,12 +1273,93 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
     return sums.select("doc_id", hash_val.cast("long").alias("simhash"))
 
 
+def _collapsed_texts(
+    docs: DataFrame,
+    text_col: str,
+    collapse: bool | str,
+    collapse_ratio: float,
+):
+    """Distinct-TEXT collapse shared by the pair operators whose signatures,
+    candidate keys AND verify all depend only on the text (LSH-Jaccard,
+    edit-verify, simhash): exact-duplicate texts collapse to a min-id
+    representative so the quadratic stages run once per distinct text
+    pair.  ``collapse="auto"`` probes ``approx_count_distinct(hash(text))
+    / count`` in one cheap pass.  Returns ``(base, members, collapsed)``:
+    ``base`` is the relation the operator should run on (reps only when
+    collapsed, with the member count ``m``), ``members`` maps every doc to
+    its representative (None when not collapsed)."""
+    from pyspark.sql import Window
+
+    if collapse == "auto":
+        probe = docs.agg(
+            F.count("*").alias("total"),
+            F.approx_count_distinct(F.xxhash64(F.col(text_col))).alias("distinct"),
+        ).collect()[0]
+        collapse = probe.total > 0 and probe.distinct / probe.total < collapse_ratio
+    if not collapse:
+        return docs, None, False
+    w = Window.partitionBy(text_col)
+    members = (
+        docs.select("doc_id", text_col)
+        .withColumn("rid", F.min("doc_id").over(w))
+        .withColumn("m", F.count("*").over(w))
+        .localCheckpoint(eager=False)
+    )
+    base = members.filter(F.col("doc_id") == F.col("rid")).select(
+        "doc_id", text_col, "m"
+    )
+    return base, members, True
+
+
+def _expand_member_pairs(
+    rep_pairs: DataFrame, members: DataFrame, value_cols: list[str]
+) -> DataFrame:
+    """Fan a qualifying rep-pair relation back out to member pairs through
+    two output-bound id joins.  Only valid for ORIENTATION-FREE value
+    columns (jaccard, edit distance, hamming — symmetric in the two
+    texts); asymmetric values must swap on flip like
+    containment_prefix_pairs does inline."""
+    ma = members.select(F.col("rid").alias("doc_a"), F.col("doc_id").alias("ia"))
+    mb = members.select(F.col("rid").alias("doc_b"), F.col("doc_id").alias("ib"))
+    return (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+            *value_cols,
+        )
+    )
+
+
+def _intra_member_pairs(
+    base: DataFrame, members: DataFrame, eligible, value_exprs: list
+) -> DataFrame:
+    """All within-group member pairs for groups whose representative
+    passes ``eligible``, with constant ``value_exprs`` (the identical-text
+    values: jaccard 1.0, distance 0, hamming 0)."""
+    return (
+        base.filter((F.col("m") >= 2) & eligible)
+        .select(F.col("doc_id").alias("rid"))
+        .join(members.select("rid", F.col("doc_id").alias("ia")), "rid")
+        .join(members.select("rid", F.col("doc_id").alias("ib")), "rid")
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            F.col("ia").alias("doc_a"),
+            F.col("ib").alias("doc_b"),
+            *value_exprs,
+        )
+    )
+
+
 def simhash_near_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
     text_col: str = "text",
     bits: int = 16,
     bands: int = 4,
+    collapse: bool | str = "auto",
+    collapse_ratio: float = 0.8,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, band-blocked.
 
@@ -1259,6 +1370,15 @@ def simhash_near_pairs(
     This is the standard Manku et al. 2007 (Google simhash dedup) layout;
     at 100 TB the corpus is written partitioned by (band, key) so the
     self-join co-locates.  Output: (doc_a, doc_b, hamming), verified.
+
+    ``collapse`` (default "auto"): simhash depends only on the text, so
+    exact-duplicate texts collapse to a representative (identical texts
+    have hamming 0 — always within any non-negative ``max_hamming`` — and
+    are emitted as within-group pairs directly; null-text groups emit
+    nothing, matching the direct path's null-simhash join semantics).
+    Distinct texts that happen to share a simhash remain ordinary cross
+    pairs.  Output identical; the banded self-join runs on distinct texts
+    only.
     """
     if max_hamming >= bands:
         raise ValueError("pigeonhole needs max_hamming < bands")
@@ -1266,7 +1386,10 @@ def simhash_near_pairs(
         raise ValueError("bits must divide evenly into bands")
     width = bits // bands
     mask = (1 << width) - 1
-    sh = simhash(docs, text_col=text_col, bits=bits).cache()
+    base, members, collapsed = _collapsed_texts(
+        docs, text_col, collapse, collapse_ratio
+    )
+    sh = simhash(base, text_col=text_col, bits=bits).cache()
     banded = sh.select(
         "doc_id",
         "simhash",
@@ -1301,10 +1424,23 @@ def simhash_near_pairs(
         .distinct()
     )
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
-    return (
+    rep_pairs = (
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+    if not collapsed:
+        return rep_pairs
+    out = _expand_member_pairs(rep_pairs, members, ["hamming"])
+    if max_hamming >= 0:
+        out = out.unionByName(
+            _intra_member_pairs(
+                base,
+                members,
+                eligible=F.col(text_col).isNotNull(),
+                value_exprs=[F.lit(0).cast("long").alias("hamming")],
+            )
+        )
+    return out
 
 
 def cross_source_dedup(
@@ -1382,35 +1518,14 @@ def lsh_edit_verify(
     relation identical; on a clone-heavy corpus the DP count drops by the
     square of the duplication factor.
     """
-    from pyspark.sql import Window
-
     sig_fn = (
         minhash_signatures_arrow
         if method == "arrow"
         else minhash_signatures_projection
     )
-    if collapse == "auto":
-        probe = docs.agg(
-            F.count("*").alias("total"),
-            F.approx_count_distinct(F.xxhash64(F.col(text_col))).alias("distinct"),
-        ).collect()[0]
-        collapse = probe.total > 0 and probe.distinct / probe.total < collapse_ratio
-
-    members = None
-    if collapse:
-        w = Window.partitionBy(text_col)
-        members = (
-            docs.select("doc_id", text_col)
-            .withColumn("rid", F.min("doc_id").over(w))
-            .withColumn("m", F.count("*").over(w))
-            .localCheckpoint(eager=False)
-        )
-        base = members.filter(F.col("doc_id") == F.col("rid")).select(
-            "doc_id", text_col, "m"
-        )
-    else:
-        base = docs.select("doc_id", text_col)
-
+    base, members, collapsed = _collapsed_texts(
+        docs.select("doc_id", text_col), text_col, collapse, collapse_ratio
+    )
     sigs = sig_fn(base, k=k, n=n, text_col=text_col).cache()
     cands = lsh_candidate_pairs(sigs, k=k, bands=bands)
     texts = base.select("doc_id", text_col)
@@ -1441,38 +1556,23 @@ def lsh_edit_verify(
         .filter(F.col("rel_dist") <= max_rel_dist)
         .select("doc_a", "doc_b", "edit_distance", "rel_dist")
     )
-    if not collapse:
+    if not collapsed:
         return rep_pairs
 
-    ma = members.select(F.col("rid").alias("doc_a"), F.col("doc_id").alias("ia"))
-    mb = members.select(F.col("rid").alias("doc_b"), F.col("doc_id").alias("ib"))
-    cross = (
-        rep_pairs.join(ma, "doc_a")
-        .join(mb, "doc_b")
-        .select(
-            F.least("ia", "ib").alias("doc_a"),
-            F.greatest("ia", "ib").alias("doc_b"),
-            "edit_distance",  # symmetric, orientation-free
-            "rel_dist",
-        )
-    )
+    out = _expand_member_pairs(rep_pairs, members, ["edit_distance", "rel_dist"])
     # identical texts: distance exactly 0, rel on the same rounding
     # lattice; groups with empty or null text emit nothing (the direct
     # path's 0/0-null filter and null-signature join semantics)
-    intra = (
-        base.filter((F.col("m") >= 2) & (F.length(text_col) > 0))
-        .select(F.col("doc_id").alias("rid"))
-        .join(members.select("rid", F.col("doc_id").alias("ia")), "rid")
-        .join(members.select("rid", F.col("doc_id").alias("ib")), "rid")
-        .filter(F.col("ia") < F.col("ib"))
-        .select(
-            F.col("ia").alias("doc_a"),
-            F.col("ib").alias("doc_b"),
+    intra = _intra_member_pairs(
+        base,
+        members,
+        eligible=F.length(text_col) > 0,
+        value_exprs=[
             F.lit(0).cast("long").alias("edit_distance"),
             F.round(F.lit(0.0) + 1.23e-9, 6).alias("rel_dist"),
-        )
+        ],
     )
-    out = cross.unionByName(intra)
+    out = out.unionByName(intra)
     # rel_dist 0.0 always passes (max_rel_dist >= 0 by contract), so no
     # re-filter of intra is needed; guard anyway for negative thresholds
     if max_rel_dist < 0:

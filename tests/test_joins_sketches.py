@@ -481,3 +481,30 @@ def test_lsh_edit_verify_collapse_identical(spark):
     assert (0, 1) in pairs                      # intra clone pair
     assert any(a < 5 and 10 <= b < 14 for a, b in pairs)  # cross near-dup
     assert all(a < 30 and b < 30 for a, b in pairs)  # empty/null emit nothing
+
+
+def test_simhash_near_pairs_collapse_identical(spark):
+    """The distinct-text collapse on the Manku banded hamming join emits
+    the identical relation as the direct path: clone groups (hamming 0
+    intra pairs, including the empty-text group — its simhash is real),
+    near groups (cross rep pairs expand), and null-text groups (simhash
+    is null on the direct path, so they must emit nothing)."""
+    from biggraphite_spark.operators.dedup import simhash_near_pairs
+
+    base = "alpha beta gamma delta epsilon zeta " * 3
+    rows = (
+        [(i, base) for i in range(6)]
+        + [(10 + i, base.replace("zeta", "zetb")) for i in range(4)]
+        + [(20, ""), (21, ""), (30, None), (31, None)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        mode: sorted(
+            tuple(r) for r in simhash_near_pairs(docs, collapse=mode).collect()
+        )
+        for mode in (True, False, "auto")
+    }
+    assert got[True] == got[False] == got["auto"]
+    pairs = {(a, b) for a, b, _ in got[True]}
+    assert (0, 1) in pairs and (20, 21) in pairs   # clone + empty intra
+    assert not any(a >= 30 or b >= 30 for a, b in pairs)  # null emits nothing

@@ -196,10 +196,20 @@ def run_guarded(
                         f"after {elapsed:.1f}s)"
                     )
             if breach:
-                try:
-                    sc.cancelAllJobs()
-                except Exception:
-                    pass
+                # re-check done RIGHT BEFORE cancelling: the loop may have
+                # been stuck in a long _dir_bytes walk while the query
+                # finished, and a stray cancelAllJobs after run_guarded
+                # returns would hit the NEXT query's jobs
+                if done.is_set():
+                    # the action completed while this loop was walking the
+                    # scratch dirs — the breach is moot; discard it so a
+                    # finished query is not reported as cancelled
+                    breach.clear()
+                else:
+                    try:
+                        sc.cancelAllJobs()
+                    except Exception:
+                        pass
                 return
 
     watcher = None
@@ -214,7 +224,12 @@ def run_guarded(
     finally:
         done.set()
         if watcher is not None:
-            watcher.join(timeout=poll_s + 1)
+            # join WITHOUT a deadline: the watcher must be dead before the
+            # next query starts, else its breach branch could cancel that
+            # query's jobs.  It exits at its next done check; the only wait
+            # here is a residual scratch walk, which is bounded.
+            while watcher.is_alive():
+                watcher.join(timeout=poll_s + 1)
     return time.time() - t0, (breach[0] if breach else None), exc
 
 

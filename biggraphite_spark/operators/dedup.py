@@ -289,7 +289,16 @@ def _collapsed_sets(
     collapses only below ``collapse_ratio``.  Returns ``(sh, members,
     collapsed)`` where ``sh`` is the cached (doc_id, shingles, m) relation
     the pair stages read (reps only when collapsed) and ``members`` maps
-    every doc to its representative (None when not collapsed)."""
+    every doc to its representative (None when not collapsed).
+
+    Grouping key: the SORTED SHINGLE ARRAY ITSELF, never a string encoding
+    of it — ``array_join`` drops null elements and a separator occurring
+    inside a shingle is ambiguous, so an encoded key could conflate a
+    null-text doc (shingles ``[NULL]``) with an empty-text doc (``['']``)
+    or two genuinely distinct sets.  Spark groups/partitions array columns
+    structurally (null-safe element equality), which is exact by
+    construction; the auto probe's ``xxhash64`` is only a cardinality
+    heuristic, so its null-element skipping cannot affect correctness."""
     from pyspark.sql import Window
 
     sets = with_shingles(docs, n=n).select(
@@ -298,9 +307,7 @@ def _collapsed_sets(
     if collapse == "auto":
         probe = sets.agg(
             F.count("*").alias("total"),
-            F.approx_count_distinct(
-                F.md5(F.array_join("shingles", "\x1f"))
-            ).alias("distinct"),
+            F.approx_count_distinct(F.xxhash64("shingles")).alias("distinct"),
         ).collect()[0]
         collapse = probe.total > 0 and probe.distinct / probe.total < collapse_ratio
 
@@ -308,7 +315,7 @@ def _collapsed_sets(
     if collapse:
         # members: every doc tagged with its set's min-id representative;
         # lazy checkpoint — feeds the rep relation and both expansion sides
-        w = Window.partitionBy(F.md5(F.array_join("shingles", "\x1f")))
+        w = Window.partitionBy("shingles")
         members = (
             sets.withColumn("rid", F.min("doc_id").over(w))
             .withColumn("m", F.count("*").over(w))
@@ -539,9 +546,12 @@ def containment_prefix_pairs(
     )
     out = cross
     if threshold <= 1.0:
-        # identical sets: containment is exactly 1.0 both ways
+        # identical sets: containment is exactly 1.0 both ways.  Null-text
+        # docs (shingle set [NULL]) are EXCLUDED: on the exact path a NULL
+        # shingle never equijoins, so those docs emit no pairs — the intra
+        # emission must mirror that or the 'lossless' contract breaks
         intra = (
-            sh.filter(F.col("m") >= 2)
+            sh.filter((F.col("m") >= 2) & ~F.exists("shingles", lambda c: c.isNull()))
             .select(F.col("doc_id").alias("rid"))
             .join(members.select("rid", F.col("doc_id").alias("ia")), "rid")
             .join(members.select("rid", F.col("doc_id").alias("ib")), "rid")
@@ -637,9 +647,11 @@ def jaccard_prefix_pairs(
     )
     out = cross
     if threshold <= 1.0:
-        # identical sets: Jaccard is exactly 1.0
+        # identical sets: Jaccard is exactly 1.0; null-text groups excluded
+        # (NULL shingles never equijoin on the exact path — see
+        # containment_prefix_pairs)
         intra = (
-            sh.filter(F.col("m") >= 2)
+            sh.filter((F.col("m") >= 2) & ~F.exists("shingles", lambda c: c.isNull()))
             .select(F.col("doc_id").alias("rid"))
             .join(members.select("rid", F.col("doc_id").alias("ia")), "rid")
             .join(members.select("rid", F.col("doc_id").alias("ib")), "rid")

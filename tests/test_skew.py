@@ -285,7 +285,13 @@ def test_containment_prefix_pairs_lossless(spark):
     FP ceiling edge).  The fixture mixes a hot boilerplate shingle, exact
     clones (exercising the distinct-set collapse + intra-group emission)
     and a short-doc-inside-long-doc pair (the asymmetric case containment
-    exists for, which Jaccard-length pruning would drop)."""
+    exists for, which Jaccard-length pruning would drop).  Degenerate
+    texts are in the fixture on purpose: >=2 NULL-text docs (shingle set
+    [NULL] — must emit NO pairs, the exact path never equijoins NULL) and
+    >=2 EMPTY-text docs (shingle set [''] — the '' shingle DOES equijoin,
+    so their mutual 1.0 pairs must survive), which pins the collapse
+    grouping (array-structural, not a null-dropping string encoding) and
+    the intra-emission eligibility guard."""
     from biggraphite_spark.operators.dedup import (
         containment_pairs,
         containment_prefix_pairs,
@@ -300,7 +306,17 @@ def test_containment_prefix_pairs_lossless(spark):
         (F.col("doc_id") + 2 * N_DOCS).alias("doc_id"),
         F.array_join(F.slice(F.split("text", " "), 1, 8), " ").alias("text"),
     )
-    docs = base.unionByName(clones).unionByName(shorts).localCheckpoint()
+    degenerate = spark.createDataFrame(
+        [(3 * N_DOCS + 0, None), (3 * N_DOCS + 1, None), (3 * N_DOCS + 2, None),
+         (3 * N_DOCS + 3, ""), (3 * N_DOCS + 4, "")],
+        "doc_id long, text string",
+    )
+    docs = (
+        base.unionByName(clones)
+        .unionByName(shorts)
+        .unionByName(degenerate)
+        .localCheckpoint()
+    )
 
     for t in (0.5, 0.75, 1.0):
         exact = sorted(
@@ -324,7 +340,7 @@ def test_containment_prefix_pairs_lossless(spark):
     asym = [
         r
         for r in containment_pairs(docs, 0.75).collect()
-        if r["doc_b"] >= 2 * N_DOCS and r["cont_b_in_a"] == 1.0
+        if 2 * N_DOCS <= r["doc_b"] < 3 * N_DOCS and r["cont_b_in_a"] == 1.0
     ]
     assert len(asym) >= 20
     assert all(r["cont_a_in_b"] < 0.75 for r in asym)
@@ -333,7 +349,9 @@ def test_containment_prefix_pairs_lossless(spark):
 def test_jaccard_prefix_pairs_lossless(spark):
     """The prefix-filtered exact-Jaccard scale path is bit-identical to the
     all-pairs posting self-join, across collapse modes and the salted
-    join, including exact clones (intra-group Jaccard exactly 1.0)."""
+    join, including exact clones (intra-group Jaccard exactly 1.0) and
+    degenerate texts (NULL texts: no pairs; empty texts: mutual 1.0 pairs
+    via the '' shingle — see the containment twin test)."""
     from biggraphite_spark.operators.dedup import (
         jaccard_prefix_pairs,
         ngram_jaccard_pairs,
@@ -343,7 +361,12 @@ def test_jaccard_prefix_pairs_lossless(spark):
     clones = base.filter(F.col("doc_id") < 40).select(
         (F.col("doc_id") + N_DOCS).alias("doc_id"), "text"
     )
-    docs = base.unionByName(clones).localCheckpoint()
+    degenerate = spark.createDataFrame(
+        [(3 * N_DOCS + 0, None), (3 * N_DOCS + 1, None), (3 * N_DOCS + 2, None),
+         (3 * N_DOCS + 3, ""), (3 * N_DOCS + 4, "")],
+        "doc_id long, text string",
+    )
+    docs = base.unionByName(clones).unionByName(degenerate).localCheckpoint()
 
     for t in (0.5, 1.0):
         exact = sorted(

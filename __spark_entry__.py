@@ -6172,7 +6172,11 @@ def doc_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-star/small-star path (Kiveris et al. 2014, O(log^2 n) rounds
     independent of diameter) — same contract as doc_dup_clusters, which
     takes the driver union-find path; this pins the extreme-scale algorithm
-    against the identical oracle."""
+    against the identical oracle.  Since round 10 the star rounds run on
+    the twin-class quotient (graph._twin_quotient, lossless: components
+    are class-uniform and class ids are min member ids), so a clone
+    blow-up's star iteration touches thousands of class edges, not
+    millions of member edges."""
     _utc(spark)
     from biggraphite_spark.operators.dedup import dup_clusters
 
@@ -7767,9 +7771,28 @@ _DRIVER_GREEN = frozenset({
 })
 
 
+#: Green-tag EVICTION (round-9 VERDICT process gap): a green tag certifies
+#: the implementation that was checked, so a query whose operator was
+#: REWRITTEN since its last driver check must rejoin the front of the
+#: 50-slot window.  Listed here: the round-9 post-window rewrites
+#: (text-collapse of the LSH/simhash/edit-verify builders, adaptive
+#: emb_neardup collapse) and the round-10 twin-quotient graph family.
+_REWRITTEN_SINCE_GREEN = frozenset({
+    # r9 commits 84a6bf0/8a2fd4c/982ce3b landed after the r9 gate window
+    "doc_edit_verify", "doc_dedup_minhash_lsh", "doc_lsh_recall",
+    "doc_simhash", "doc_simhash_pairs", "doc_simhash_pairs64",
+    "emb_neardup",
+    # r10: twin-class quotient for the graph family + dup_clusters
+    "doc_triangles", "doc_kcore", "doc_pagerank", "doc_pagerank_capped",
+    "doc_representatives", "doc_dup_clusters", "doc_dup_clusters_star",
+    "doc_quality_propagation",
+})
+
+
 def _gate_order(names: list[str]) -> list[str]:
-    unchecked = [n for n in names if n not in _DRIVER_GREEN]
-    checked = [n for n in names if n in _DRIVER_GREEN]
+    green = _DRIVER_GREEN - _REWRITTEN_SINCE_GREEN
+    unchecked = [n for n in names if n not in green]
+    checked = [n for n in names if n in green]
     return unchecked + checked
 
 

@@ -1099,6 +1099,8 @@ def dup_clusters(
     driver_max_edges: int = DRIVER_CC_MAX_EDGES,
     cc_method: str = "auto",
     max_degree: int | None = None,
+    collapse: bool | str = "auto",
+    collapse_ratio: float = 0.8,
 ) -> DataFrame:
     """Near-duplicate cluster assignment: connected components over the
     near-dup pair graph, labelled by the minimum doc_id in each component.
@@ -1134,6 +1136,15 @@ def dup_clusters(
 
     ``cc_method``: "auto" (driver when the edge list fits, else star),
     or force "driver" / "minlabel" / "star".
+
+    ``collapse`` (default "auto"): reduce the pair graph to its TWIN-CLASS
+    QUOTIENT first (``graph._twin_quotient`` — components are class-uniform
+    and class ids are min member ids, so the quotient components carry the
+    exact min-doc_id labels).  The chosen ``cc_method`` then runs on the
+    class graph: a 27M-edge clone blow-up shrinks to a few thousand class
+    edges, which the driver union-find swallows without a fixpoint loop.
+    The probe backs off on diverse graphs and the expanded flow below is
+    untouched.
     """
     if cc_method not in ("auto", "driver", "minlabel", "star"):
         raise ValueError(f"unknown cc_method {cc_method!r}")
@@ -1142,6 +1153,17 @@ def dup_clusters(
     if max_degree is not None:
         pairs = cap_pair_fanout(pairs, max_degree)
     pair_ids = pairs.select("doc_a", "doc_b").cache()
+
+    if collapse and cc_method in ("auto", "star"):
+        from .graph import _cc_from_twin_quotient
+
+        labels = _cc_from_twin_quotient(
+            docs, pair_ids, cc_method, driver_max_edges, max_iters,
+            collapse, collapse_ratio,
+        )
+        if labels is not None:
+            pair_ids.unpersist()
+            return _finish_clusters(labels)
     # stream the edge list straight off the (now materializing) cache — no
     # separate count() job; the cap decision falls out of how far the
     # iterator got.  Near-dup edge lists are minuscule next to the corpus,
@@ -1226,8 +1248,13 @@ def dup_clusters(
         labels = docs.join(lab, "doc_id", "left").select(
             "doc_id", F.coalesce("label", "doc_id").alias("label")
         )
-    # cluster count ~ document count, so sizes must NOT be a broadcast side;
-    # one window over the label keeps it a single hash shuffle
+    return _finish_clusters(labels)
+
+
+def _finish_clusters(labels: DataFrame) -> DataFrame:
+    """(doc_id, label) -> (doc_id, cluster_id, cluster_size).  Cluster
+    count ~ document count, so sizes must NOT be a broadcast side; one
+    window over the label keeps it a single hash shuffle."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("label")

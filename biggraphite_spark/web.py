@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import re
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, unquote, urlparse
 
@@ -304,12 +305,27 @@ class GraphiteWeb:
     per the implicit-name-tag convention.
     """
 
+    #: default TTL for the find-result cache — the reference caches find
+    #: results in the Django cache keyed on a hashed query with a configured
+    #: timeout (plugins/graphite.py:368-398, "cache_timeout"); 60s is its
+    #: documented default neighborhood
+    FIND_CACHE_TTL_S = 60.0
+
     def __init__(self, engine, tagged=None, tag_store=None,
-                 events_store=None):
+                 events_store=None, find_cache_ttl: float = FIND_CACHE_TTL_S):
         self.engine = engine
         self._tagged_src = tagged
         self._tagged_df = None
         self._tagged_lock = threading.Lock()
+        #: find-result cache: a dashboard fleet refreshing the same globs
+        #: re-issues identical /metrics/find calls every few seconds; keyed
+        #: on (endpoint, hashed query, catalog identity) so a catalog swap
+        #: invalidates naturally, TTL'd so long-lived servers converge on
+        #: fresh metadata.  find_cache_ttl=0 disables.
+        self.find_cache_ttl = find_cache_ttl
+        self._find_cache: dict = {}
+        self._find_cache_lock = threading.Lock()
+        self.find_cache_stats = {"hits": 0, "misses": 0}
         #: optional writable TagDB (operators.tags.TagStore); enables the
         #: POST half of the tag API (/tags/tagSeries, /tags/delSeries)
         self.tag_store = tag_store
@@ -318,9 +334,44 @@ class GraphiteWeb:
         self.events_store = events_store
 
     # -- /metrics/find ------------------------------------------------------
+    def _find_cached(self, kind: str, query: str, compute):
+        """TTL'd find-result cache (reference: plugins/graphite.py:368-398
+        caches FindQuery results under a hashed-pattern Django cache key).
+        A racing cold pair may both compute — same as the reference's
+        cache-aside semantics; last write wins, values are equal."""
+        import hashlib
+
+        if self.find_cache_ttl <= 0:
+            return compute()
+        key = (
+            kind,
+            hashlib.md5(query.encode("utf-8")).hexdigest(),
+            id(self.engine.catalog),
+        )
+        now = time.monotonic()
+        with self._find_cache_lock:
+            ent = self._find_cache.get(key)
+            if ent is not None and ent[0] > now:
+                self.find_cache_stats["hits"] += 1
+                return ent[1]
+        val = compute()
+        with self._find_cache_lock:
+            self.find_cache_stats["misses"] += 1
+            if len(self._find_cache) > 1024:
+                # opportunistic sweep: expired entries and entries keyed on
+                # replaced catalog objects age out here
+                self._find_cache = {
+                    k: v for k, v in self._find_cache.items() if v[0] > now
+                }
+            self._find_cache[key] = (now + self.find_cache_ttl, val)
+        return val
+
     def find_nodes(self, query: str) -> list[dict]:
         """treejson: branch nodes (directories) + leaf nodes (metrics),
         branches first, each side sorted — graphite's browser contract."""
+        return self._find_cached("find", query, lambda: self._find_nodes(query))
+
+    def _find_nodes(self, query: str) -> list[dict]:
         from .operators.find import find_directories
 
         branches = [
@@ -348,6 +399,9 @@ class GraphiteWeb:
     def expand(self, query: str) -> dict:
         """graphite-web ``/metrics/expand``: every path (branch or leaf)
         the glob matches, sorted — ``{"results": [...]}``."""
+        return self._find_cached("expand", query, lambda: self._expand(query))
+
+    def _expand(self, query: str) -> dict:
         from .operators.find import find_directories
 
         branches = [

@@ -885,3 +885,41 @@ def test_chained_at_style_offsets(graphite_server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(base + "&from=now-1d%2B2parsecs")
     assert ei.value.code == 400
+
+
+def test_find_cache_hot_cold_and_invalidation(spark):
+    """The find-result cache (reference: plugins/graphite.py:368-398): a
+    repeated /metrics/find glob is served from memory inside the TTL,
+    results are identical, a catalog swap invalidates, and ttl=0 disables
+    the cache entirely."""
+    import time as _time
+
+    from biggraphite_spark.cli import build_engine
+    from biggraphite_spark.web import GraphiteWeb
+
+    app = GraphiteWeb(build_engine(spark, SF))
+    cold_t0 = _time.monotonic()
+    first = app.find_nodes("bg.*")
+    cold = _time.monotonic() - cold_t0
+    assert app.find_cache_stats == {"hits": 0, "misses": 1}
+    hot_t0 = _time.monotonic()
+    second = app.find_nodes("bg.*")
+    hot = _time.monotonic() - hot_t0
+    assert second == first
+    assert app.find_cache_stats == {"hits": 1, "misses": 1}
+    # a cache hit never touches Spark: orders of magnitude under the scan
+    assert hot < cold / 10
+    # expand caches under its own key, same pattern string notwithstanding
+    app.expand("bg.*")
+    assert app.find_cache_stats == {"hits": 1, "misses": 2}
+    # catalog swap (syncdb/metadata write) invalidates by identity
+    app.engine.catalog = app.engine.catalog.filter("name not like 'zz%'")
+    third = app.find_nodes("bg.*")
+    assert third == first
+    assert app.find_cache_stats["misses"] == 3
+
+    # ttl=0 disables: two identical calls, no cache traffic
+    app2 = GraphiteWeb(build_engine(spark, SF), find_cache_ttl=0)
+    app2.find_nodes("bg.*")
+    app2.find_nodes("bg.*")
+    assert app2.find_cache_stats == {"hits": 0, "misses": 0}

@@ -99,12 +99,33 @@ def update_metrics_metadata(
 def touch_metrics(catalog: DataFrame, names: DataFrame, now: int) -> DataFrame:
     """touch_metric (drivers/cassandra.py:1937-1955): refresh updated_on for
     the given names so clean's expiry cutoff spares them."""
+    return _touch_column(catalog, names, now, "updated_on")
+
+
+def touch_read_on(catalog: DataFrame, names: DataFrame, now: int) -> DataFrame:
+    """Refresh ``read_on`` for the given names — the fetch-path sibling of
+    :func:`touch_metrics` (reference ``_update_metric_read_on``,
+    drivers/cassandra.py:1921-1935: ``UPDATE metrics_metadata SET
+    read_on=now()``).  ``read_on`` is observability metadata — surfaced by
+    the metadata REST API and indexed for ops queries; the reference's
+    clean-expired cutoff reads ``updated_on`` only
+    (drivers/cassandra.py:3219-3224), and so does ours.  Catalogs built
+    without the column gain it here (NULL for untouched rows, matching the
+    reference's never-read metrics)."""
+    if "read_on" not in catalog.columns:
+        catalog = catalog.withColumn("read_on", F.lit(None).cast("long"))
+    return _touch_column(catalog, names, now, "read_on")
+
+
+def _touch_column(
+    catalog: DataFrame, names: DataFrame, now: int, col: str
+) -> DataFrame:
     hit = names.select(F.col("name"), F.lit(True).alias("_touched"))
     return (
         catalog.join(F.broadcast(hit), "name", "left")
         .withColumn(
-            "updated_on",
-            F.when(F.col("_touched"), F.lit(now)).otherwise(F.col("updated_on")),
+            col,
+            F.when(F.col("_touched"), F.lit(now)).otherwise(F.col(col)),
         )
         .drop("_touched")
     )

@@ -53,6 +53,13 @@ class Engine:
         if stage_tables is None:
             stage_tables = downsample_all(points0, catalog, list(retention.stages))
         self.stage_tables = stage_tables
+        #: read_on sampling (reference drivers/cassandra.py:303,1921-1935,
+        #: DEFAULT_READ_ON_SAMPLING_RATE = 0.1): every int(1/rate)-th fetch
+        #: refreshes read_on for the metrics it touched — the reference's
+        #: deterministic modulo counter, vectorized per fetch CALL (the
+        #: set-oriented equivalent of its per-metric loop).  0 disables.
+        self.read_on_sampling_rate = 0.1
+        self._read_on_counter = 0
 
     # -- metadata path -----------------------------------------------------
     def find(self, pattern: str) -> DataFrame:
@@ -76,6 +83,7 @@ class Engine:
         :meth:`read` for the dense render shape).
         """
         metrics = self.find(pattern)
+        self._maybe_touch_read_on(metrics)
         if stage is None:
             start, end, stage = self.retention.align_time_window(start, end, self.now)
         else:
@@ -90,6 +98,25 @@ class Engine:
             source_is_raw=stage.stage0,
         )
         return df, start, end, stage
+
+    def _maybe_touch_read_on(self, metrics: DataFrame) -> None:
+        """The reference's sampled read_on refresh (``skip = counter % rate
+        > 0; counter += 1`` — drivers/cassandra.py:1921-1935), applied to
+        the whole matched-metric set of one fetch.  The touched catalog is
+        lazily checkpointed so a long-lived server's lineage stays flat
+        across many touches."""
+        if not self.read_on_sampling_rate:
+            return
+        rate = int(1 / self.read_on_sampling_rate)
+        skip = self._read_on_counter % rate > 0
+        self._read_on_counter += 1
+        if skip:
+            return
+        from .catalog import touch_read_on
+
+        self.catalog = touch_read_on(
+            self.catalog, metrics.select("name"), self.now
+        ).localCheckpoint(eager=False)
 
     def read(self, pattern: str, start: int, end: int) -> ReadResult:
         """Render-style read: aligned window, dense per-metric series."""
@@ -106,6 +133,7 @@ class Engine:
         the name set is find-capped upstream, so isin stays a pushed-down
         IN predicate."""
         metrics = self.catalog.filter(F.col("name").isin(list(names)))
+        self._maybe_touch_read_on(metrics)
         start, end, stage = self.retention.align_time_window(start, end, self.now)
         fetched = fetch_points(
             self.stage_df(stage),

@@ -15,6 +15,12 @@ enough to be feasible), runs the PREFIX operators on the FULL sf10 corpus,
 restricts, and value-compares row sets exactly.  A lost pair or a wrong
 rounded value fails the certification.
 
+The same argument certifies the text-collapsed ``lsh_edit_verify``: a
+band collision depends only on the two signatures (pairwise) and the DP
+only on the two texts, so restriction commutes with the WHOLE operator —
+the uncollapsed direct path on S must equal the collapsed full-corpus run
+restricted to S×S.
+
 Usage: python scripts/certify_prefix_sf10.py
 Env: SPARK_GRAFT_SF_DIR (default /root/repo/testdata_sf10),
      SPARK_GRAFT_SAMPLE_MOD (default 64 -> ~1.6% of docs).
@@ -40,6 +46,7 @@ def main() -> None:
         containment_pairs,
         containment_prefix_pairs,
         jaccard_prefix_pairs,
+        lsh_edit_verify,
         ngram_jaccard_pairs,
     )
     from biggraphite_spark.session import get_spark
@@ -61,6 +68,13 @@ def main() -> None:
             "jaccard",
             lambda d: ngram_jaccard_pairs(d, threshold=0.5),
             lambda d: jaccard_prefix_pairs(d, threshold=0.5),
+        ),
+        (
+            # uncollapsed direct path on S vs text-collapsed run on FULL
+            # sf10, restricted — certifies the finding-44 collapse at scale
+            "edit_verify",
+            lambda d: lsh_edit_verify(d, collapse=False),
+            lambda d: lsh_edit_verify(d, collapse="auto"),
         ),
     ]
     ok = True

@@ -146,3 +146,47 @@ def test_align_window_selects_coarser_stage(engine):
     # a window starting beyond stage0's horizon must fall to a coarser stage
     _, _, stage = RETENTION.align_time_window(NOW - 40 * 86400, NOW, NOW)
     assert stage.as_string() == "1000*3600s"
+
+
+def test_read_on_sampled_touch(spark, sf_dir):
+    """The fetch path refreshes read_on on the reference's deterministic
+    modulo counter (drivers/cassandra.py:303,1921-1935: rate 0.1 -> every
+    10th call), for exactly the metrics the fetch matched; clean's expiry
+    cutoff keeps reading updated_on only (drivers/cassandra.py:3219-3224),
+    so reads never resurrect a write-cold metric."""
+    from biggraphite_spark.operators.maintenance import expired_metrics
+
+    catalog = load_catalog(spark, sf_dir).cache()
+    points0 = load_stage0(spark, sf_dir).cache()
+    eng = Engine(catalog, points0, RETENTION, NOW)
+
+    def read_ons():
+        return {
+            r["name"]: r["read_on"]
+            for r in eng.catalog.select("name", "read_on").collect()
+        }
+
+    assert set(read_ons().values()) == {None}
+    eng.fetch("bg.click.u*", NOW - 86400, NOW)  # call 0: touches
+    after = read_ons()
+    touched = {n for n, v in after.items() if v == NOW}
+    expected = {r["name"] for r in eng.find("bg.click.u*").collect()}
+    assert touched == expected and expected
+    # calls 1..9 skip (counter modulo), call 10 touches again
+    for _ in range(9):
+        eng.fetch("bg.purchase.u*", NOW - 86400, NOW)
+    assert {n for n, v in read_ons().items() if v == NOW} == expected
+    eng.fetch("bg.purchase.u*", NOW - 86400, NOW)
+    purchases = {r["name"] for r in eng.find("bg.purchase.u*").collect()}
+    assert {n for n, v in read_ons().items() if v == NOW} == expected | purchases
+    # expiry stays on updated_on: read-touched metrics expire all the same
+    exp = {
+        r["name"]
+        for r in expired_metrics(eng.catalog, NOW + 1).select("name").collect()
+    }
+    assert expected <= exp
+    # rate 0 disables
+    eng2 = Engine(catalog, points0, RETENTION, NOW)
+    eng2.read_on_sampling_rate = 0
+    eng2.fetch("bg.click.u*", NOW - 86400, NOW)
+    assert eng2.catalog is catalog

@@ -44,7 +44,8 @@ def main() -> None:
     with open(path, "w") as f:
         f.write(render())
     names = list(e.queries())
-    unchecked = [n for n in names if n not in e._DRIVER_GREEN]
+    unchecked = [n for n in names
+                 if n not in (e._DRIVER_GREEN - e._REWRITTEN_SINCE_GREEN)]
     print(f"{len(names)} queries; {len(unchecked)} front-loaded")
 
 

@@ -105,16 +105,31 @@ def write_band_index(corpus_docs: DataFrame, path: str, table: str,
 
 def near_dup_filter(docs: DataFrame, corpus_index: DataFrame,
                     k: int = DEFAULT_K, bands: int = DEFAULT_BANDS,
-                    n: int = 3, method: str = "arrow") -> DataFrame:
+                    n: int = 3, method: str = "arrow",
+                    probe: str = "bucketed") -> DataFrame:
     """Batch core (also the per-micro-batch body): drop every doc whose
-    LSH banding collides with the corpus index."""
+    LSH banding collides with the corpus index.
+
+    ``probe`` picks the index-join strategy:
+
+    - ``"bucketed"`` (default, the 100 TB shape): equi-join against the
+      bkey-bucketed index — the index side never shuffles (bucketed scan
+      hands the join its HashPartitioning), the micro-batch side pays one
+      repartition-to-buckets exchange per batch.
+    - ``"broadcast"``: the index IS a distinct-bkey set (one string
+      column), so below a few tens of millions of keys it broadcasts —
+      the stream side then pays NO exchange at all and the probe is a
+      map-side hash lookup, the same effect a Bloom front-filter would
+      buy but exact.  Valid whenever the driver can hold the key set;
+      above that, fall back to "bucketed".  The saturation bench
+      (scripts/bench_streaming_dedup.py) measures both.
+    """
     sigs = _signatures(docs, k, n, method)
-    colliding = (
-        _bkey(band_keys(sigs, k=k, bands=bands))
-        .join(corpus_index, "bkey")
-        .select("doc_id")
-        .distinct()
+    keyed = _bkey(band_keys(sigs, k=k, bands=bands))
+    index = (
+        F.broadcast(corpus_index) if probe == "broadcast" else corpus_index
     )
+    colliding = keyed.join(index, "bkey").select("doc_id").distinct()
     return docs.join(colliding, "doc_id", "left_anti")
 
 

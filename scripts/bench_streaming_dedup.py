@@ -23,7 +23,8 @@ Prints ONE JSON line per offered rate:
 
 Env: SPARK_GRAFT_STREAM_SECONDS (default 45), SPARK_GRAFT_DEDUP_RATES
 (default "20000,60000" docs/s), SPARK_GRAFT_CORPUS_DIR (default
-/root/repo/testdata_sf1), SPARK_GRAFT_CPUS.
+/root/repo/testdata_sf1), SPARK_GRAFT_CPUS, SPARK_GRAFT_DEDUP_PROBE
+("bucketed" default | "broadcast" — see near_dup_filter(probe=...)).
 """
 
 from __future__ import annotations
@@ -45,6 +46,7 @@ RATES = [
 ]
 CORPUS_DIR = os.environ.get("SPARK_GRAFT_CORPUS_DIR", "/root/repo/testdata_sf1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+PROBE = os.environ.get("SPARK_GRAFT_DEDUP_PROBE", "bucketed")
 N_SAMPLE = 256  # corpus texts replayed into the stream as known dups
 
 
@@ -159,7 +161,7 @@ def main() -> None:
             batch_df.persist()
             try:
                 (
-                    near_dup_filter(batch_df, index)
+                    near_dup_filter(batch_df, index, probe=PROBE)
                     .write.mode("append")
                     .parquet(out_path)
                 )
@@ -213,6 +215,7 @@ def main() -> None:
             "index_rows": index_rows,
             "index_build_s": build_s,
             "index_side_exchange_free": exchange_free,
+            "probe": PROBE,
         }
         print(json.dumps(out), flush=True)
 

@@ -99,6 +99,12 @@ def test_near_dup_filter_batch_semantics(spark):
         r["doc_id"] for r in near_dup_filter(stream_docs, index).collect()
     )
     assert kept == [3, 4]
+    # the broadcast probe strategy is a physical-only rewrite
+    kept_bc = sorted(
+        r["doc_id"]
+        for r in near_dup_filter(stream_docs, index, probe="broadcast").collect()
+    )
+    assert kept_bc == kept
 
 
 def test_stream_matches_batch_across_microbatches(spark, dirs):

@@ -526,7 +526,9 @@ def containment_prefix_pairs(
 
     # expansion: each qualifying rep pair (ra, rb) fans out to all member
     # pairs; the conts follow the SETS, so when member ids flip the pair
-    # orientation the two containments swap with them
+    # orientation the two containments swap with them.  Barrier first:
+    # pin the array_intersect verify to the rep relation (finding 46)
+    rep_pairs = rep_pairs.localCheckpoint(eager=False)
     ma = members.select(F.col("rid").alias("doc_a"), F.col("doc_id").alias("ia"))
     mb = members.select(F.col("rid").alias("doc_b"), F.col("doc_id").alias("ib"))
     flipped = F.col("ia") > F.col("ib")
@@ -633,7 +635,9 @@ def jaccard_prefix_pairs(
         )
 
     # expansion: Jaccard is symmetric, so member pairs inherit the rep
-    # pair's value regardless of id orientation
+    # pair's value regardless of id orientation.  Barrier first: pin the
+    # array_intersect verify to the rep relation (finding 46)
+    rep_pairs = rep_pairs.localCheckpoint(eager=False)
     ma = members.select(F.col("rid").alias("doc_a"), F.col("doc_id").alias("ia"))
     mb = members.select(F.col("rid").alias("doc_b"), F.col("doc_id").alias("ib"))
     cross = (
@@ -926,6 +930,9 @@ def lsh_near_dups(
     )
     if not collapsed:
         return rep_pairs
+    # barrier: pin the array_intersect verify to the rep relation —
+    # see lsh_edit_verify (finding 46, replicated verify re-evaluation)
+    rep_pairs = rep_pairs.localCheckpoint(eager=False)
     out = _expand_member_pairs(rep_pairs, members, ["jaccard"])
     if threshold <= 1.0:
         # identical texts: Jaccard exactly 1.0 (the empty text included —
@@ -1469,6 +1476,9 @@ def simhash_near_pairs(
     )
     if not collapsed:
         return rep_pairs
+    # barrier: pin the hamming verify (and the banded self-join above it)
+    # to the rep relation before the fan-out — finding 46
+    rep_pairs = rep_pairs.localCheckpoint(eager=False)
     out = _expand_member_pairs(rep_pairs, members, ["hamming"])
     if max_hamming >= 0:
         out = out.unionByName(
@@ -1598,6 +1608,13 @@ def lsh_edit_verify(
     if not collapsed:
         return rep_pairs
 
+    # BARRIER before expansion (PERF.md finding 46): without it the
+    # runtime replan can re-evaluate the verify expressions once per
+    # EXPANDED member pair instead of once per rep pair — the DP ran
+    # multiplicity² times and the collapse's win evaporated (sf1 49.7s vs
+    # 7s).  The lazy checkpoint pins verify values to the rep relation;
+    # no job runs until the caller's first action.
+    rep_pairs = rep_pairs.localCheckpoint(eager=False)
     out = _expand_member_pairs(rep_pairs, members, ["edit_distance", "rel_dist"])
     # identical texts: distance exactly 0, rel on the same rounding
     # lattice; groups with empty or null text emit nothing (the direct

@@ -7101,19 +7101,29 @@ def doc_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from pyspark.sql import Window as W
 
-    from biggraphite_spark.operators.dedup import dup_clusters
+    from biggraphite_spark.operators.dedup import (
+        dup_clusters,
+        lsh_near_dups,
+        lsh_near_dups_quotient,
+    )
     from biggraphite_spark.operators.graph import neardup_pagerank
 
-    from biggraphite_spark.operators.dedup import lsh_near_dups
-
     docs = _load_parallel(spark, sf_dir, "documents")
-    # ONE LSH pipeline, two consumers: the cached pair graph feeds both
-    # the CC labelling and the PageRank iterations
-    pairs = lsh_near_dups(docs, threshold=0.5).cache()
-    clusters = dup_clusters(docs, pairs=pairs).select(
-        "doc_id", "cluster_id", "cluster_size"
-    )
-    scores = neardup_pagerank(docs, pairs=pairs)
+    # ONE LSH pipeline, two consumers: the quotient (or, fallback, the
+    # cached pair graph) feeds both the CC labelling and the PageRank
+    # iterations
+    q = lsh_near_dups_quotient(docs, threshold=0.5)
+    if q is not None:
+        clusters = dup_clusters(docs, quotient=q).select(
+            "doc_id", "cluster_id", "cluster_size"
+        )
+        scores = neardup_pagerank(docs, quotient=q)
+    else:
+        pairs = lsh_near_dups(docs, threshold=0.5).cache()
+        clusters = dup_clusters(docs, pairs=pairs).select(
+            "doc_id", "cluster_id", "cluster_size"
+        )
+        scores = neardup_pagerank(docs, pairs=pairs)
     w = W.partitionBy("cluster_id").orderBy(
         F.desc("score"), F.asc("doc_id")
     )
@@ -7384,10 +7394,19 @@ def doc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     each via the ordered node-iterator join (x < y < z) on the canonical
     pair list; three hash joins, no cartesian."""
     _utc(spark)
-    from biggraphite_spark.operators.dedup import lsh_near_dups
+    from biggraphite_spark.operators.dedup import (
+        lsh_near_dups,
+        lsh_near_dups_quotient,
+    )
     from biggraphite_spark.operators.graph import triangle_stats
 
     docs = _load_parallel(spark, sf_dir, "documents")
+    # the twin quotient read straight off the dedup text collapse: the
+    # closed-form expansion never enumerates a clique triangle (the probe
+    # declines on diverse corpora and the expanded flow takes over)
+    q = lsh_near_dups_quotient(docs, threshold=0.5)
+    if q is not None:
+        return triangle_stats(None, docs.select("doc_id"), quotient=q)
     # the pair subtree feeds e1/e2/e3 and the degree union — cache it
     pairs = lsh_near_dups(docs, threshold=0.5).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
@@ -7434,10 +7453,19 @@ def doc_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the fixpoint); the oracle replays the peel as an iteration-counter
     recursive CTE."""
     _utc(spark)
-    from biggraphite_spark.operators.dedup import lsh_near_dups
+    from biggraphite_spark.operators.dedup import (
+        lsh_near_dups,
+        lsh_near_dups_quotient,
+    )
     from biggraphite_spark.operators.graph import kcore
 
     docs = _load_parallel(spark, sf_dir, "documents")
+    # twin quotient off the dedup text collapse: the peel runs over class
+    # edges with integer weights, bit-identical surviving degrees
+    q = lsh_near_dups_quotient(docs, threshold=0.5)
+    if q is not None:
+        return kcore(None, docs.select("doc_id"), k=_KCORE_K,
+                     rounds=_KCORE_ROUNDS, quotient=q)
     pairs = lsh_near_dups(docs, threshold=0.5).cache()
     edges = pairs.select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
@@ -7786,6 +7814,10 @@ _REWRITTEN_SINCE_GREEN = frozenset({
     "doc_triangles", "doc_kcore", "doc_pagerank", "doc_pagerank_capped",
     "doc_representatives", "doc_dup_clusters", "doc_dup_clusters_star",
     "doc_quality_propagation",
+    # r10: dedup-provided quotient (lsh_near_dups_quotient) threaded into
+    # chunk_neardup's closed-form dropped set and leakage_free_split's
+    # dup_clusters path
+    "doc_chunk_neardup", "doc_split_leakage_free",
 })
 
 

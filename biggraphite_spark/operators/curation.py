@@ -577,7 +577,7 @@ def chunk_neardup(
     over :func:`chunk_dedup` is the signature pass, still linear in corpus
     tokens.
     """
-    from .dedup import lsh_near_dups
+    from .dedup import lsh_near_dups, lsh_near_dups_quotient
 
     chunks = _chunks_exploded(docs, text_col, chunk).withColumn(
         "ckey", F.shiftleft(F.col("doc_id"), 32) + F.col("chunk_id")
@@ -585,10 +585,39 @@ def chunk_neardup(
     pseudo = chunks.select(
         F.col("ckey").alias("doc_id"), F.col("chunk_text").alias("text")
     )
-    pairs = lsh_near_dups(pseudo, threshold=threshold, k=k, bands=bands, n=n)
-    dropped = pairs.select(F.col("doc_b").alias("ckey")).distinct().withColumn(
-        "dropme", F.lit(1)
+    quotient = lsh_near_dups_quotient(
+        pseudo, threshold=threshold, k=k, bands=bands, n=n
     )
+    if quotient is not None:
+        # CLOSED-FORM dropped set over the twin quotient (boilerplate
+        # chunks repeat massively, so the member-pair expansion is the
+        # whole cost here): dropped(v) ⟺ some neighbor has a smaller id
+        # ⟺ (m ≥ 2 ∧ v > cls)                    — a classmate is smaller
+        #   ∨ (min adjacent class id < v)        — cls IS its class's min
+        # member id, so the smallest external neighbor of anyone in class
+        # X is min over adjacent classes Y of cls_Y.  Class-sized compute
+        # + one id join back to members; no pair is ever emitted.
+        membership, class_pairs = quotient
+        sym = class_pairs.unionByName(
+            class_pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        minadj = sym.groupBy("a").agg(F.min("b").alias("minadj")).select(
+            F.col("a").alias("cls"), "minadj"
+        )
+        dropped = (
+            membership.join(minadj, "cls", "left")
+            .filter(
+                ((F.col("m") >= 2) & (F.col("node") > F.col("cls")))
+                | (F.col("minadj") < F.col("node"))
+            )
+            .select(F.col("node").alias("ckey"))
+            .withColumn("dropme", F.lit(1))
+        )
+    else:
+        pairs = lsh_near_dups(pseudo, threshold=threshold, k=k, bands=bands, n=n)
+        dropped = pairs.select(F.col("doc_b").alias("ckey")).distinct().withColumn(
+            "dropme", F.lit(1)
+        )
     # no broadcast hint: on a boilerplate-heavy corpus the dropped set is
     # corpus-sized; a plain hash join lets AQE broadcast only when it fits
     return (

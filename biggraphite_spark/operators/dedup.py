@@ -874,6 +874,99 @@ def lsh_candidate_pairs(
     )
 
 
+def _lsh_rep_pairs(
+    base: DataFrame,
+    threshold: float,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    n: int = 3,
+    method: str = "arrow",
+) -> DataFrame:
+    """The LSH candidate + true-Jaccard verify core over ``base`` docs
+    (the distinct-text representatives when collapsed, the raw corpus
+    otherwise): banded signature self-join, ``array_intersect`` verify on
+    candidates only.  Both relations are cached — the banded signatures
+    feed both sides of the candidate self-join and the shingle relation
+    both sides of the verify join, and Spark does not dedupe common
+    subtrees within one action."""
+    sig_fn = (
+        minhash_signatures_arrow
+        if method == "arrow"
+        else minhash_signatures_projection
+    )
+    sigs = sig_fn(base, k=k, n=n).cache()
+    cands = lsh_candidate_pairs(sigs, k=k, bands=bands)
+    sh = with_shingles(base, n=n).select("doc_id", "shingles").cache()
+    pairs = (
+        cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sa"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sb"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter / (F.size("sa") + F.size("sb") - inter)
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def lsh_near_dups_quotient(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    n: int = 3,
+    method: str = "arrow",
+    collapse: bool | str = "auto",
+    collapse_ratio: float = 0.8,
+):
+    """The TWIN-CLASS QUOTIENT of the :func:`lsh_near_dups` pair graph,
+    read directly off the dedup pipeline's distinct-text collapse — no
+    pair expansion, no neighbor-array re-detection.
+
+    Identical non-null texts form CLOSED twin classes of the near-dup
+    graph by construction: same text ⇒ same shingle set ⇒ same signature,
+    band keys and verified Jaccard against every other document (class
+    adjacency is all-or-nothing), and members pair with each other at
+    Jaccard exactly 1.0 ≥ threshold (mutual clique).  Null-text documents
+    are isolated on the pair graph (NULL never equijoins in the candidate
+    or verify joins) and are left OUT of the membership — every consumer
+    coalesces absent nodes to the isolated value.  The class graph is the
+    rep-pair relation the collapsed builder already computes BEFORE member
+    expansion, so the graph family consumes the quotient the dedup stage
+    produced instead of expanding member pairs only to re-collapse them
+    (``graph._twin_quotient``'s generic detection pays two array-keyed
+    shuffles the text groups make redundant).
+
+    Returns ``(membership, class_pairs)`` — membership ``(node, cls, m,
+    closed)`` with ``cls`` = min member doc_id, class_pairs ``(a, b)``
+    with ``a < b`` — the exact shape ``graph._twin_*`` consume — or
+    ``None`` when the distinct-text probe declines (diverse corpus; the
+    caller falls back to the expanded pair graph)."""
+    base, members, collapsed = _collapsed_texts(docs, "text", collapse, collapse_ratio)
+    if not collapsed:
+        return None
+    rep_pairs = _lsh_rep_pairs(
+        base, threshold, k=k, bands=bands, n=n, method=method
+    ).localCheckpoint(eager=False)
+    membership = (
+        members.filter(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").alias("node"),
+            F.col("rid").alias("cls"),
+            "m",
+            # identical texts pair at Jaccard exactly 1.0, so an m≥2 text
+            # group is a clique (closed class) for every threshold ≤ 1.0
+            ((F.col("m") >= 2) & F.lit(threshold <= 1.0)).alias("closed"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    class_pairs = rep_pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    return membership, class_pairs
+
+
 def lsh_near_dups(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -908,26 +1001,8 @@ def lsh_near_dups(
     is the pair-graph build every downstream graph contract shares, so
     the clone-squared saving compounds.
     """
-    sig_fn = (
-        minhash_signatures_arrow
-        if method == "arrow"
-        else minhash_signatures_projection
-    )
     base, members, collapsed = _collapsed_texts(docs, "text", collapse, collapse_ratio)
-    sigs = sig_fn(base, k=k, n=n).cache()
-    cands = lsh_candidate_pairs(sigs, k=k, bands=bands)
-    sh = with_shingles(base, n=n).select("doc_id", "shingles").cache()
-    pairs = (
-        cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sa"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sb"), "doc_b")
-    )
-    inter = F.size(F.array_intersect("sa", "sb"))
-    jac = inter / (F.size("sa") + F.size("sb") - inter)
-    rep_pairs = (
-        pairs.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    rep_pairs = _lsh_rep_pairs(base, threshold, k=k, bands=bands, n=n, method=method)
     if not collapsed:
         return rep_pairs
     # barrier: pin the array_intersect verify to the rep relation —
@@ -1108,6 +1183,7 @@ def dup_clusters(
     max_degree: int | None = None,
     collapse: bool | str = "auto",
     collapse_ratio: float = 0.8,
+    quotient=None,
 ) -> DataFrame:
     """Near-duplicate cluster assignment: connected components over the
     near-dup pair graph, labelled by the minimum doc_id in each component.
@@ -1155,6 +1231,28 @@ def dup_clusters(
     """
     if cc_method not in ("auto", "driver", "minlabel", "star"):
         raise ValueError(f"unknown cc_method {cc_method!r}")
+    if (
+        quotient is None
+        and pairs is None
+        and max_degree is None
+        and collapse
+        and cc_method in ("auto", "star")
+    ):
+        # no pair graph built yet and nothing (capping) breaks the text-
+        # group twin structure: read the quotient straight off the dedup
+        # collapse — the pair graph is never expanded at all
+        quotient = lsh_near_dups_quotient(
+            docs, threshold=threshold, k=k, bands=bands, n=n,
+            collapse=collapse, collapse_ratio=collapse_ratio,
+        )
+    if quotient is not None and cc_method in ("auto", "star"):
+        from .graph import _cc_from_twin_quotient
+
+        labels = _cc_from_twin_quotient(
+            docs, None, cc_method, driver_max_edges, max_iters,
+            collapse, collapse_ratio, quotient=quotient,
+        )
+        return _finish_clusters(labels)
     if pairs is None:
         pairs = lsh_near_dups(docs, threshold=threshold, k=k, bands=bands, n=n)
     if max_degree is not None:

@@ -132,12 +132,13 @@ def _twin_classes(membership: DataFrame) -> DataFrame:
 
 def _cc_from_twin_quotient(
     docs: DataFrame,
-    pair_ids: DataFrame,
+    pair_ids: DataFrame | None,
     cc_method: str,
     driver_max_edges: int,
     max_iters: int,
     collapse: bool | str,
     collapse_ratio: float,
+    quotient=None,
 ) -> DataFrame | None:
     """Connected-component labels over the twin quotient, for
     ``dedup.dup_clusters``: twins share their component, class ids are min
@@ -147,16 +148,19 @@ def _cc_from_twin_quotient(
     probe declines.  ``cc_method="auto"`` tries the driver union-find on
     the (usually tiny) class-pair list first; ``"star"`` keeps the
     distributed large-star/small-star path, just on the class graph."""
-    sym = pair_ids.select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-    )
-    sym = sym.unionByName(
-        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
-    q = _twin_quotient(sym, collapse, collapse_ratio)
-    if q is None:
-        return None
-    membership, cp = q
+    if quotient is not None:
+        membership, cp = quotient
+    else:
+        sym = pair_ids.select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        )
+        sym = sym.unionByName(
+            sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        q = _twin_quotient(sym, collapse, collapse_ratio)
+        if q is None:
+            return None
+        membership, cp = q
     from .dedup import _cc_star_labels, _union_find
 
     cls_lab = None
@@ -313,6 +317,7 @@ def pagerank(
     seeds: DataFrame | None = None,
     collapse: bool | str = False,
     collapse_ratio: float = 0.8,
+    quotient=None,
 ) -> DataFrame:
     """Fixed-iteration PageRank: ``rank' = teleport(v) + d * Σ rank(u) *
     w(u,v)/wout(u)`` over directed ``edges(a, b[, weight])``; every node
@@ -342,8 +347,13 @@ def pagerank(
     and seed-flag refinement; the only weighted consumer is far off the
     cost ceiling).
     """
-    if collapse and weight_col is None and seeds is None:
-        q = _twin_quotient(edges, collapse, collapse_ratio)
+    if weight_col is None and seeds is None:
+        # a PRECOMPUTED quotient (``dedup.lsh_near_dups_quotient`` — the
+        # twin classes read straight off the distinct-text collapse) takes
+        # precedence over in-graph detection; ``edges`` may be None then
+        q = quotient
+        if q is None and collapse:
+            q = _twin_quotient(edges, collapse, collapse_ratio)
         if q is not None:
             return _twin_pagerank(
                 q[0], q[1], nodes, id_col, iterations, damping,
@@ -545,6 +555,7 @@ def triangle_stats(
     salt: int = 1,
     collapse: bool | str = "auto",
     collapse_ratio: float = 0.8,
+    quotient=None,
 ) -> DataFrame:
     """Per-node triangle count + local clustering coefficient over an
     undirected graph given as CANONICAL pairs ``(a, b)`` with ``a < b``.
@@ -577,6 +588,8 @@ def triangle_stats(
     costing C(100,3) enumerated rows each.  ``salt`` is moot on that path
     (the class graph is skew-free by construction).
     """
+    if quotient is not None:
+        return _twin_triangle_stats(quotient[0], quotient[1], nodes, id_col)
     p = pairs.select(F.col("a"), F.col("b"))
     if collapse:
         sym = p.unionByName(
@@ -722,6 +735,7 @@ def kcore(
     max_rounds: int = 100,
     collapse: bool | str = "auto",
     collapse_ratio: float = 0.8,
+    quotient=None,
 ) -> DataFrame:
     """k-core peel over SYMMETRIC ``edges(a, b)``: iteratively remove
     nodes with fewer than ``k`` surviving neighbors.
@@ -751,13 +765,14 @@ def kcore(
     (:func:`_twin_kcore`) — integer-weighted, bit-identical surviving
     degrees, rounds over the class graph only.
     """
-    if collapse:
+    q = quotient
+    if q is None and collapse:
         q = _twin_quotient(edges.select("a", "b"), collapse, collapse_ratio)
-        if q is not None:
-            return _twin_kcore(
-                q[0], q[1], nodes, k, rounds, id_col,
-                checkpoint_every, max_rounds,
-            )
+    if q is not None:
+        return _twin_kcore(
+            q[0], q[1], nodes, k, rounds, id_col,
+            checkpoint_every, max_rounds,
+        )
     alive = edges.select(
         "a", "b", F.lit(1).cast("long").alias("w")
     ).localCheckpoint()
@@ -840,6 +855,7 @@ def neardup_pagerank(
     pairs: DataFrame | None = None,
     max_degree: int | None = None,
     collapse: bool | str = "auto",
+    quotient=None,
 ) -> DataFrame:
     """Duplication-centrality scores: PageRank over the symmetric
     MinHash-LSH near-dup graph (``lsh_near_dups``).  Output
@@ -854,29 +870,40 @@ def neardup_pagerank(
     clone-replicated or templated corpora grow quadratically.
     ``collapse`` (default "auto") runs the iteration on the twin-class
     quotient when the graph has enough twins — see :func:`pagerank`."""
-    from .dedup import cap_pair_fanout, lsh_near_dups
+    from .dedup import cap_pair_fanout, lsh_near_dups, lsh_near_dups_quotient
 
-    if pairs is None:
-        pairs = lsh_near_dups(docs, threshold=threshold)
-    if max_degree is not None:
-        pairs = cap_pair_fanout(pairs, max_degree)
-    # the two-direction union references the pair subtree twice; cache it
-    # or the LSH candidate+verify joins execute twice
-    pairs = pairs.select("doc_a", "doc_b").cache()
-    edges = pairs.select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
-    )
     nodes = docs.select("doc_id")
     n = nodes.count()
-    # collapse="auto" rides through: the near-dup graph of a clone corpus
-    # is a twin blow-up (uncapped: text groups are closed twin cliques;
-    # capped: core/spoke split still twin-collapses), and the quotient
-    # probe backs off by itself on diverse corpora
-    pr = pagerank(edges, nodes, id_col="doc_id",
-                  iterations=iterations, damping=damping,
-                  collapse=collapse)
+    if quotient is None and pairs is None and max_degree is None and collapse:
+        # no pair graph built yet and no capping to break the text-group
+        # twin structure: read the quotient straight off the dedup
+        # collapse — the pair graph is never expanded at all (the probe
+        # declines on diverse corpora and the flow below takes over)
+        quotient = lsh_near_dups_quotient(docs, threshold=threshold)
+    if quotient is not None:
+        pr = pagerank(None, nodes, id_col="doc_id",
+                      iterations=iterations, damping=damping,
+                      quotient=quotient)
+    else:
+        if pairs is None:
+            pairs = lsh_near_dups(docs, threshold=threshold)
+        if max_degree is not None:
+            pairs = cap_pair_fanout(pairs, max_degree)
+        # the two-direction union references the pair subtree twice; cache
+        # it or the LSH candidate+verify joins execute twice
+        pairs = pairs.select("doc_a", "doc_b").cache()
+        edges = pairs.select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        ).unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        # collapse="auto" rides through: the near-dup graph of a clone
+        # corpus is a twin blow-up (uncapped: text groups are closed twin
+        # cliques; capped: core/spoke split still twin-collapses), and the
+        # quotient probe backs off by itself on diverse corpora
+        pr = pagerank(edges, nodes, id_col="doc_id",
+                      iterations=iterations, damping=damping,
+                      collapse=collapse)
     return pr.select(
         "doc_id",
         F.round(F.col("rank") * F.lit(float(n)) + 1.23e-9, 6).alias("score"),

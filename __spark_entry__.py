@@ -7192,21 +7192,35 @@ def doc_quality_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (trusted-set label propagation).  score = rank × 1000 on the rounded
     lattice with the PAIRED tie-breaker."""
     _utc(spark)
-    from biggraphite_spark.operators.dedup import lsh_near_dups
-    from biggraphite_spark.operators.graph import pagerank
+    from biggraphite_spark.operators.dedup import (
+        lsh_near_dups,
+        lsh_near_dups_quotient,
+    )
+    from biggraphite_spark.operators.graph import (
+        pagerank,
+        twin_pagerank_seeded,
+    )
 
     docs = _load_parallel(spark, sf_dir, "documents")
-    # cached: the two-direction union references the pair subtree twice
-    pairs = lsh_near_dups(docs, threshold=0.5).cache()
-    edges = pairs.select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b"),
-        F.col("jaccard").alias("w"),
-    ).unionByName(pairs.select(
-        F.col("doc_b").alias("a"), F.col("doc_a").alias("b"),
-        F.col("jaccard").alias("w"),
-    ))
     seeds = docs.filter(F.col("source") == "src0").select("doc_id")
-    pr = pagerank(edges, docs.select("doc_id"), weight_col="w", seeds=seeds)
+    # seeded/weighted twin quotient: text-group classes refine by the
+    # seed flag and edge weights are class-level (the verified Jaccard
+    # depends only on the two texts), so the iteration runs on the
+    # refined class graph with constant shares
+    q = lsh_near_dups_quotient(docs, threshold=0.5, with_weights=True)
+    if q is not None:
+        pr = twin_pagerank_seeded(q[0], q[1], docs.select("doc_id"), seeds)
+    else:
+        # cached: the two-direction union references the pair subtree twice
+        pairs = lsh_near_dups(docs, threshold=0.5).cache()
+        edges = pairs.select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b"),
+            F.col("jaccard").alias("w"),
+        ).unionByName(pairs.select(
+            F.col("doc_b").alias("a"), F.col("doc_a").alias("b"),
+            F.col("jaccard").alias("w"),
+        ))
+        pr = pagerank(edges, docs.select("doc_id"), weight_col="w", seeds=seeds)
     return pr.select(
         "doc_id",
         F.round(F.col("rank") * 1000 + 1.23e-9, 6).alias("score"),

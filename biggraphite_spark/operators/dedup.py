@@ -919,6 +919,7 @@ def lsh_near_dups_quotient(
     method: str = "arrow",
     collapse: bool | str = "auto",
     collapse_ratio: float = 0.8,
+    with_weights: bool = False,
 ):
     """The TWIN-CLASS QUOTIENT of the :func:`lsh_near_dups` pair graph,
     read directly off the dedup pipeline's distinct-text collapse — no
@@ -942,7 +943,11 @@ def lsh_near_dups_quotient(
     closed)`` with ``cls`` = min member doc_id, class_pairs ``(a, b)``
     with ``a < b`` — the exact shape ``graph._twin_*`` consume — or
     ``None`` when the distinct-text probe declines (diverse corpus; the
-    caller falls back to the expanded pair graph)."""
+    caller falls back to the expanded pair graph).  ``with_weights=True``
+    adds the rounded rep Jaccard as a ``jaccard`` column on class_pairs
+    (class-level weights are well defined: the verify depends only on the
+    two texts), for the weighted/seeded quotient consumers; within-class
+    member pairs weigh exactly 1.0 by the identical-text rule."""
     base, members, collapsed = _collapsed_texts(docs, "text", collapse, collapse_ratio)
     if not collapsed:
         return None
@@ -961,9 +966,10 @@ def lsh_near_dups_quotient(
         )
         .localCheckpoint(eager=False)
     )
-    class_pairs = rep_pairs.select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-    )
+    cols = [F.col("doc_a").alias("a"), F.col("doc_b").alias("b")]
+    if with_weights:
+        cols.append(F.col("jaccard"))
+    class_pairs = rep_pairs.select(*cols)
     return membership, class_pairs
 
 

@@ -306,6 +306,162 @@ def _twin_pagerank(
     )
 
 
+def twin_pagerank_seeded(
+    membership: DataFrame,
+    class_pairs_w: DataFrame,
+    nodes: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "doc_id",
+    iterations: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """PERSONALIZED, weight-aware PageRank on the dedup text-group
+    quotient — the seeded/weighted sibling of :func:`_twin_pagerank` for
+    ``doc_quality_propagation``-shaped consumers (teleport mass flows only
+    to a trusted seed set; edges weigh their verified Jaccard).
+
+    The text-group classes refine by the SEED FLAG: swapping two same-text
+    members with equal flags is an automorphism of the weighted graph that
+    also preserves the teleport vector, so rank is uniform per refined
+    class (g, s).  Two facts keep the quotient iteration constant-share:
+
+    - a member's OUT-WEIGHT depends only on its text group g (classmates
+      weigh 1.0 each, adjacent groups g' weigh jac(g,g') per member):
+      ``W_g = (m_g - 1) + Σ_{g'~g} m_{g'}·jac(g,g')``
+    - the contribution into one member of (g', s') from the whole of
+      (g, s) is ``rm_{g,s}·rank_{g,s}·jac(g,g')/W_g`` (cross-group), and
+      from classmates ``(rm_{g,s} - [same class])·rank_{g,s}·1/W_g``.
+
+    ``membership`` is :func:`dedup.lsh_near_dups_quotient`'s ``(node, cls,
+    m, closed)``; ``class_pairs_w`` its ``with_weights=True`` form ``(a, b,
+    jaccard)``.  Docs absent from the membership (null texts) are isolated:
+    seeds hold their teleport ``(1-d)/n_seeds``, non-seeds 0.  The
+    multiply-by-count vs sum-of-identical-terms difference is the same
+    ulp-level FP association class the unweighted twin path documents."""
+    from pyspark.sql import Window
+
+    seed_flag = (
+        seeds.select(F.col(id_col).alias("node"))
+        .distinct()
+        .withColumn("_seed", F.lit(True))
+    )
+    n_seeds = seed_flag.count()
+    if n_seeds == 0:
+        raise ValueError("personalized pagerank needs a non-empty seed set")
+    mem = (
+        membership.select("node", "cls", "m")
+        .join(F.broadcast(seed_flag), "node", "left")
+        .select(
+            "node", "cls", "m",
+            F.coalesce(F.col("_seed"), F.lit(False)).alias("seed"),
+        )
+    )
+    wr = Window.partitionBy("cls", "seed")
+    mem = (
+        mem.withColumn("rcls", F.min("node").over(wr))
+        .withColumn("rm", F.count("*").over(wr))
+        .localCheckpoint(eager=False)
+    )
+    # one row per refined class, carrying its text group and sizes
+    rclasses = mem.select("rcls", "cls", "seed", "rm", "m").distinct()
+    sym = class_pairs_w.select("a", "b", "jaccard").unionByName(
+        class_pairs_w.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "jaccard"
+        )
+    )
+    gm = rclasses.groupBy("cls").agg(F.first("m").alias("m"))
+    cross_w = (
+        sym.join(gm.select(F.col("cls").alias("b"), F.col("m").alias("mb")), "b")
+        .groupBy("a")
+        .agg(F.sum(F.col("mb") * F.col("jaccard")).alias("sw"))
+    )
+    wout = gm.join(cross_w.withColumnRenamed("a", "cls"), "cls", "left").select(
+        "cls",
+        (
+            (F.col("m") - 1).cast("double")
+            + F.coalesce(F.col("sw"), F.lit(0.0))
+        ).alias("wg"),
+    )
+    # wg = 0 only for an edge-free singleton group (m = 1, no adjacent
+    # classes): it contributes nothing, and keeping it would put a NaN
+    # (0/0.0) share row into the intra relation
+    src = rclasses.join(wout, "cls").filter(F.col("wg") > 0).select(
+        F.col("rcls").alias("src"),
+        F.col("cls").alias("ga"),
+        F.col("rm").alias("rm_src"),
+        F.col("wg"),
+    )
+    dst = rclasses.select(
+        F.col("rcls").alias("dst"), F.col("cls").alias("gb")
+    )
+    shares_cross = (
+        sym.join(src, sym.a == src.ga)
+        .join(dst, sym.b == dst.gb)
+        .select(
+            "src",
+            "dst",
+            (F.col("rm_src") * F.col("jaccard") / F.col("wg")).alias("share"),
+        )
+    )
+    shares_intra = (
+        src.join(dst, src.ga == dst.gb)
+        .select(
+            "src",
+            "dst",
+            (
+                (F.col("rm_src")
+                 - F.when(F.col("src") == F.col("dst"), 1).otherwise(0))
+                / F.col("wg")
+            ).alias("share"),
+        )
+        .filter(F.col("share") != 0.0)
+    )
+    shares = shares_cross.unionByName(shares_intra).localCheckpoint(eager=False)
+
+    tele = F.when(F.col("seed"), (1.0 - damping) / n_seeds).otherwise(0.0)
+    init = F.when(F.col("seed"), 1.0 / n_seeds).otherwise(0.0)
+    base = rclasses.select(F.col("rcls").alias("id"), "seed").localCheckpoint(
+        eager=False
+    )
+    ranks = base.select("id", init.alias("rank"))
+    for i in range(iterations):
+        contribs = (
+            shares.join(ranks, shares.src == ranks.id)
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") * F.col("share")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = base.join(contribs, "id", "left").select(
+            "id",
+            "seed",
+            (
+                tele + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint()
+    per_node = mem.join(
+        ranks.select(F.col("id").alias("rcls"), "rank"), "rcls"
+    ).select(F.col("node").alias("id"), "rank")
+    iso_seed = (1.0 - damping) / n_seeds if iterations >= 1 else 1.0 / n_seeds
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(per_node, "id", "left")
+        .join(F.broadcast(seed_flag.withColumnRenamed("node", "id")), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(
+                F.col("rank"),
+                F.when(F.col("_seed"), F.lit(iso_seed)).otherwise(F.lit(0.0)),
+            ).alias("rank"),
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     nodes: DataFrame,

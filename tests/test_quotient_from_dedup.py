@@ -191,6 +191,44 @@ def test_dup_clusters_builds_quotient_itself(corpus):
     assert got == want
 
 
+def test_twin_pagerank_seeded_matches_expanded(spark, corpus):
+    """Seeded, jaccard-weighted PageRank on the (text group × seed flag)
+    refined quotient equals the expanded weighted/personalized loop on the
+    ROUNDED lattice (the multiply-by-count vs sum-of-identical-terms
+    difference is ulp-level FP association, absorbed exactly like the
+    unweighted twin path's).  Seeds deliberately split clone groups: some
+    members of a group are seeds, some are not."""
+    from biggraphite_spark.operators.graph import pagerank, twin_pagerank_seeded
+
+    # seeds: base docs with doc_id % 3 == 0 and SOME clones (rep 1 only),
+    # plus one null-text doc — splitting text groups across the flag
+    seeds = corpus.filter(
+        ((F.col("doc_id") < N_BASE) & (F.col("doc_id") % 3 == 0))
+        | ((F.col("doc_id") >= 1000) & (F.col("doc_id") < 1040))
+        | (F.col("doc_id") == 90_000)
+    ).select("doc_id")
+    q = lsh_near_dups_quotient(corpus, threshold=0.5, collapse=True, with_weights=True)
+    assert q is not None
+    nodes = corpus.select("doc_id")
+    got = {
+        r["doc_id"]: round(r["rank"] * 1000 + 1.23e-9, 6)
+        for r in twin_pagerank_seeded(q[0], q[1], nodes, seeds).collect()
+    }
+    p = lsh_near_dups(corpus, threshold=0.5, collapse=False).cache()
+    edges = p.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b"),
+        F.col("jaccard").alias("w"),
+    ).unionByName(p.select(
+        F.col("doc_b").alias("a"), F.col("doc_a").alias("b"),
+        F.col("jaccard").alias("w"),
+    ))
+    want = {
+        r["doc_id"]: round(r["rank"] * 1000 + 1.23e-9, 6)
+        for r in pagerank(edges, nodes, weight_col="w", seeds=seeds).collect()
+    }
+    assert got == want
+
+
 def test_chunk_neardup_quotient_matches_expanded(spark, corpus):
     from biggraphite_spark.operators.curation import chunk_neardup
 

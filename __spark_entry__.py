@@ -6755,7 +6755,14 @@ def _tagged_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         uid.cast("string"),
         F.when(uid % 7 == 0, F.lit(";vip=true")).otherwise(F.lit("")),
     )
-    return with_tags(ev.select(series.alias("series")).distinct(), "series")
+    # distinct on the NARROW key pair, then synthesize the series string:
+    # the string embeds (event_type, user_id) injectively, so this is the
+    # same relation — but the shuffle carries 2 columns instead of a
+    # ~50-byte synthesized string, and the map-side partial agg hashes
+    # ints (at sf10 the string-keyed distinct was the whole cost of the
+    # tag queries)
+    keys = ev.select("event_type", "user_id").distinct()
+    return with_tags(keys.select(series.alias("series")), "series")
 
 
 @_register("bg_series_by_tag", _SERIES_BY_TAG_ORACLE)
@@ -7832,6 +7839,8 @@ _REWRITTEN_SINCE_GREEN = frozenset({
     # chunk_neardup's closed-form dropped set and leakage_free_split's
     # dup_clusters path
     "doc_chunk_neardup", "doc_split_leakage_free",
+    # r10: narrow-key distinct in _tagged_catalog (shared by both)
+    "bg_series_by_tag", "bg_tag_values",
 })
 
 

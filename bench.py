@@ -1,8 +1,12 @@
 #!/usr/bin/env python
 """Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+JSON line on stdout: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.  The stdout line is dumped compact
+(COMPACT_BUDGET) so it fits the driver's bounded tail capture; the full
+audit record (raw samples, per-chunk loadavg, materialization timings)
+goes to stderr as a "bench-audit: "-prefixed line — record-keeping runs
+archive that line, the driver parses the stdout one.
 
 Each query is forced end-to-end with the noop sink (full execution, no
 driver-side collect).
@@ -288,6 +292,51 @@ def build_record(
     return out
 
 
+#: The driver parses the contract line out of a BOUNDED TAIL of this
+#: process's output (BENCH_r01..r09 forensics: the stored tail is exactly
+#: 2000 chars and the ONLY round whose record parsed — r1 — is the only
+#: round whose complete JSON line fit inside it; every later round's line
+#: starts mid-tail and its ``parsed`` field is null).  The full audit
+#: record (samples, loadavg, materialization) is ~12 KB at 168 queries and
+#: can never fit, so it moves to stderr and the stdout line carries only
+#: the contract fields, dumped with compact separators.  Budget: the line
+#: must stay under this many bytes; if the 3-decimal dump exceeds it the
+#: values degrade to 2 decimals (timing noise on this box is >>10 ms, so
+#: nothing is lost).  168 names + 2-decimal values measure ~3.8 KB — this
+#: fits a 4 KB capture; nothing can fit a 2 KB capture short of renaming
+#: queries, which the contract forbids.
+COMPACT_BUDGET = 4000
+
+
+def compact_record(out: dict) -> str:
+    """The stdout contract line: {"metric", "value", "unit", "sf",
+    "queries": {name: sec}, plus errors/skipped/partial when present} —
+    same numbers as the audit record, minimal bytes."""
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+    }
+    if out.get("errors"):
+        compact["errors"] = {n: e[:60] for n, e in out["errors"].items()}
+    if out.get("skipped"):
+        compact["skipped"] = {n: r[:60] for n, r in out["skipped"].items()}
+    if out.get("partial"):
+        compact["partial"] = True
+    compact["queries"] = out["queries"]
+    line = json.dumps(compact, separators=(",", ":"))
+    for ndigits in (2, 1, None):
+        if len(line) <= COMPACT_BUDGET:
+            break
+        compact["queries"] = {
+            n: round(v, ndigits) for n, v in out["queries"].items()
+        }
+        compact["value"] = round(out["value"], ndigits)
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     import __spark_entry__ as entrymod
@@ -339,7 +388,13 @@ def main() -> None:
             samples, errors, chunk_loadavg, mat, SF_DIR, passes, partial,
             skipped=skipped,
         )
-        print(json.dumps(out), flush=True)
+        # full audit record (samples, loadavg, materialization) on stderr,
+        # prefixed so no line-scanner can mistake it for the contract line;
+        # record-keeping runs capture stderr and keep this as the archive
+        print("bench-audit: " + json.dumps(out), file=sys.stderr, flush=True)
+        # the contract line LAST and on stdout: one compact JSON line small
+        # enough to sit entirely inside the driver's bounded tail capture
+        print(compact_record(out), flush=True)
 
     # If a harness timeout SIGTERMs this process mid-suite, the timings
     # collected so far are still worth more than an empty record: emit a

@@ -51,3 +51,57 @@ def test_record_values_and_json_order():
     prefix = line.split('"queries"')[0]
     for field in ('"value"', '"sf"', '"loadavg_chunks"', '"errors"'):
         assert field in prefix, field
+
+
+def test_compact_record_is_small_and_contract_shaped():
+    # the driver parses the contract line out of a bounded tail capture
+    # (BENCH_r01..r09 forensics: only r1's sub-2KB line ever parsed), so
+    # the stdout line must stay inside COMPACT_BUDGET for the REAL
+    # registry's names even with worst-case 4-digit-second values
+    import __spark_entry__ as entrymod
+
+    names = list(entrymod._QUERIES)
+    samples = {n: [1234.567, 1234.568] for n in names}
+    out = bench.build_record(
+        samples=samples,
+        errors={},
+        chunk_loadavg=[3.2] * 6,
+        mat={"materialize_plain_sec": 7.5},
+        sf_dir="/root/testdata/sf0.1",
+        passes=2,
+        partial=False,
+    )
+    line = bench.compact_record(out)
+    assert len(line) <= bench.COMPACT_BUDGET
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total_wall"
+    assert parsed["unit"] == "sec"
+    assert parsed["sf"] == 0.1
+    assert set(parsed["queries"]) == set(names)
+    # budget degradation may round as far as whole seconds but never
+    # drops a query
+    assert abs(parsed["queries"][names[0]] - 1234.567) < 1.0
+    # no audit-only fields on the contract line
+    for absent in ("samples", "loadavg_chunks", "passes"):
+        assert absent not in parsed
+
+
+def test_compact_record_keeps_errors_and_partial():
+    out = bench.build_record(
+        samples={"q1": [1.5]},
+        errors={"q2": "AnalysisException: " + "x" * 300},
+        chunk_loadavg=[],
+        mat={},
+        sf_dir="/root/testdata/sf0.1",
+        passes=1,
+        partial=True,
+        skipped={"q3": "scale_domain max_sf=1: quadratic baseline " + "y" * 100},
+    )
+    line = bench.compact_record(out)
+    parsed = json.loads(line)
+    assert parsed["partial"] is True
+    assert list(parsed["errors"]) == ["q2"]
+    assert len(parsed["errors"]["q2"]) <= 60
+    assert list(parsed["skipped"]) == ["q3"]
+    assert len(parsed["skipped"]["q3"]) <= 60
+    assert parsed["queries"] == {"q1": 1.5}

@@ -7855,6 +7855,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {n: _QUERIES[n] for n in _gate_order(list(_QUERIES))}
 
 
+def registry_order() -> list[str]:
+    """Registration order, UNROTATED: the gate rotation above exists for
+    the driver's 50-slot correctness window, but bench.py must not chunk
+    by it — rotating 20 rewritten names to the front packs the heaviest
+    codegen plans into one measurement JVM and shifts every other query's
+    chunk neighborhood (measured: same tree, same box, same day, the
+    rotated order benches 437.7s vs 343.9s unrotated at sf0.1 — pure
+    JIT-position effect, PERF.md finding 18).  Registration order is
+    stable across green-set rotations, so per-round bench records stay
+    comparable."""
+    return list(_QUERIES)
+
+
 def oracle_sql() -> dict[str, str]:
     out = {}
     for n in _gate_order(list(_QUERIES)):

@@ -460,8 +460,18 @@ def main() -> None:
         for n in os.environ.get("SPARK_GRAFT_ONLY", "").split(",")
         if n.strip()
     }
+    qmap = entrymod.queries()
+    # measure in REGISTRATION order, not the correctness-gate order:
+    # queries() rotates driver-unchecked names to the front for the 50-slot
+    # correctness window, and that rotation both packs the heaviest plans
+    # into one fresh-JVM chunk and moves every query's chunk neighborhood
+    # between rounds (measured 437.7s vs 343.9s same tree/box/day at
+    # sf0.1).  Registration order is rotation-independent, so chunk
+    # composition — and with it the JIT-position noise class — is stable
+    # across rounds.
+    name_order = getattr(entrymod, "registry_order", lambda: list(qmap))()
     items = [
-        (n, f) for n, f in entrymod.queries().items() if not only or n in only
+        (n, qmap[n]) for n in name_order if not only or n in only
     ]
 
     # scale-domain adjudications: quadratic-by-design exact baselines are

@@ -111,3 +111,13 @@ def test_guard_off_is_transparent(spark):
         spark, lambda: spark.range(10).count()
     )
     assert breach is None and exc is None and elapsed >= 0
+
+
+def test_registry_order_matches_queries_set():
+    # bench.py chunks by registration order so that the driver-gate
+    # rotation (which reorders queries() each round) cannot change chunk
+    # composition between rounds; the two orders must stay the same SET
+    import __spark_entry__ as entrymod
+
+    assert set(entrymod.registry_order()) == set(entrymod.queries())
+    assert entrymod.registry_order() == list(entrymod._QUERIES)

@@ -291,14 +291,20 @@ def _collapsed_sets(
     the pair stages read (reps only when collapsed) and ``members`` maps
     every doc to its representative (None when not collapsed).
 
-    Grouping key: the SORTED SHINGLE ARRAY ITSELF, never a string encoding
-    of it — ``array_join`` drops null elements and a separator occurring
-    inside a shingle is ambiguous, so an encoded key could conflate a
-    null-text doc (shingles ``[NULL]``) with an empty-text doc (``['']``)
-    or two genuinely distinct sets.  Spark groups/partitions array columns
-    structurally (null-safe element equality), which is exact by
-    construction; the auto probe's ``xxhash64`` is only a cardinality
-    heuristic, so its null-element skipping cannot affect correctness."""
+    Grouping key: ``md5(to_json(sorted array))`` — an INJECTIVE encoding,
+    then a 128-bit hash.  ``array_join`` (the pre-r10 key) had two real
+    bugs: it silently drops null elements (conflating a null-text doc's
+    ``[NULL]`` with an empty-text doc's ``['']``) and a separator byte
+    inside a shingle is ambiguous.  ``to_json`` has neither (JSON escapes
+    every byte and renders null as ``null``), so distinct sets always get
+    distinct encodings.  The key must stay SCALAR: partitioning the window
+    by the raw array (the interim r10 state) shuffles AND sort-compares
+    multi-KB arrays as the key — measured 13.9s -> 241.7s on
+    ``doc_containment`` at sf1, a 17x regression for zero semantic gain
+    over the injective-encoding hash (md5 collisions are the same
+    negligible class every other md5-keyed stage here accepts).  The auto
+    probe's ``xxhash64`` is only a cardinality heuristic, so its
+    null-element skipping cannot affect correctness."""
     from pyspark.sql import Window
 
     sets = with_shingles(docs, n=n).select(
@@ -315,7 +321,7 @@ def _collapsed_sets(
     if collapse:
         # members: every doc tagged with its set's min-id representative;
         # lazy checkpoint — feeds the rep relation and both expansion sides
-        w = Window.partitionBy("shingles")
+        w = Window.partitionBy(F.md5(F.to_json("shingles")))
         members = (
             sets.withColumn("rid", F.min("doc_id").over(w))
             .withColumn("m", F.count("*").over(w))

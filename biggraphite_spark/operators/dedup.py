@@ -162,6 +162,9 @@ def _shared_shingle_counts(
         .agg(F.count("*").alias("sh_n"))
         .filter(F.col("sh_n") >= hot_min)
         .select("sh")
+        # four broadcast builds read this (cold anti x2, hot semi x2);
+        # checkpoint so the posting-count aggregation runs once per action
+        .localCheckpoint(eager=False)
     )
     cold = exploded.join(F.broadcast(hot_keys), "sh", "left_anti")
     cold_pairs = cold.alias("a").join(cold.alias("b"), pair_cond("a", "b"))
@@ -311,9 +314,18 @@ def _collapsed_sets(
         "doc_id", F.array_sort("shingles").alias("shingles")
     )
     if collapse == "auto":
-        probe = sets.agg(
+        # Probe the RAW TEXT column, not the shingle arrays: identical texts
+        # have identical sets, so distinct-text ratio >= distinct-set ratio
+        # and the probe stays a conservative routing heuristic between two
+        # LOSSLESS branches (it can only under-collapse, never change a
+        # result).  Hashing text in the JVM costs one columnar agg; the old
+        # shingle-set probe paid a full mapInPandas shingle pass over the
+        # corpus — a second Python-boundary crossing per operator — just to
+        # compute this scalar (guide §4: pass only what the function needs;
+        # here, don't enter Python at all).
+        probe = docs.agg(
             F.count("*").alias("total"),
-            F.approx_count_distinct(F.xxhash64("shingles")).alias("distinct"),
+            F.approx_count_distinct(F.xxhash64("text")).alias("distinct"),
         ).collect()[0]
         collapse = probe.total > 0 and probe.distinct / probe.total < collapse_ratio
 
@@ -390,6 +402,12 @@ def _prefix_filtered_candidates(
         .withColumn("pos", pos)
         .filter(F.col("pos") <= F.col("n_sh") - required + 1)
         .select("doc_id", "n_sh", "sh")
+        # the prefix relation feeds BOTH the cold (anti) and hot (semi)
+        # candidate branches; without a barrier each branch re-runs the df
+        # aggregation + join + per-doc position window from the posting RDD
+        # (plan audit: the Window and its feeding HashAggregates appeared
+        # twice, zero ReusedExchange) — lazy checkpoint computes it once
+        .localCheckpoint(eager=False)
     )
 
     # smaller side carries the prefix; ties broken by id so each unordered
@@ -406,7 +424,12 @@ def _prefix_filtered_candidates(
             cond = cond & extra_cond(a, b)
         return cond
 
-    hot_keys = dfc.filter(F.col("df") >= hot_min).select("sh")
+    # four broadcast builds read hot_keys (anti x2, semi x2); checkpoint so
+    # the df aggregation behind it runs once, not once per build (broadcast
+    # exchange reuse is not guaranteed across the branches under AQE)
+    hot_keys = (
+        dfc.filter(F.col("df") >= hot_min).select("sh").localCheckpoint(eager=False)
+    )
     cold_cand = (
         prefix.join(F.broadcast(hot_keys), "sh", "left_anti")
         .alias("a")

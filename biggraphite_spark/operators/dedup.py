@@ -918,6 +918,12 @@ def _lsh_rep_pairs(
     feed both sides of the candidate self-join and the shingle relation
     both sides of the verify join, and Spark does not dedupe common
     subtrees within one action."""
+    # NOT fused into one Arrow pass: a single mapInPandas emitting
+    # (shingles, h0..h15) was built and interleave-A/B'd at sf1 — 1.15x
+    # WORSE (2.84s -> 3.28s median) because every downstream read of the
+    # one wide cache (band explode, both self-join sides) then pays to
+    # deserialize the shingle arrays it does not need; two narrow caches
+    # beat one Python-pass saving on the collapsed (small) base relation.
     sig_fn = (
         minhash_signatures_arrow
         if method == "arrow"

@@ -63,6 +63,7 @@ def main() -> None:
         ("jaccard_prefix", lambda m: m.jaccard_prefix_pairs(docs, threshold=0.5)),
         ("containment_exact", lambda m: m.containment_pairs(docs, threshold=0.6)),
         ("ngram_exact", lambda m: m.ngram_jaccard_pairs(docs, threshold=0.5)),
+        ("lsh_near_dups", lambda m: m.lsh_near_dups(docs, threshold=0.5)),
     ]
     if only:
         cases = [c for c in cases if c[0] in only]

@@ -57,10 +57,14 @@ def _twin_quotient(
     corpus-specific assumption.  Twin (modular) reduction is a standard
     kernelization move in the graph-algorithms literature.
 
-    Classes are keyed by the NEIGHBOR ARRAYS THEMSELVES (sorted, grouped
-    structurally) — never a string encoding, for the same reason
-    ``_collapsed_sets`` groups by the shingle array.  Class id = min
-    member id; the probe hashes only feed ``approx_count_distinct``.
+    Classes are keyed by ``md5(to_json(sorted neighbor array))`` — an
+    INJECTIVE encoding of the id array, then a 128-bit hash — exactly the
+    scalar key ``_collapsed_sets`` uses for shingle sets.  Partitioning
+    the windows by the raw arrays (the r10 state) shuffles AND
+    sort-compares multi-KB neighbor arrays as the key: the measured-17x
+    defect class of dedup's interim array-keyed collapse (e526b4d), hit
+    here on every hub-heavy graph.  The arrays stay as payload only; the
+    probe hashes only feed ``approx_count_distinct``.
 
     Cost: one edge-keyed aggregation (adjacency arrays), two windows over
     the node relation, and one edges↦classes double join for the class
@@ -87,7 +91,7 @@ def _twin_quotient(
         if p.n == 0 or min(p.d_open, p.d_closed) / p.n >= collapse_ratio:
             return None
 
-    wc = Window.partitionBy("cnbrs")
+    wc = Window.partitionBy(F.md5(F.to_json("cnbrs")))
     keyed = adj.withColumn("cls", F.min("a").over(wc)).withColumn(
         "cm", F.count("*").over(wc)
     )
@@ -97,7 +101,7 @@ def _twin_quotient(
         F.col("cm").alias("m"),
         F.lit(True).alias("closed"),
     )
-    wo = Window.partitionBy("nbrs")
+    wo = Window.partitionBy(F.md5(F.to_json("nbrs")))
     open_part = (
         keyed.filter(F.col("cm") == 1)
         .withColumn("ocls", F.min("a").over(wo))
@@ -975,13 +979,22 @@ def hits(
     hub = ids.select("id", F.lit(1).cast("long").alias("hub"))
     auth = None
     # per round: auth ← Aᵀ·hub, then hub ← A·auth; both from the same
-    # generation, so the returned (hub_T, auth_T) is the textbook pair
+    # generation, so the returned (hub_T, auth_T) is the textbook pair.
+    # Each generation is pinned with a LAZY localCheckpoint before the next
+    # consumes it: hub_t's plan embeds auth_t's whole subtree (and the
+    # final action joins BOTH), so without the pin every generation's
+    # join+aggregation re-executed once inside its consumer — the same
+    # replicated-subtree defect the rep-pair barrier fixed in dedup
+    # (finding 46).  Rank relations are node-sized, so the per-round
+    # materialization is cheap; lineage also stays flat, which is what
+    # ``checkpoint_every`` bought before (kept for API compatibility).
     for i in range(iterations):
         auth = (
             ed.join(hub, ed.src == hub.id)
             .groupBy("dst")
             .agg(F.sum("hub").alias("auth"))
             .select(F.col("dst").alias("id"), "auth")
+            .localCheckpoint(eager=False)
         )
         hub = (
             ed.join(auth, ed.dst == auth.id)
@@ -989,9 +1002,11 @@ def hits(
             .agg(F.sum("auth").alias("hub"))
             .select(F.col("src").alias("id"), "hub")
         )
-        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
-            hub = hub.localCheckpoint()
-            auth = auth.localCheckpoint()
+        if (i + 1) < iterations:
+            # feeds the next round's auth; the LAST hub has exactly one
+            # consumer (the output join), so pinning it would only add a
+            # block write
+            hub = hub.localCheckpoint(eager=False)
     return (
         ids.join(hub, "id", "left")
         .join(auth, "id", "left")

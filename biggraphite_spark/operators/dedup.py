@@ -287,12 +287,18 @@ def _collapsed_sets(
     """Distinct-shingle-set collapse shared by the prefix-filtered pair
     operators (the finding-37 move on the shingle relation): docs with
     identical sets collapse to a min-id representative so the quadratic
-    candidate/verify stages run rep x rep.  ``collapse="auto"`` probes
-    ``approx_count_distinct(set hash) / count`` in one cheap pass and
-    collapses only below ``collapse_ratio``.  Returns ``(sh, members,
-    collapsed)`` where ``sh`` is the cached (doc_id, shingles, m) relation
-    the pair stages read (reps only when collapsed) and ``members`` maps
-    every doc to its representative (None when not collapsed).
+    candidate/verify stages run rep x rep.  ``collapse="auto"`` probes in
+    two JVM-only stages: ``approx_count_distinct(xxhash64(text)) / count``
+    first (identical texts imply identical sets, so a low text ratio
+    suffices), then — only when the text probe declines — the set hash
+    itself (``xxhash64(to_json(array_sort(shingles)))`` via the expression
+    shingle builder), which catches corpora whose texts differ only by
+    repeated n-grams or sub-n padding (identical sets, distinct texts).
+    Collapses when either ratio is below ``collapse_ratio``.  Returns
+    ``(sh, members, collapsed)`` where ``sh`` is the cached (doc_id,
+    shingles, m) relation the pair stages read (reps only when collapsed)
+    and ``members`` maps every doc to its representative (None when not
+    collapsed).
 
     Grouping key: ``md5(to_json(sorted array))`` — an INJECTIVE encoding,
     then a 128-bit hash.  ``array_join`` (the pre-r10 key) had two real
@@ -314,20 +320,36 @@ def _collapsed_sets(
         "doc_id", F.array_sort("shingles").alias("shingles")
     )
     if collapse == "auto":
-        # Probe the RAW TEXT column, not the shingle arrays: identical texts
-        # have identical sets, so distinct-text ratio >= distinct-set ratio
-        # and the probe stays a conservative routing heuristic between two
-        # LOSSLESS branches (it can only under-collapse, never change a
-        # result).  Hashing text in the JVM costs one columnar agg; the old
-        # shingle-set probe paid a full mapInPandas shingle pass over the
-        # corpus — a second Python-boundary crossing per operator — just to
-        # compute this scalar (guide §4: pass only what the function needs;
-        # here, don't enter Python at all).
+        # TWO-STAGE routing probe, both stages JVM expressions (guide §4:
+        # never enter Python for a routing scalar — the pre-r10 probe paid
+        # a full mapInPandas shingle pass).  Stage 1 hashes the RAW TEXT:
+        # identical texts have identical sets, so distinct-text ratio >=
+        # distinct-set ratio and a low text ratio already justifies the
+        # collapse.  Stage 2 (only when stage 1 declines) probes the SET
+        # HASH itself via the expression-form shingle builder: texts that
+        # differ only by repeated n-grams or sub-n padding have identical
+        # sets but distinct texts, so on boilerplate-heavy corpora the
+        # text probe alone would under-collapse and silently route to the
+        # quadratic path this collapse exists to avoid (the r10 ADVICE
+        # cliff).  Clone-heavy corpora route on stage 1 and never pay
+        # stage 2; diverse corpora pay one extra scan-speed aggregation.
+        # Both branches stay LOSSLESS — the probe can only pick the
+        # slower-but-equal plan, never change a result.
         probe = docs.agg(
             F.count("*").alias("total"),
             F.approx_count_distinct(F.xxhash64("text")).alias("distinct"),
         ).collect()[0]
         collapse = probe.total > 0 and probe.distinct / probe.total < collapse_ratio
+        if probe.total > 0 and not collapse:
+            # canonical set encoding: shingles_col already array_distincts,
+            # array_sort removes gram-order variation between equal sets
+            set_key = F.xxhash64(
+                F.to_json(F.array_sort(shingles_col(F.col("text"), n)))
+            )
+            sp = docs.agg(
+                F.approx_count_distinct(set_key).alias("distinct")
+            ).collect()[0]
+            collapse = sp.distinct / probe.total < collapse_ratio
 
     members = None
     if collapse:
@@ -495,11 +517,11 @@ def containment_prefix_pairs(
     quadratic core by the SQUARE of the average multiplicity — the sf1/sf10
     documents tables hold 50k/500k docs over the same 4,992 distinct sets,
     so the candidate stage is constant across the decade and only the
-    output grows.  ``collapse="auto"`` (default) probes
-    ``approx_count_distinct(set hash) / count`` in one cheap pass and
-    collapses only when the ratio is below ``collapse_ratio`` — a diverse
-    corpus (every set unique) skips the rep machinery entirely and pays
-    only the probe.
+    output grows.  ``collapse="auto"`` (default) routes through the
+    two-stage JVM probe of :func:`_collapsed_sets` (text hash first, set
+    hash when the text probe declines) and collapses only when a ratio is
+    below ``collapse_ratio`` — a diverse corpus (every set unique) skips
+    the rep machinery entirely and pays only the probe.
 
     **2. Prefix filtering (AllPairs/PPJoin principle, Chaudhuri et al.
     2006, applied to Broder containment).**  Fix one global shingle order —
@@ -806,13 +828,22 @@ def minhash_signatures_arrow(
       keep empty tokens, including trailing);
     - ``hashlib.md5`` over UTF-8 == Spark ``md5`` (same salted input
       ``f"{s}:" + shingle``), lowercase hex either side;
-    - Python ``min`` over 8-char ASCII-hex slices == ``array_min`` on
-      UTF8String (both bytewise);
-    - duplicate shingles need no dedup — they cannot change a min.
+    - the min of 8-char fixed-width lowercase-hex slices == the min of the
+      digest's big-endian uint32 words (fixed-width hex is lexicographic
+      == numeric), so the k minima run as ONE ``np.minimum.reduceat`` over
+      the batch's concatenated digest buffer and the hex rendering is one
+      vectorized ``binascii.hexlify`` of the winners — no per-shingle
+      Python slicing or per-column ``min`` generators;
+    - duplicate shingles within a doc are dropped (``dict.fromkeys``)
+      before hashing — duplicates cannot change a min.
 
     Measured ~5x over the HOF projection at sf0.1 (hashlib's C md5 vs
-    interpreted transform trees).  Pinned equal by test and by every LSH
-    oracle downstream of :func:`lsh_near_dups`.
+    interpreted transform trees), and another ~1.6x from the vectorized
+    min/hex path (the per-batch kernel is md5-bound after it; a
+    cross-batch uniq-dict variant was prototyped and measured SLOWER —
+    dict/index overhead exceeds the md5 savings on distinct-text
+    corpora).  Pinned equal by test and by every LSH oracle downstream of
+    :func:`lsh_near_dups`.
     """
     from pyspark.sql import types as T
 
@@ -823,40 +854,83 @@ def minhash_signatures_arrow(
     )
 
     def sig(batches):
+        import binascii
         import hashlib
 
+        import numpy as np
         import pandas as pd
 
+        md5 = hashlib.md5
+        pres = [f"{s}:".encode() for s in range(n_digests)]
         for pdf in batches:
             if not len(pdf):
                 continue
-            cols: dict[str, list] = {f"h{j}": [] for j in range(k)}
+            # one digest buffer per salt for the whole batch; per non-null
+            # doc, its shingles occupy one contiguous run in every buffer
+            bufs = [bytearray() for _ in range(n_digests)]
+            counts: list[int] = []
+            nulls: list[bool] = []
             for text in pdf[text_col]:
                 if text is None:
                     # expr form: the whole digest tree nulls out on null text
-                    for j in range(k):
-                        cols[f"h{j}"].append(None)
+                    nulls.append(True)
                     continue
+                nulls.append(False)
                 parts = text.split(" ")
                 if len(parts) >= n:
-                    sh = [
-                        " ".join(parts[i : i + n])
-                        for i in range(len(parts) - n + 1)
-                    ]
+                    sh = list(
+                        dict.fromkeys(
+                            " ".join(parts[i : i + n])
+                            for i in range(len(parts) - n + 1)
+                        )
+                    )
                 else:
                     sh = [" ".join(parts)]
+                encs = [g.encode("utf-8") for g in sh]
+                counts.append(len(encs))
                 for s in range(n_digests):
-                    pre = f"{s}:".encode()
-                    digs = [
-                        hashlib.md5(pre + g.encode("utf-8")).hexdigest()
-                        for g in sh
-                    ]
-                    for q in range(4):
-                        j = s * 4 + q
-                        if j >= k:
-                            break
-                        lo, hi = q * 8, q * 8 + 8
-                        cols[f"h{j}"].append(min(d[lo:hi] for d in digs))
+                    pre = pres[s]
+                    buf = bufs[s]
+                    for e in encs:
+                        buf += md5(pre + e).digest()
+            nn = len(counts)
+            if nn:
+                offsets = np.zeros(nn, dtype=np.int64)
+                np.cumsum(
+                    np.asarray(counts[:-1], dtype=np.int64), out=offsets[1:]
+                )
+                mins = np.empty((nn, k), dtype=np.uint32)
+                for s in range(n_digests):
+                    words = np.frombuffer(bytes(bufs[s]), dtype=">u4").reshape(
+                        -1, 4
+                    )
+                    w = min(4, k - s * 4)
+                    mins[:, s * 4 : s * 4 + w] = np.minimum.reduceat(
+                        words[:, :w], offsets, axis=0
+                    )
+                hexarr = (
+                    np.frombuffer(
+                        binascii.hexlify(mins.astype(">u4").tobytes()),
+                        dtype="S8",
+                    )
+                    .reshape(nn, k)
+                    .astype("U8")
+                )
+            cols: dict[str, object] = {}
+            if not any(nulls):
+                for j in range(k):
+                    cols[f"h{j}"] = hexarr[:, j]
+            else:
+                for j in range(k):
+                    out: list = []
+                    t = 0
+                    for isnull in nulls:
+                        if isnull:
+                            out.append(None)
+                        else:
+                            out.append(hexarr[t, j])
+                            t += 1
+                    cols[f"h{j}"] = out
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, **cols})
 
     return docs.select("doc_id", text_col).mapInPandas(sig, out_schema)
@@ -1483,7 +1557,13 @@ def _collapsed_texts(
         collapse = probe.total > 0 and probe.distinct / probe.total < collapse_ratio
     if not collapse:
         return docs, None, False
-    w = Window.partitionBy(text_col)
+    # SCALAR window key: partitioning by the raw text column would make
+    # multi-KB document bodies the shuffle+sort key — the measured-17x
+    # defect class of the interim array-keyed set collapse (e526b4d).
+    # md5(text) is the same negligible-collision class every other
+    # md5-keyed stage here accepts (exact_dedup, curate's is_exact_dup);
+    # the text rides along as payload only.
+    w = Window.partitionBy(F.md5(F.col(text_col)))
     members = (
         docs.select("doc_id", text_col)
         .withColumn("rid", F.min("doc_id").over(w))

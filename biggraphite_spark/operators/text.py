@@ -629,9 +629,16 @@ def rake_keywords(
     content = toks.filter(~F.col("tok").isin(*stopwords))
     # islands: consecutive non-stopword positions share (pos - rank)
     w_pos = Window.partitionBy("doc_id").orderBy("pos")
+    # LAZY localCheckpoint: seg feeds plen, word_stats AND phrase_scores —
+    # without the pin the posexplode + island-window subtree is built four
+    # times in the one action (plan-audited: 4x Exchange+Generate+Window);
+    # with it the explode/window run once and every consumer reads the
+    # doc_id-partitioned blocks (guide §2.4: share one exchange).  plen is
+    # likewise read by two consumers (word lengths + phrase text), so its
+    # collect_list aggregation is pinned too.
     seg = content.withColumn(
         "phrase_id", F.col("pos") - F.row_number().over(w_pos)
-    )
+    ).localCheckpoint(eager=False)
     # collect_list order is not guaranteed after the shuffle — sort by the
     # carried position before joining the phrase text
     plen = seg.groupBy("doc_id", "phrase_id").agg(
@@ -643,7 +650,7 @@ def rake_keywords(
             ),
             " ",
         ).alias("phrase"),
-    )
+    ).localCheckpoint(eager=False)
     word_stats = (
         seg.join(plen.select("doc_id", "phrase_id", "plen"), ["doc_id", "phrase_id"])
         .groupBy("doc_id", "tok")

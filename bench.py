@@ -48,6 +48,40 @@ def _warm_up(spark) -> None:
     ).save()
 
 
+def _disk_probe() -> dict:
+    """64 MiB write+fsync / read-back timing — a disk-STATE marker for the
+    audit record only (never the stdout contract line).  The r10 record
+    carried 16-72s same-code store-materialization swings that were
+    unattributable because nothing in the record measured the disk itself;
+    this stamps each run with the disk's condition at bench start (the
+    round-10 verdict's record-hygiene ask).  Additions-only: no timing or
+    methodology changes."""
+    import tempfile
+    import time
+
+    try:
+        blk = b"\0" * (4 << 20)
+        t0 = time.time()
+        with tempfile.NamedTemporaryFile(dir="/tmp", delete=False) as fh:
+            for _ in range(16):
+                fh.write(blk)
+            fh.flush()
+            os.fsync(fh.fileno())
+        w = time.time() - t0
+        t0 = time.time()
+        with open(fh.name, "rb") as rf:
+            while rf.read(8 << 20):
+                pass
+        r = time.time() - t0
+        os.unlink(fh.name)
+        return {
+            "disk_probe_write_64m_sec": round(w, 3),
+            "disk_probe_read_64m_sec": round(r, 3),
+        }
+    except OSError as e:  # never let the probe break a record
+        return {"disk_probe_error": f"{type(e).__name__}: {e}"[:120]}
+
+
 def _materialize(spark, entrymod) -> dict:
     # write-time materialization: the 1h stage lands in a PointStore (plain
     # + name-bucketed) once, and every query reads those partials — the
@@ -356,7 +390,7 @@ def main() -> None:
     passes = max(1, int(os.environ.get("SPARK_GRAFT_PASSES", "2")))
     spark = get_spark("biggraphite-bench")
     _warm_up(spark)
-    mat = _materialize(spark, entrymod)
+    mat = {**_disk_probe(), **_materialize(spark, entrymod)}
 
     # RECORD hygiene: a record taken on a loaded box measures the box, not
     # the tree (the r8 sf0.1 record at loadavg 10.7 cost an adjudication).

@@ -27,7 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata_sf1"
-BASE_REF = os.environ.get("AB_BASE_REF", "HEAD")
+# Default to the PRE-CHANGE commit the recorded r10 A/B numbers compare
+# against (627a843 = the tree before the prefix-checkpoint change), not
+# HEAD: with HEAD as base, a post-merge run loads the NEW code as the
+# "old" arm and silently reports ~1.0.  main() additionally fails loudly
+# when the two arms' sources are byte-identical.
+BASE_REF = os.environ.get("AB_BASE_REF", "627a843")
 
 
 def main() -> None:
@@ -43,6 +48,12 @@ def main() -> None:
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         text=True,
     )
+    with open(newmod.__file__) as fh:
+        if fh.read() == old_src:
+            raise SystemExit(
+                f"AB arms identical: {BASE_REF}:dedup.py == working tree; "
+                "set AB_BASE_REF to the pre-change commit"
+            )
     import types
 
     oldmod = types.ModuleType("dedup_old")

@@ -72,8 +72,61 @@ def _merge_expr(symbols: Column, left: str, right: str) -> Column:
     return F.aggregate(symbols, F.array().cast("array<string>"), step)
 
 
+#: word-table size cap for the driver-side trainer: below it the merge
+#: loop runs as plain Python over the collected (word, freq) table; above
+#: it the distributed per-round loop keeps running.  Same capped-driver
+#: pattern as ``dup_clusters``' union-find (``DRIVER_CC_MAX_EDGES``): the
+#: state is vocabulary-sized by construction, so the cap routes on the
+#: corpus's true vocabulary, not its size.
+DRIVER_BPE_MAX_WORDS = 65536
+
+
+def _driver_bpe(
+    head: list, n_merges: int
+) -> tuple[list[tuple[int, str, str]], list]:
+    """The Sennrich merge loop driver-side over a collected (word, freq)
+    table — EXACTLY the distributed loop's semantics: same pair counting
+    weighted by word frequency, same (count DESC, pair lex ASC) argmax,
+    same greedy left-to-right in-word merge, same ``best < 2`` stop.
+    Pinned equal to the distributed loop by tests/test_bpe.py (and to the
+    from-scratch reference trainer the module always carried)."""
+    freqs = {w: f for w, f in head}
+    words = {w: tuple(list(w) + [EOW]) for w, _ in head}
+    merges: list[tuple[int, str, str]] = []
+    for rank in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for w, syms in words.items():
+            f = freqs[w]
+            for a, b in zip(syms, syms[1:]):
+                k = (a, b)
+                pair_counts[k] = pair_counts.get(k, 0) + f
+        if not pair_counts:
+            break
+        (left, right), n = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if n < 2:
+            break
+        merges.append((rank, left, right))
+        new_words = {}
+        for w, syms in words.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            new_words[w] = tuple(out)
+        words = new_words
+    final = [(w, freqs[w], list(words[w])) for w in words]
+    return merges, final
+
+
 def learn_bpe(
-    docs: DataFrame, n_merges: int = 12, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int = 12,
+    text_col: str = "text",
+    driver_max_words: int = DRIVER_BPE_MAX_WORDS,
 ) -> tuple[list[tuple[int, str, str]], DataFrame]:
     """Learn ``n_merges`` BPE merges; returns (merges, final word table).
 
@@ -81,8 +134,35 @@ def learn_bpe(
     carries (word, freq, symbols) after all merges — the input for token
     counting or vocabulary extraction.  Stops early when no pair occurs
     twice (nothing left worth merging).
+
+    The merge loop's state is the DISTINCT-WORD table — vocabulary-sized,
+    not corpus-sized — so when it fits under ``driver_max_words`` the loop
+    runs driver-side in plain Python (one ``toLocalIterator`` instead of
+    ``n_merges`` x (shuffle aggregation + argmax collect + checkpoint
+    job): ~2n+1 Spark jobs of pure fixed overhead at any scale, since the
+    word table is invariant under corpus replication).  Above the cap the
+    distributed per-round loop below is the path, unchanged.  Both paths
+    are pinned bit-equal in tests/test_bpe.py (merge sequence, final
+    symbol table, vocabulary).
     """
-    words = word_frequencies(docs, text_col).select(
+    words = word_frequencies(docs, text_col)
+
+    head: list = []
+    overflow = False
+    for r in words.toLocalIterator():
+        head.append((r["word"], r["freq"]))
+        if len(head) > driver_max_words:
+            overflow = True
+            break
+    if not overflow:
+        merges, final = _driver_bpe(head, n_merges)
+        spark = docs.sparkSession
+        out = spark.createDataFrame(
+            final, "word string, freq long, symbols array<string>"
+        )
+        return merges, out
+
+    words = words.select(
         "word", "freq", _initial_symbols(F.col("word")).alias("symbols")
     )
     words = words.localCheckpoint()

@@ -27,12 +27,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def main() -> None:
     outfile = sys.argv[1]
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
-    from pyspark.sql import DataFrame
     from pyspark.sql import functions as F
 
     from biggraphite_spark.session import get_spark
 
-    # explain-only: keep the full lineage visible
+    # explain-only: keep the full lineage visible.  Spark 4 instantiates
+    # pyspark.sql.classic.dataframe.DataFrame, which overrides the base
+    # class's methods — patch the concrete class, not the facade.
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pre-4.0 layout
+        from pyspark.sql import DataFrame
     DataFrame.localCheckpoint = lambda self, eager=True: self  # type: ignore[assignment]
 
     from biggraphite_spark.operators.dedup import cap_pair_fanout, lsh_near_dups

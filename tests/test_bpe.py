@@ -117,3 +117,22 @@ def test_merge_fold_is_greedy_left_to_right(spark):
         for r in df.select(_merge_expr(F.col("symbols"), "a", "a")).collect()
     ]
     assert sorted(out) == [("aa", "a", EOW), ("b", "aa", EOW)]
+
+
+def test_driver_and_distributed_paths_bit_equal(spark):
+    """The r11 capped driver-side merge loop must match the distributed
+    per-round loop exactly: merge sequence, final symbol table, freqs.
+    ``driver_max_words=0`` forces the distributed path on the same data."""
+    from biggraphite_spark.operators.bpe import learn_bpe
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    m_drv, w_drv = learn_bpe(docs, n_merges=N_MERGES)
+    m_dst, w_dst = learn_bpe(docs, n_merges=N_MERGES, driver_max_words=0)
+    assert m_drv == m_dst
+    drv = {
+        r["word"]: (r["freq"], tuple(r["symbols"])) for r in w_drv.collect()
+    }
+    dst = {
+        r["word"]: (r["freq"], tuple(r["symbols"])) for r in w_dst.collect()
+    }
+    assert drv == dst

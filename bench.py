@@ -389,18 +389,25 @@ def main() -> None:
     restart_every = int(os.environ.get("SPARK_GRAFT_RESTART_EVERY", "32"))
     passes = max(1, int(os.environ.get("SPARK_GRAFT_PASSES", "2")))
     spark = get_spark("biggraphite-bench")
-    _warm_up(spark)
-    mat = {**_disk_probe(), **_materialize(spark, entrymod)}
 
     # RECORD hygiene: a record taken on a loaded box measures the box, not
     # the tree (the r8 sf0.1 record at loadavg 10.7 cost an adjudication).
     # Warn-and-annotate, never block — the driver's own runs must not fail
     # on a busy host, but the record should say so about itself.
+    # The gate reads loadavg BEFORE the warm-up/materialization so it
+    # measures EXTERNAL contention: reading it after our own 32-thread
+    # store materialization (as the pre-r11 code did) self-triggered on
+    # every sf10 run — the r10 sf10 record's loadavg_warning was at least
+    # partly the bench measuring itself.
     loadavg_max = float(os.environ.get("SPARK_GRAFT_LOADAVG_MAX", "4"))
     try:
         start_load = os.getloadavg()[0]
     except OSError:
         start_load = 0.0
+
+    _warm_up(spark)
+    mat = {**_disk_probe(), **_materialize(spark, entrymod)}
+
     if loadavg_max > 0 and start_load > loadavg_max:
         warning = (
             f"start loadavg {start_load:.1f} > gate {loadavg_max:g}; "
